@@ -1,0 +1,102 @@
+"""Point-cloud IO (replaces the reference's PCL loaders; SURVEY.md §3 C3
+"PLY/NPZ loaders replace PCL").
+
+Supports ASCII/binary-little-endian PLY (positions + optional normals), NPZ,
+and whitespace XYZ text.  Pure NumPy on the host — IO never touches the
+device path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["load_cloud", "save_ply", "load_ply"]
+
+_PLY_TYPES = {
+    "float": ("f", 4), "float32": ("f", 4), "double": ("d", 8), "float64": ("d", 8),
+    "uchar": ("B", 1), "uint8": ("B", 1), "char": ("b", 1), "int8": ("b", 1),
+    "short": ("h", 2), "ushort": ("H", 2), "int": ("i", 4), "int32": ("i", 4),
+    "uint": ("I", 4), "uint32": ("I", 4),
+}
+
+
+def load_cloud(path: str):
+    """Load a cloud from .ply/.npz/.xyz/.txt. Returns (points, normals|None)."""
+    if path.endswith(".ply"):
+        return load_ply(path)
+    if path.endswith(".npz"):
+        d = np.load(path)
+        pts = np.asarray(d["points"], np.float64)
+        nrm = np.asarray(d["normals"], np.float64) if "normals" in d else None
+        return pts, nrm
+    data = np.loadtxt(path)
+    if data.shape[1] >= 6:
+        return data[:, :3], data[:, 3:6]
+    return data[:, :3], None
+
+
+def load_ply(path: str):
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        props: list[tuple[str, str]] = []
+        n_vertex = 0
+        in_vertex = False
+        while True:
+            line = f.readline().split()
+            if not line:
+                raise ValueError("unexpected EOF in PLY header")
+            if line[0] == b"format":
+                fmt = line[1].decode()
+            elif line[0] == b"element":
+                in_vertex = line[1] == b"vertex"
+                if in_vertex:
+                    n_vertex = int(line[2])
+            elif line[0] == b"property" and in_vertex:
+                props.append((line[1].decode(), line[2].decode()))
+            elif line[0] == b"end_header":
+                break
+        names = [p[1] for p in props]
+        if fmt == "ascii":
+            rows = np.loadtxt(f, max_rows=n_vertex).reshape(n_vertex, len(props))
+        elif fmt == "binary_little_endian":
+            fmt_str = "<" + "".join(_PLY_TYPES[t][0] for t, _ in props)
+            size = struct.calcsize(fmt_str)
+            buf = f.read(size * n_vertex)
+            rows = np.array([struct.unpack_from(fmt_str, buf, i * size) for i in range(n_vertex)])
+        else:
+            raise ValueError(f"unsupported PLY format {fmt}")
+        idx = {n: i for i, n in enumerate(names)}
+        pts = rows[:, [idx["x"], idx["y"], idx["z"]]].astype(np.float64)
+        nrm = None
+        if all(k in idx for k in ("nx", "ny", "nz")):
+            nrm = rows[:, [idx["nx"], idx["ny"], idx["nz"]]].astype(np.float64)
+        return pts, nrm
+
+
+def save_ply(path: str, points, normals=None, colors=None):
+    """Write an ASCII PLY (used by `gpis_tpu.viz` for variance-colored
+    isosurface clouds — the RViz-marker replacement, SURVEY.md §3 C10)."""
+    pts = np.asarray(points)
+    n = len(pts)
+    cols = None if colors is None else np.clip(np.asarray(colors) * 255, 0, 255).astype(np.uint8)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {n}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if normals is not None:
+            f.write("property float nx\nproperty float ny\nproperty float nz\n")
+        if cols is not None:
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write("end_header\n")
+        for i in range(n):
+            row = list(pts[i])
+            if normals is not None:
+                row += list(np.asarray(normals)[i])
+            f.write(" ".join(f"{v:.6f}" for v in row))
+            if cols is not None:
+                f.write(" " + " ".join(str(int(v)) for v in cols[i]))
+            f.write("\n")

@@ -1,0 +1,60 @@
+"""GPModel: the immutable model pytree (rebuild of reference component C2's
+model struct, SURVEY.md §3 C2: "model holds X, y, chol(K), alpha").
+
+TPU-first design
+----------------
+The reference's `GPRegressor` mutates an Eigen model in place and re-allocates
+when tactile points arrive.  Under XLA everything must be static-shape, so the
+rebuild preallocates a fixed *capacity* C (a multiple of the tile block):
+
+* rows ``[0, n0)``   — the initial GPIS training set (surface/internal/external)
+* rows ``[n0, C)``   — touch slots, initially *padding*
+
+Padding rows sit at the origin with target 0 and a huge observation noise
+``pad_noise``; with noise sigma^2 ~ 1e10 a padding row's contribution to the
+posterior mean/variance is O(k^2/sigma^2) ~ 1e-9 — below the 1e-6 parity bar
+(BASELINE.md row 2) — so *the padded model is numerically the unpadded model*
+while every array shape stays static under jit.  Incremental update
+(SURVEY.md §4.5) then writes touch points into slots and re-factorizes only
+the trailing rows ``[n0, C)`` against the unchanged leading factor (a
+bordering Cholesky update), instead of the reference's full O(N^3) refit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["GPModel", "round_up"]
+
+
+def round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GPModel:
+    """Exact-GP state. All arrays share capacity C (static, block-multiple)."""
+
+    # --- data fields (traced leaves) ---
+    x: jax.Array  # (C, 3) training positions (normalized frame)
+    y: jax.Array  # (C,)  GPIS targets
+    noise: jax.Array  # (C,) per-point observation variance (pad rows: pad_noise)
+    params: dict  # kernel hyperparameters {"lengthscale","signal_variance"}
+    chol: jax.Array  # (C, C) lower Cholesky factor of K + diag(noise)
+    alpha: jax.Array  # (C,)  (K + diag(noise))^{-1} y
+    n_touch: jax.Array  # ()   int32: touch points currently occupying slots
+    # --- metadata (static, part of the jit cache key) ---
+    kernel: str = dataclasses.field(metadata=dict(static=True))
+    n0: int = dataclasses.field(metadata=dict(static=True))  # initial-point boundary
+
+    @property
+    def capacity(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def dtype(self):
+        return self.x.dtype

@@ -1,0 +1,212 @@
+"""Exact GP regression transforms (rebuild of reference component C2,
+SURVEY.md §3 C2 / §4.1-§4.5: `GPRegressor::create/update/evaluate`).
+
+Pure functions over the `GPModel` pytree:
+
+* ``fit``      — reference `create(data)`: Gram assembly + Cholesky + alpha.
+* ``predict``  — reference `evaluate(model, Q, f*, V*)`: posterior mean and
+  variance at query points (§4.2 call stack; the O(M N^2) variance path is a
+  triangular solve + columnwise reduction, all MXU/VPU work).
+* ``update``   — reference `update(model, new_data)` (§4.5): tactile points
+  are written into preallocated touch slots and only the trailing rows of the
+  Cholesky factor are re-formed against the unchanged leading factor (a
+  bordering update) — O(C·T^2 + n0·T·C) instead of the reference's full
+  O(N^3) refactor.
+* ``log_marginal_likelihood`` — for hyperparameter optimization (config 3),
+  differentiable via XLA's Cholesky JVP/VJP.
+
+All shapes are static; padding-row correctness is argued in
+`gpis_tpu.gp.model`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gpis_tpu.gp.model import GPModel, round_up
+from gpis_tpu.kernels import functions as kf
+from gpis_tpu.kernels import gram as kg
+from gpis_tpu.linalg import cholesky as lin
+
+__all__ = [
+    "fit",
+    "fit_padded",
+    "predict",
+    "predict_mean",
+    "update",
+    "reset_touches",
+    "log_marginal_likelihood",
+]
+
+
+def _pad_training(x, y, noise, capacity, pad_noise, dtype):
+    """Pad training arrays to `capacity` with origin-point / zero-target /
+    huge-noise rows (see GPModel docstring for why this is exact)."""
+    n = x.shape[0]
+    c = capacity
+    xp = jnp.zeros((c, 3), dtype).at[:n].set(x.astype(dtype))
+    yp = jnp.zeros((c,), dtype).at[:n].set(y.astype(dtype))
+    np_ = jnp.full((c,), pad_noise, dtype).at[:n].set(
+        jnp.broadcast_to(jnp.asarray(noise, dtype), (n,))
+    )
+    return xp, yp, np_
+
+
+def fit(
+    kernel: str,
+    x,
+    y,
+    noise,
+    params,
+    *,
+    block: int = 128,
+    touch_capacity: int = 256,
+    pad_noise: float = 1e10,
+    dtype=None,
+    chol_impl=lin.cholesky,
+) -> GPModel:
+    """Build a GPModel from (x, y, per-point noise). Host-facing entry: pads
+    to capacity then calls the jit-friendly `fit_padded`."""
+    dtype = dtype or x.dtype
+    n0 = round_up(x.shape[0], block)
+    capacity = n0 + round_up(touch_capacity, block)
+    xp, yp, np_ = _pad_training(x, y, noise, capacity, pad_noise, dtype)
+    return fit_padded(kernel, xp, yp, np_, params, n0=n0, chol_impl=chol_impl)
+
+
+def fit_padded(kernel, xp, yp, noisep, params, *, n0, chol_impl=lin.cholesky) -> GPModel:
+    """Jit-friendly fit on already-padded capacity-C arrays."""
+    params = {k: jnp.asarray(v, xp.dtype) for k, v in params.items()}
+    k = kg.gram(kernel, xp, params, noise=noisep)
+    l = chol_impl(k)
+    alpha = lin.cho_solve(l, yp)
+    return GPModel(
+        x=xp,
+        y=yp,
+        noise=noisep,
+        params=params,
+        chol=l,
+        alpha=alpha,
+        n_touch=jnp.zeros((), jnp.int32),
+        kernel=kernel,
+        n0=n0,
+    )
+
+
+def predict(model: GPModel, q):
+    """Posterior mean and variance at queries q (M,3). Returns (mean, var).
+
+    mean = K* alpha ;  var = k(0) - sum(v^2) with v = L^{-1} K*^T
+    (reference §4.2; the v-solve reuses the training factor)."""
+    kq = kg.cross_cov(model.kernel, q, model.x, model.params)  # (M, C)
+    mean = kq @ model.alpha
+    v = lin.solve_lower(model.chol, kq.T)  # (C, M)
+    var = kf.k_diag0(model.kernel, model.params) - jnp.sum(v * v, axis=0)
+    # Raw (unclamped) variance, matching the reference's Eigen math: the
+    # conditionally-PD thin-plate kernel legitimately yields negative
+    # "variance" values that exploration uses only relatively.
+    return mean, var
+
+
+def predict_mean(model: GPModel, q):
+    """Posterior mean only — the cheap path used by Newton projection
+    (reference §4.3), where `jax.grad` of this function supplies the
+    posterior gradient the reference computed from kernel derivatives."""
+    kq = kg.cross_cov(model.kernel, q, model.x, model.params)
+    return kq @ model.alpha
+
+
+def update(model: GPModel, new_x, new_y, new_noise) -> GPModel:
+    """Append tactile points (reference §4.5 `cb_update`) and re-form only the
+    trailing Cholesky rows [n0, C) by bordering:
+
+        L21 = (L11^{-1} K12)^T ,   L22 = chol(K22 - L21 L21^T)
+
+    The leading factor L11 (rows [0, n0)) is untouched because rows [0, n0)
+    of K are untouched.  new_x may carry fewer points than remaining slots;
+    overflow beyond capacity raises at trace time.
+    """
+    c = model.capacity
+    n0 = model.n0
+    t = c - n0
+    k_new = new_x.shape[0]
+    if k_new > t:
+        raise ValueError(f"touch batch {k_new} exceeds touch capacity {t}")
+    dt = model.dtype
+
+    start = n0 + model.n_touch  # traced scalar
+    zero = jnp.zeros((), start.dtype)
+    x = lax.dynamic_update_slice(model.x, new_x.astype(dt), (start, zero))
+    y = lax.dynamic_update_slice(model.y, new_y.astype(dt), (start,))
+    noise = lax.dynamic_update_slice(
+        model.noise, jnp.broadcast_to(jnp.asarray(new_noise, dt), (k_new,)), (start,)
+    )
+
+    # Re-form trailing blocks of K for rows [n0, C).
+    xt = x[n0:]  # (T, 3) static slice
+    k21 = kg.cross_cov(model.kernel, xt, x[:n0], model.params)  # (T, n0)
+    k22 = kg.gram(model.kernel, xt, model.params, noise=noise[n0:])  # (T, T)
+
+    l11 = model.chol[:n0, :n0]
+    l21 = lin.solve_lower(l11, k21.T).T  # (T, n0)
+    l22 = jnp.linalg.cholesky(k22 - l21 @ l21.T)
+    chol = model.chol.at[n0:, :n0].set(l21).at[n0:, n0:].set(l22)
+
+    alpha = lin.cho_solve(chol, y)
+    return GPModel(
+        x=x,
+        y=y,
+        noise=noise,
+        params=model.params,
+        chol=chol,
+        alpha=alpha,
+        n_touch=model.n_touch + k_new,
+        kernel=model.kernel,
+        n0=n0,
+    )
+
+
+def reset_touches(model: GPModel) -> GPModel:
+    """Clear all touch slots back to padding (used on session re-fit)."""
+    n0, c = model.n0, model.capacity
+    dt = model.dtype
+    x = model.x.at[n0:].set(0.0)
+    y = model.y.at[n0:].set(0.0)
+    noise = model.noise.at[n0:].set(jnp.asarray(jnp.max(model.noise), dt))
+    m = GPModel(
+        x=x, y=y, noise=noise, params=model.params, chol=model.chol,
+        alpha=model.alpha, n_touch=jnp.zeros((), jnp.int32),
+        kernel=model.kernel, n0=n0,
+    )
+    return update(m, jnp.zeros((0, 3), dt), jnp.zeros((0,), dt), jnp.zeros((0,), dt))
+
+
+def log_marginal_likelihood(kernel, xp, yp, noisep, params, *, n_real=None):
+    """log p(y | X, theta) on padded arrays (config 3).
+
+    Padding rows add a theta-independent constant (their diagonal is
+    pad_noise-dominated), so gradients w.r.t. params match the unpadded MLL
+    to O(k^2/pad_noise).  If `n_real` is given, the padding rows' constant
+    (0.5*log(2*pi*noise_i) each) is subtracted so the *value* is comparable
+    to an unpadded oracle as well.
+    """
+    k = kg.gram(kernel, xp, params, noise=noisep)
+    l = jnp.linalg.cholesky(k)
+    alpha = lin.cho_solve(l, yp)
+    c = xp.shape[0]
+    mll = (
+        -0.5 * jnp.dot(yp, alpha)
+        - jnp.sum(jnp.log(jnp.diagonal(l)))
+        - 0.5 * c * jnp.log(2.0 * jnp.pi)
+    )
+    if n_real is not None:
+        # Padding rows contribute ~ -0.5*log(2*pi*sigma_pad^2) each (their
+        # y is 0 and cross terms are O(k^2/pad_noise)); remove that constant.
+        pad = jnp.arange(c) >= n_real
+        corr = jnp.sum(
+            jnp.where(pad, 0.5 * jnp.log(2.0 * jnp.pi * noisep), 0.0)
+        )
+        mll = mll + corr
+    return mll

@@ -1,0 +1,30 @@
+"""Test harness config (SURVEY.md §5 item 4).
+
+Tests run on CPU with 8 virtual devices so the sharded (`shard_map`) paths
+exercise real collectives without a TPU pod; float64 is enabled for the
+1e-6 oracle-parity bar.  Env vars must be set before jax initializes, hence
+the top-of-file ordering.
+"""
+
+import os
+
+# NOTE: this environment's axon sitecustomize preloads jax with
+# JAX_PLATFORMS=axon snapshotted, so plain env vars are too late here; the
+# config must be updated through jax.config instead (XLA_FLAGS is still
+# honored lazily at backend init).
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,130 @@
+"""C2 GP regression tests: oracle parity of fit/predict (with capacity
+padding), bordering update vs full refit, MLL value+gradient parity, and GP
+property tests (SURVEY.md §5 items 1, 2, 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from gpis_tpu.data import synthetic
+from gpis_tpu.gp import regression as gpr
+from gpis_tpu.kernels import functions as kf
+from gpis_tpu.linalg import cholesky as lin
+
+LS, SV = 0.9, 1.1
+
+
+def _fixture(rng, n=120, name="rbf"):
+    pts, _ = synthetic.sphere_cloud(n, seed=3)
+    x = jnp.asarray(pts)
+    y = jnp.asarray(rng.normal(size=n) * 0.1)
+    noise = jnp.asarray(rng.uniform(1e-4, 1e-3, size=n))
+    # Thin-plate `2r^3 - 3Rr^2 + R^3` is conditionally PD: R must exceed the
+    # domain diameter (SURVEY.md §8 "hard parts"), so use R=3 > 2.
+    ls = 3.0 if name == "thin_plate" else LS
+    params = kf.kernel_params(ls, SV)
+    return x, y, noise, params, ls
+
+
+@pytest.mark.parametrize("name", ["rbf", "thin_plate", "laplace", "inverse_multiquadric"])
+def test_fit_predict_parity(name, rng):
+    x, y, noise, params, ls = _fixture(rng, name=name)
+    model = gpr.fit(name, x, y, noise, params, block=64, touch_capacity=64)
+    q = jnp.asarray(rng.normal(size=(50, 3)) * 1.2)
+    mean, var = gpr.predict(model, q)
+
+    om = oracle.fit(name, np.asarray(x), np.asarray(y), np.asarray(noise), ls, SV)
+    omean, ovar = oracle.predict(om, np.asarray(q))
+    # 1e-6 parity bar (BASELINE.md row 2); padding rows must not perturb it.
+    np.testing.assert_allclose(mean, omean, atol=1e-6)
+    np.testing.assert_allclose(var, ovar, atol=1e-6)
+
+
+def test_padding_is_inert(rng):
+    """Same data, different capacities -> same posterior."""
+    x, y, noise, params, _ = _fixture(rng, n=50)
+    q = jnp.asarray(rng.normal(size=(20, 3)))
+    m1 = gpr.fit("rbf", x, y, noise, params, block=64, touch_capacity=64)
+    m2 = gpr.fit("rbf", x, y, noise, params, block=256, touch_capacity=512)
+    mean1, var1 = gpr.predict(m1, q)
+    mean2, var2 = gpr.predict(m2, q)
+    np.testing.assert_allclose(mean1, mean2, atol=1e-8)
+    np.testing.assert_allclose(var1, var2, atol=1e-8)
+
+
+def test_update_matches_refit(rng):
+    """Bordering update (SURVEY.md §4.5) == full refit with appended points."""
+    x, y, noise, params, _ = _fixture(rng, n=80)
+    model = gpr.fit("rbf", x, y, noise, params, block=64, touch_capacity=64)
+
+    tx = jnp.asarray(rng.normal(size=(7, 3)) * 0.9)
+    ty = jnp.zeros(7)
+    model2 = gpr.update(model, tx, ty, 1e-6)
+    # Second batch exercises a non-zero traced start offset.
+    tx2 = jnp.asarray(rng.normal(size=(5, 3)) * 0.9)
+    model3 = gpr.update(model2, tx2, jnp.zeros(5), 1e-6)
+
+    xa = np.concatenate([np.asarray(x), np.asarray(tx), np.asarray(tx2)])
+    ya = np.concatenate([np.asarray(y), np.zeros(7), np.zeros(5)])
+    na = np.concatenate([np.asarray(noise), np.full(12, 1e-6)])
+    om = oracle.fit("rbf", xa, ya, na, LS, SV)
+
+    q = jnp.asarray(rng.normal(size=(25, 3)))
+    mean, var = gpr.predict(model3, q)
+    omean, ovar = oracle.predict(om, np.asarray(q))
+    np.testing.assert_allclose(mean, omean, atol=1e-6)
+    np.testing.assert_allclose(var, ovar, atol=1e-6)
+    assert int(model3.n_touch) == 12
+
+
+def test_update_jits(rng):
+    x, y, noise, params, _ = _fixture(rng, n=40)
+    model = gpr.fit("rbf", x, y, noise, params, block=64, touch_capacity=64)
+    upd = jax.jit(gpr.update)
+    m2 = upd(model, jnp.ones((3, 3)) * 0.2, jnp.zeros(3), 1e-6)
+    m3 = upd(m2, jnp.ones((3, 3)) * 0.4, jnp.zeros(3), 1e-6)  # cache hit
+    assert int(m3.n_touch) == 6
+
+
+def test_mll_parity_and_grad(rng):
+    x, y, noise, params, _ = _fixture(rng, n=60)
+    n = x.shape[0]
+    c = 128
+    xp, yp, np_ = gpr._pad_training(x, y, noise, c, 1e10, x.dtype)
+
+    got = gpr.log_marginal_likelihood("rbf", xp, yp, np_, params, n_real=n)
+    want = oracle.log_marginal_likelihood(
+        "rbf", np.asarray(x), np.asarray(y), np.asarray(noise), LS, SV
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # Gradient wrt hyperparams: compare to oracle finite differences.
+    def mll(p):
+        return gpr.log_marginal_likelihood("rbf", xp, yp, np_, p)
+
+    g = jax.grad(mll)(params)
+    eps = 1e-5
+    for key, base in [("lengthscale", LS), ("signal_variance", SV)]:
+        up = oracle.log_marginal_likelihood(
+            "rbf", np.asarray(x), np.asarray(y), np.asarray(noise),
+            LS + (eps if key == "lengthscale" else 0.0),
+            SV + (eps if key == "signal_variance" else 0.0),
+        )
+        dn = oracle.log_marginal_likelihood(
+            "rbf", np.asarray(x), np.asarray(y), np.asarray(noise),
+            LS - (eps if key == "lengthscale" else 0.0),
+            SV - (eps if key == "signal_variance" else 0.0),
+        )
+        np.testing.assert_allclose(g[key], (up - dn) / (2 * eps), rtol=1e-4)
+
+
+def test_gp_properties(rng):
+    """SURVEY.md §5 item 5: variance >= 0; mean interpolates targets as
+    noise -> 0."""
+    x, y, _, params, _ = _fixture(rng, n=30)
+    model = gpr.fit("rbf", x, y, 1e-10 * jnp.ones(30), params, block=32, touch_capacity=32)
+    mean, var = gpr.predict(model, x)
+    np.testing.assert_allclose(mean, y, atol=1e-4)
+    assert np.all(np.asarray(var) >= -1e-9)  # PD kernel: nonneg up to roundoff
