@@ -1,0 +1,200 @@
+"""ObjectModelSession — the user-facing orchestrator (rebuild of reference
+component C7, SURVEY.md §3 C7: the `GaussianProcessNode` ROS node).
+
+The reference exposes three ROS services plus marker topics; the rebuild is
+middleware-free — the same verbs become methods (SURVEY.md §3 C8):
+
+    reference service          session method
+    -----------------          --------------
+    start_process              start(points)            (§4.1 call stack)
+    get_next_best_path         next_best_path()         (§4.4)
+    update  (touch points)     update(points)           (§4.5)
+    (RViz markers)             extract_surface() / export_* (viz/)
+
+World-frame in, world-frame out: the session owns the normalization Frame
+and converts at the boundary, like the node did with its TF handling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from gpis_tpu.config import ExploreConfig, MeshConfig, ModelConfig
+from gpis_tpu.data import gpis, voxel
+from gpis_tpu.explore import planner
+from gpis_tpu.gp import hyperopt as ho
+from gpis_tpu.gp import regression as gpr
+from gpis_tpu.kernels import functions as kf
+from gpis_tpu.surface import grid as grid_mod
+from gpis_tpu.surface import marching, projection
+from gpis_tpu.utils import checkpoint as ckpt
+from gpis_tpu.utils.logging import get_logger
+
+__all__ = ["ObjectModelSession"]
+
+log = get_logger("session")
+
+
+class ObjectModelSession:
+    """Fit / query / update / explore loop over one object model."""
+
+    def __init__(self, config: ModelConfig | None = None,
+                 explore: ExploreConfig | None = None,
+                 mesh: MeshConfig | None = None):
+        self.config = config or ModelConfig()
+        self.explore_config = explore or ExploreConfig()
+        self.mesh_config = mesh or MeshConfig()
+        self.model = None
+        self.frame = None
+        self.training = None
+
+    # ------------------------------------------------------------ start/fit
+
+    def start(self, points, *, params=None):
+        """Reference `start_process` (§4.1): downsample, normalize, label,
+        fit.  `points` is an (N,3) world-frame cloud."""
+        points = np.asarray(points, dtype=self.config.dtype)
+        if points.ndim != 2 or points.shape[1] != 3 or len(points) == 0:
+            raise ValueError(
+                f"expected a non-empty (N, 3) point cloud, got shape {points.shape}"
+            )
+        cfg = self.config
+        if cfg.voxel_leaf > 0:
+            points = voxel.voxel_downsample(points, cfg.voxel_leaf).astype(cfg.dtype)
+        ts = gpis.build_training_set(points, cfg)
+        self.training = ts
+        self.frame = ts.frame
+        params = params or kf.kernel_params(cfg.lengthscale, cfg.signal_variance)
+        self.model = gpr.fit(
+            cfg.kernel, ts.x, ts.y, ts.noise, params,
+            block=cfg.block, touch_capacity=cfg.touch_capacity,
+            pad_noise=cfg.pad_noise,
+        )
+        log.info("fit: %d surface pts -> capacity %d (%s)",
+                 ts.n_surface, self.model.capacity, cfg.kernel)
+        return self
+
+    def _require_model(self):
+        if self.model is None:
+            raise RuntimeError("no model fitted yet; call start(points) first")
+
+    # --------------------------------------------------------------- query
+
+    def query(self, points_world):
+        """Posterior (mean, variance) at world-frame points (§4.2)."""
+        self._require_model()
+        q = self.frame.to_normalized(jnp.asarray(np.asarray(points_world, self.config.dtype)))
+        mean, var = gpr.predict(self.model, q)
+        return np.asarray(mean), np.asarray(var)
+
+    def evaluate_grid(self, resolution=None, extent=None):
+        """Dense posterior grid in the normalized frame (config 4)."""
+        self._require_model()
+        r = resolution or self.config.grid_resolution
+        e = extent or self.config.grid_extent
+        mean, var, axis = grid_mod.evaluate_grid(self.model, r, e)
+        return np.asarray(mean), np.asarray(var), np.asarray(axis)
+
+    def extract_surface(self, resolution=None, extent=None, *, world_frame=True):
+        """Isosurface mesh + per-vertex variance (the RViz marker replacement).
+        Returns (verts, faces, variance)."""
+        mean, var, axis = self.evaluate_grid(resolution, extent)
+        verts, faces = marching.marching_tetrahedra(mean, axis)
+        verts_n = jnp.asarray(verts.astype(self.config.dtype))
+        if len(verts):
+            _, vvar = gpr.predict(self.model, verts_n)
+            vvar = np.asarray(vvar)
+        else:
+            vvar = np.zeros((0,))
+        if world_frame:
+            verts = np.asarray(self.frame.to_world(verts_n))
+        return verts, faces, vvar
+
+    def surface_points(self, seeds_world=None, n: int = 256):
+        """Sample points on the estimated surface (projection of seeds)."""
+        self._require_model()
+        if seeds_world is None:
+            seeds = jnp.asarray(
+                gpis.fibonacci_sphere(n, radius=1.0).astype(self.config.dtype)
+            )
+        else:
+            seeds = self.frame.to_normalized(jnp.asarray(seeds_world))
+        pts, ok = projection.project_points(self.model, seeds)
+        pts_w = np.asarray(self.frame.to_world(pts))
+        return pts_w[np.asarray(ok)], np.asarray(ok)
+
+    # ------------------------------------------------------------- explore
+
+    def next_best_path(self, *, seed_world=None):
+        """Reference `get_next_best_path` (§4.4): returns an
+        ExplorationResult with world-frame poses."""
+        self._require_model()
+        seed = None
+        if seed_world is not None:
+            seed = np.asarray(self.frame.to_normalized(jnp.asarray(seed_world)))
+        res = planner.next_best_path(self.model, self.explore_config, seed_point=seed)
+        res.path = np.asarray(self.frame.to_world(jnp.asarray(res.path)))
+        return res
+
+    def is_done(self, n_probe: int = 256) -> bool:
+        """Global termination: surface variance everywhere below threshold."""
+        self._require_model()
+        probes, ok = projection.project_points(
+            self.model,
+            jnp.asarray(gpis.fibonacci_sphere(n_probe, 1.0).astype(self.config.dtype)),
+        )
+        return planner.is_done(self.model, self.explore_config, probes)
+
+    # -------------------------------------------------------------- update
+
+    def update(self, touch_points_world, *, targets=None):
+        """Reference `update` service (§4.5): append tactile points (label 0,
+        low touch noise) and refit incrementally."""
+        self._require_model()
+        pts = self.frame.to_normalized(
+            jnp.asarray(np.asarray(touch_points_world, self.config.dtype))
+        )
+        y = (jnp.zeros(pts.shape[0], pts.dtype) if targets is None
+             else jnp.asarray(targets, pts.dtype))
+        self.model = gpr.update(self.model, pts, y, self.config.noise_touch)
+        log.info("update: +%d touch points (total %d)", pts.shape[0], int(self.model.n_touch))
+        return self
+
+    # ------------------------------------------------------------ hyperopt
+
+    def optimize_hyperparameters(self, **kw):
+        """MLL optimization (config 3) in place; refits with the optimum."""
+        self._require_model()
+        m = self.model
+        res = ho.optimize(
+            m.kernel, m.x, m.y, m.noise, m.params,
+            n_real=m.n0, **kw,
+        )
+        self.model = gpr.fit_padded(
+            m.kernel, m.x, m.y, res.noise, res.params, n0=m.n0
+        )
+        log.info("hyperopt: mll=%.4f lengthscale=%.4f", res.mll,
+                 float(res.params["lengthscale"]))
+        return res
+
+    # ------------------------------------------------------- checkpointing
+
+    def save(self, path: str):
+        """Checkpoint model + frame (SURVEY.md §6 checkpoint/resume)."""
+        self._require_model()
+        ckpt.save_model(path, self.model)
+        np.savez(path + ".frame.npz",
+                 centroid=np.asarray(self.frame.centroid),
+                 scale=np.asarray(self.frame.scale))
+        return path
+
+    @classmethod
+    def load(cls, path: str, config: ModelConfig | None = None, **kw):
+        sess = cls(config, **kw)
+        sess.model = ckpt.load_model(path)
+        d = np.load(path + ".frame.npz")
+        sess.frame = gpis.Frame(
+            centroid=jnp.asarray(d["centroid"]), scale=jnp.asarray(d["scale"])
+        )
+        return sess

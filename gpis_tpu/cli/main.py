@@ -1,0 +1,182 @@
+"""CLI (replaces the reference's roslaunch entry, SURVEY.md §3 C7/C9).
+
+    gpis fit cloud.ply -o model.npz [--kernel rbf --lengthscale 0.7 ...]
+    gpis mesh model.npz -o surface.ply [--html surface.html]
+    gpis query model.npz --points "x,y,z;x,y,z"
+    gpis explore model.npz [--max-charts 64]
+    gpis update model.npz touch.xyz -o model.npz
+    gpis hyperopt cloud.ply -o model.npz
+    gpis serve model.npz --port 8731
+    gpis bench  (forwards to the repo bench harness)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_model_args(p):
+    p.add_argument("--kernel", default="rbf",
+                   choices=["rbf", "thin_plate", "laplace", "inverse_multiquadric"])
+    p.add_argument("--lengthscale", type=float, default=1.0)
+    p.add_argument("--signal-variance", type=float, default=1.0)
+    p.add_argument("--noise", type=float, default=1e-4)
+    p.add_argument("--voxel-leaf", type=float, default=0.0)
+    p.add_argument("--config", help="YAML/JSON config file (overridden by flags)")
+
+
+def _config_from_args(args):
+    from gpis_tpu.config import ModelConfig, config_from_dict, load_config
+
+    if args.config:
+        model_cfg, explore_cfg, mesh_cfg = load_config(args.config)
+    else:
+        model_cfg, explore_cfg, mesh_cfg = config_from_dict({})
+    import dataclasses
+
+    model_cfg = dataclasses.replace(
+        model_cfg,
+        kernel=args.kernel,
+        lengthscale=args.lengthscale,
+        signal_variance=args.signal_variance,
+        noise_surface=args.noise,
+        voxel_leaf=args.voxel_leaf,
+    )
+    return model_cfg, explore_cfg, mesh_cfg
+
+
+def _load_session(path):
+    from gpis_tpu.api.session import ObjectModelSession
+
+    return ObjectModelSession.load(path)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="gpis", description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("fit", help="fit a GPIS model from a point cloud")
+    p.add_argument("cloud")
+    p.add_argument("-o", "--output", required=True)
+    _add_model_args(p)
+
+    p = sub.add_parser("mesh", help="extract isosurface mesh from a model")
+    p.add_argument("model")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--resolution", type=int, default=64)
+    p.add_argument("--extent", type=float, default=1.6)
+    p.add_argument("--html", help="also write a self-contained HTML viewer")
+
+    p = sub.add_parser("query", help="posterior mean/variance at points")
+    p.add_argument("model")
+    p.add_argument("--points", required=True, help='"x,y,z;x,y,z;..."')
+
+    p = sub.add_parser("explore", help="compute next-best tactile path")
+    p.add_argument("model")
+    p.add_argument("--max-charts", type=int, default=64)
+    p.add_argument("--json", action="store_true", help="machine-readable output")
+
+    p = sub.add_parser("update", help="append tactile points and refit")
+    p.add_argument("model")
+    p.add_argument("touches", help="cloud file of touch points")
+    p.add_argument("-o", "--output", required=True)
+
+    p = sub.add_parser("hyperopt", help="fit + optimize hyperparameters")
+    p.add_argument("cloud")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--steps", type=int, default=150)
+    _add_model_args(p)
+
+    p = sub.add_parser("serve", help="serve the JSON API")
+    p.add_argument("model", nargs="?", help="optional checkpoint to preload")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8731)
+    _add_model_args(p)
+
+    args = ap.parse_args(argv)
+
+    # Imports deferred past argparse so `gpis -h` is instant.
+    from gpis_tpu.api.session import ObjectModelSession
+    from gpis_tpu.data.io import load_cloud
+
+    if args.cmd == "fit":
+        model_cfg, explore_cfg, mesh_cfg = _config_from_args(args)
+        pts, _ = load_cloud(args.cloud)
+        sess = ObjectModelSession(model_cfg, explore_cfg, mesh_cfg).start(pts)
+        sess.save(args.output)
+        print(f"model saved to {args.output} (capacity {sess.model.capacity})")
+
+    elif args.cmd == "mesh":
+        sess = _load_session(args.model)
+        verts, faces, var = sess.extract_surface(args.resolution, args.extent)
+        from gpis_tpu.viz.export import export_html, export_isosurface_ply
+
+        export_isosurface_ply(args.output, verts, faces, variance=var)
+        print(f"mesh: {len(verts)} verts, {len(faces)} faces -> {args.output}")
+        if args.html:
+            export_html(args.html, verts, faces, variance=var)
+            print(f"viewer -> {args.html}")
+
+    elif args.cmd == "query":
+        sess = _load_session(args.model)
+        pts = np.array([[float(v) for v in p.split(",")] for p in args.points.split(";")])
+        mean, var = sess.query(pts)
+        for p_, m, v in zip(pts, mean, var):
+            print(f"{p_[0]:+.4f},{p_[1]:+.4f},{p_[2]:+.4f}  f={m:+.6f}  var={v:.6e}")
+
+    elif args.cmd == "explore":
+        import dataclasses
+
+        sess = _load_session(args.model)
+        sess.explore_config = dataclasses.replace(
+            sess.explore_config, max_charts=args.max_charts
+        )
+        res = sess.next_best_path()
+        if args.json:
+            print(json.dumps({
+                "path": res.path.tolist(), "normals": res.normals.tolist(),
+                "target_variance": res.target_variance,
+                "reached_threshold": res.reached_threshold,
+            }))
+        else:
+            print(f"path with {len(res.path)} poses; target variance "
+                  f"{res.target_variance:.4f} (threshold reached: {res.reached_threshold})")
+            for p_, n in zip(res.path, res.normals):
+                print(f"  at {p_.round(4).tolist()} normal {n.round(4).tolist()}")
+
+    elif args.cmd == "update":
+        sess = _load_session(args.model)
+        pts, _ = load_cloud(args.touches)
+        sess.update(pts)
+        sess.save(args.output)
+        print(f"updated with {len(pts)} touches -> {args.output}")
+
+    elif args.cmd == "hyperopt":
+        model_cfg, explore_cfg, mesh_cfg = _config_from_args(args)
+        pts, _ = load_cloud(args.cloud)
+        sess = ObjectModelSession(model_cfg, explore_cfg, mesh_cfg).start(pts)
+        res = sess.optimize_hyperparameters(steps=args.steps)
+        sess.save(args.output)
+        print(f"mll={res.mll:.4f} lengthscale={float(res.params['lengthscale']):.4f} "
+              f"-> {args.output}")
+
+    elif args.cmd == "serve":
+        from gpis_tpu.api.service import serve
+
+        model_cfg, explore_cfg, mesh_cfg = _config_from_args(args)
+        if args.model:
+            sess = ObjectModelSession.load(args.model, model_cfg)
+        else:
+            sess = ObjectModelSession(model_cfg, explore_cfg, mesh_cfg)
+        serve(sess, args.host, args.port)
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,166 @@
+"""GPAtlasRRT explorer (rebuild of reference component C6, SURVEY.md §3 C6 /
+§4.4).
+
+RRT-style tree of charts grown over the estimated surface toward high
+posterior variance; emits the "next best path" a robot finger should trace
+to reduce model uncertainty.  Strategies:
+
+* ``single_path``  — greedy chain: always expand the newest chart (the
+  reference's single-path strategy).
+* ``multi_branch`` — expand the leaf whose best candidate has the highest
+  variance (RRT-like frontier selection).
+
+Host-side tree logic + batched device-side GP queries: each expansion round
+evaluates *all* candidate points of the frontier in one posterior call
+(SURVEY.md §4.4 rebuild note).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpis_tpu.config import ExploreConfig
+from gpis_tpu.explore import atlas as atlas_mod
+from gpis_tpu.gp import regression as gpr
+from gpis_tpu.gp.model import GPModel
+from gpis_tpu.kernels import functions as kf
+from gpis_tpu.surface import projection
+
+__all__ = ["ExplorationResult", "next_best_path", "is_done"]
+
+
+@dataclasses.dataclass
+class ExplorationResult:
+    """Pose sequence root->target plus the atlas that produced it."""
+
+    path: np.ndarray  # (K, 3) positions along the surface
+    normals: np.ndarray  # (K, 3) outward normals (pose orientation)
+    charts: list  # list[Chart], the whole tree
+    target_variance: float
+    reached_threshold: bool  # True if a variance >= threshold target was found
+
+
+def is_done(model: GPModel, cfg: ExploreConfig, probe_points) -> bool:
+    """Global termination (reference §1 step 5): exploration is complete when
+    the posterior variance everywhere on the estimated surface falls below
+    the threshold."""
+    _, var = gpr.predict(model, jnp.asarray(probe_points))
+    return bool(np.max(np.asarray(var)) < cfg.variance_threshold)
+
+
+def _extract_path(charts, leaf_id):
+    chain = []
+    cid = leaf_id
+    by_id = {c.id: c for c in charts}
+    while cid != -1:
+        chain.append(by_id[cid])
+        cid = by_id[cid].parent
+    chain.reverse()
+    return (
+        np.stack([c.center for c in chain]),
+        np.stack([c.normal for c in chain]),
+    )
+
+
+def next_best_path(
+    model: GPModel,
+    cfg: ExploreConfig,
+    *,
+    seed_point=None,
+    rng: np.random.Generator | None = None,
+) -> ExplorationResult:
+    """Grow the atlas from a surface seed toward high variance and return the
+    next-best tactile path (reference `getNextBestPath`, §4.4)."""
+    rng = rng or np.random.default_rng(0)
+    prior = float(kf.k_diag0(model.kernel, model.params))
+
+    # Root chart: project the seed (default: the *surface-labeled* training
+    # point with the highest posterior variance — internal/external label
+    # points and padding rows are not on the surface and must not seed).
+    if seed_point is None:
+        on_surface = (np.asarray(model.y) == 0.0) & (np.asarray(model.noise) < 1e6)
+        cand = np.asarray(model.x)[on_surface]
+        if len(cand) == 0:
+            raise ValueError("model has no surface-labeled training points to seed from")
+        _, var0 = gpr.predict(model, jnp.asarray(cand, model.dtype))
+        seed_point = cand[int(np.argmax(np.asarray(var0)))]
+    seed, _ = projection.project_point(model, jnp.asarray(seed_point, model.dtype))
+    charts = atlas_mod.make_charts(model, np.asarray(seed)[None, :], cfg, ids=[0], parents=[-1])
+
+    frontier = [charts[0]]
+    best_leaf, best_var = charts[0], charts[0].variance
+    reached = charts[0].variance >= cfg.variance_threshold
+    next_id = 1
+
+    while not reached and next_id < cfg.max_charts and frontier:
+        # Gather every frontier chart's disc candidates into ONE device call.
+        cand_blocks = [atlas_mod.disc_samples(c, cfg.n_disc_samples) for c in frontier]
+        cands = np.concatenate(cand_blocks, axis=0)
+        _, var = gpr.predict(model, jnp.asarray(cands, model.dtype))
+        var = np.asarray(var)
+
+        # Penalize candidates that fall back inside existing charts (keeps
+        # the tree exploring instead of oscillating).
+        centers = np.stack([c.center for c in charts])
+        radii = np.array([c.radius for c in charts])
+        d = np.linalg.norm(cands[:, None, :] - centers[None, :, :], axis=-1)
+        covered = (d < 0.8 * radii[None, :]).any(axis=1)
+        score = np.where(covered, -np.inf, var)
+
+        if cfg.strategy == "single_path":
+            # Only the newest chart expands; its block is the last one.
+            lo = len(cands) - cfg.n_disc_samples
+            blk = score[lo:]
+            if not np.isfinite(blk).any():
+                break
+            pick = lo + int(np.argmax(blk))
+            parent = frontier[-1]
+        else:  # multi_branch
+            if not np.isfinite(score).any():
+                break
+            pick = int(np.argmax(score))
+            # Map flat index back to its frontier chart.
+            acc, parent = 0, frontier[0]
+            for c, blk in zip(frontier, cand_blocks):
+                if pick < acc + len(blk):
+                    parent = c
+                    break
+                acc += len(blk)
+
+        target, ok = projection.project_point(model, jnp.asarray(cands[pick], model.dtype))
+        if not bool(ok):
+            # Projection failed (rare: flat gradient) — drop this candidate's
+            # chart from the frontier and continue.
+            if cfg.strategy == "single_path":
+                break
+            frontier.remove(parent)
+            continue
+
+        new = atlas_mod.make_charts(
+            model, np.asarray(target)[None, :], cfg, ids=[next_id], parents=[parent.id]
+        )[0]
+        charts.append(new)
+        next_id += 1
+        if cfg.strategy == "single_path":
+            frontier = [new]
+        else:
+            frontier.append(new)
+        if new.variance > best_var:
+            best_leaf, best_var = new, new.variance
+        # Touch target found: a region whose uncertainty exceeds threshold
+        # (relative to prior) — the reference's termination for one path.
+        if new.variance >= cfg.variance_threshold:
+            best_leaf, best_var = new, new.variance
+            reached = True
+
+    path, normals = _extract_path(charts, best_leaf.id)
+    return ExplorationResult(
+        path=path,
+        normals=normals,
+        charts=charts,
+        target_variance=best_var,
+        reached_threshold=reached,
+    )

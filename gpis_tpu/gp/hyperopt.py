@@ -1,0 +1,109 @@
+"""Marginal-likelihood hyperparameter optimization (BASELINE config 3;
+SURVEY.md §8 step 6).
+
+Maximizes log p(y | X, theta) over (lengthscale, observation-noise scale,
+optionally signal variance) by AD through the Cholesky factorization —
+XLA's cholesky has exact JVP/VJP rules, so the whole objective is one
+differentiable jitted graph.  Optimization runs in log-parameter space
+(positivity for free) with optax Adam (default) or L-BFGS.
+
+The reference has no equivalent (hyperparameters are hand-set YAML values,
+SURVEY.md §3 C9) — this is a capability the rebuild adds on top of parity,
+as named by the north star.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gpis_tpu.gp import regression as gpr
+
+__all__ = ["optimize", "HyperoptResult"]
+
+
+class HyperoptResult(dict):
+    """dict with attribute access: params, noise, history."""
+
+    __getattr__ = dict.__getitem__
+
+
+def optimize(
+    kernel: str,
+    xp,
+    yp,
+    noisep,
+    init_params,
+    *,
+    n_real: int,
+    learn_signal: bool = False,
+    learn_noise: bool = True,
+    steps: int = 150,
+    learning_rate: float = 0.05,
+    optimizer: str = "adam",
+) -> HyperoptResult:
+    """Optimize hyperparameters on padded training arrays.
+
+    The noise-scale multiplier applies only to real rows (< n_real): padding
+    rows keep their huge variance so they stay inert (gpis_tpu.gp.model).
+    Returns optimized params dict, the scaled noise vector, and the MLL
+    history."""
+    dt = xp.dtype
+    real = (jnp.arange(xp.shape[0]) < n_real).astype(dt)
+
+    theta0 = {"log_ls": jnp.log(jnp.asarray(init_params["lengthscale"], dt))}
+    if learn_signal:
+        theta0["log_sv"] = jnp.log(jnp.asarray(init_params["signal_variance"], dt))
+    if learn_noise:
+        theta0["log_noise_scale"] = jnp.zeros((), dt)
+
+    def unpack(theta):
+        params = {
+            "lengthscale": jnp.exp(theta["log_ls"]),
+            "signal_variance": (
+                jnp.exp(theta["log_sv"]) if learn_signal
+                else jnp.asarray(init_params["signal_variance"], dt)
+            ),
+        }
+        scale = jnp.exp(theta.get("log_noise_scale", jnp.zeros((), dt)))
+        noise = jnp.where(real > 0, noisep * scale, noisep)
+        return params, noise
+
+    def loss(theta):
+        params, noise = unpack(theta)
+        return -gpr.log_marginal_likelihood(kernel, xp, yp, noise, params)
+
+    if optimizer == "lbfgs":
+        opt = optax.lbfgs(learning_rate=None)
+    else:
+        opt = optax.adam(learning_rate)
+
+    vg = jax.jit(jax.value_and_grad(loss))
+
+    @jax.jit
+    def step(theta, opt_state):
+        val, g = jax.value_and_grad(loss)(theta)
+        updates, opt_state = opt.update(
+            g, opt_state, theta, value=val, grad=g, value_fn=loss
+        )
+        return optax.apply_updates(theta, updates), opt_state, val
+
+    theta = theta0
+    opt_state = opt.init(theta)
+    history = []
+    best_theta, best_val = theta, jnp.inf
+    for _ in range(steps):
+        theta, opt_state, val = step(theta, opt_state)
+        v = float(val)
+        history.append(-v)  # store MLL, not loss
+        if v < best_val:
+            best_theta, best_val = theta, v
+
+    params, noise = unpack(best_theta)
+    return HyperoptResult(
+        params={k: jnp.asarray(v) for k, v in params.items()},
+        noise=noise,
+        history=history,
+        mll=-float(best_val),
+    )

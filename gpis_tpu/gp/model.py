@@ -50,6 +50,10 @@ class GPModel:
     # --- metadata (static, part of the jit cache key) ---
     kernel: str = dataclasses.field(metadata=dict(static=True))
     n0: int = dataclasses.field(metadata=dict(static=True))  # initial-point boundary
+    # Optional precomputed (K + diag(noise))^{-1} (C, C): turns the variance
+    # path from a triangular solve into two pure GEMMs — the right trade for
+    # dense-grid queries (BASELINE config 4). None = use the solve path.
+    kinv: jax.Array | None = None
 
     @property
     def capacity(self) -> int:

@@ -21,6 +21,8 @@ All shapes are static; padding-row correctness is argued in
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -32,6 +34,7 @@ from gpis_tpu.linalg import cholesky as lin
 
 __all__ = [
     "fit",
+    "with_inverse",
     "fit_padded",
     "predict",
     "predict_mean",
@@ -66,14 +69,39 @@ def fit(
     pad_noise: float = 1e10,
     dtype=None,
     chol_impl=lin.cholesky,
+    max_jitter_retries: int = 6,
 ) -> GPModel:
     """Build a GPModel from (x, y, per-point noise). Host-facing entry: pads
-    to capacity then calls the jit-friendly `fit_padded`."""
+    to capacity then calls the jit-friendly `fit_padded`.
+
+    Auto-jitter: in float32 a dense, coherent cloud with tiny noise makes
+    K + diag(noise) numerically indefinite (lambda_min < n*eps*||K||; the
+    f32 hazard flagged in SURVEY.md §8) and the Cholesky factor comes back
+    NaN.  On failure the fit retries with escalating diagonal jitter starting
+    at 4*eps*n*k(0) — empirically the smallest rescue level on TPU f32 —
+    mirroring the reference's Eigen jitter semantics in dtype-aware form.
+    """
     dtype = dtype or x.dtype
     n0 = round_up(x.shape[0], block)
     capacity = n0 + round_up(touch_capacity, block)
     xp, yp, np_ = _pad_training(x, y, noise, capacity, pad_noise, dtype)
-    return fit_padded(kernel, xp, yp, np_, params, n0=n0, chol_impl=chol_impl)
+
+    from gpis_tpu.kernels import functions as kf_mod
+
+    eps = float(jnp.finfo(dtype).eps)
+    params_cast = {k: jnp.asarray(v, dtype) for k, v in params.items()}
+    k0 = float(kf_mod.k_diag0(kernel, params_cast))
+    jitter = 4.0 * eps * capacity * abs(k0)
+    extra = 0.0
+    for attempt in range(max_jitter_retries + 1):
+        model = fit_padded(kernel, xp, yp, np_ + extra, params, n0=n0, chol_impl=chol_impl)
+        if not bool(jnp.isnan(jnp.diagonal(model.chol)).any()):
+            return model
+        extra = jitter * (10.0**attempt)
+    raise FloatingPointError(
+        f"Cholesky failed even with jitter {extra:.2e}; the Gram matrix is "
+        f"numerically indefinite (try larger noise or float64)"
+    )
 
 
 def fit_padded(kernel, xp, yp, noisep, params, *, n0, chol_impl=lin.cholesky) -> GPModel:
@@ -95,19 +123,37 @@ def fit_padded(kernel, xp, yp, noisep, params, *, n0, chol_impl=lin.cholesky) ->
     )
 
 
-def predict(model: GPModel, q):
+def predict(model: GPModel, q, *, precision=jax.lax.Precision.HIGHEST):
     """Posterior mean and variance at queries q (M,3). Returns (mean, var).
 
     mean = K* alpha ;  var = k(0) - sum(v^2) with v = L^{-1} K*^T
-    (reference §4.2; the v-solve reuses the training factor)."""
+    (reference §4.2; the v-solve reuses the training factor).  When the model
+    carries a precomputed inverse (`with_inverse`), the variance uses
+    var = k(0) - sum(K* ⊙ (K* Kinv)) — two MXU GEMMs instead of a
+    triangular solve, the fast path for dense grids.
+
+    HIGHEST matmul precision by default: on TPU the default rounds f32
+    operands to bf16, which costs ~3 digits on the posterior."""
     kq = kg.cross_cov(model.kernel, q, model.x, model.params)  # (M, C)
-    mean = kq @ model.alpha
-    v = lin.solve_lower(model.chol, kq.T)  # (C, M)
-    var = kf.k_diag0(model.kernel, model.params) - jnp.sum(v * v, axis=0)
+    mean = jnp.dot(kq, model.alpha, precision=precision)
+    if model.kinv is not None:
+        t = jnp.dot(kq, model.kinv, precision=precision)  # (M, C) GEMM
+        quad = jnp.sum(kq * t, axis=1)
+    else:
+        v = lin.solve_lower(model.chol, kq.T)  # (C, M)
+        quad = jnp.sum(v * v, axis=0)
+    var = kf.k_diag0(model.kernel, model.params) - quad
     # Raw (unclamped) variance, matching the reference's Eigen math: the
     # conditionally-PD thin-plate kernel legitimately yields negative
     # "variance" values that exploration uses only relatively.
     return mean, var
+
+
+def with_inverse(model: GPModel) -> GPModel:
+    """Attach (K + diag(noise))^{-1} for the GEMM variance path. O(C^3) once;
+    amortized over any number of dense-grid queries."""
+    eye = jnp.eye(model.capacity, dtype=model.dtype)
+    return dataclasses.replace(model, kinv=lin.cho_solve(model.chol, eye))
 
 
 def predict_mean(model: GPModel, q):
@@ -135,6 +181,11 @@ def update(model: GPModel, new_x, new_y, new_noise) -> GPModel:
     if k_new > t:
         raise ValueError(f"touch batch {k_new} exceeds touch capacity {t}")
     dt = model.dtype
+
+    # Dtype-aware noise floor (same rationale as fit's auto-jitter: in f32 a
+    # touch noise of 1e-6 can make the trailing block indefinite).
+    floor = (4.0 * float(jnp.finfo(dt).eps) * c) * kf.k_diag0(model.kernel, model.params)
+    new_noise = jnp.maximum(jnp.asarray(new_noise, dt), floor.astype(dt))
 
     start = n0 + model.n_touch  # traced scalar
     zero = jnp.zeros((), start.dtype)

@@ -95,7 +95,7 @@ def k_diag0(name: str, params: Params):
     ls = params["lengthscale"]
     sv = params["signal_variance"]
     if name == "rbf" or name == "laplace":
-        return sv * jnp.ones(())
+        return jnp.asarray(sv)
     if name == "inverse_multiquadric":
         return sv / ls
     if name == "thin_plate":

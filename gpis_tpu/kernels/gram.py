@@ -38,9 +38,9 @@ def gram(name: str, x, params, noise=None):
     # Exact k(0) on the diagonal (thin-plate's r2=0 sqrt clamp is below fp
     # noise, but setting the diagonal explicitly keeps parity bit-clean).
     n = x.shape[0]
-    k = jnp.where(jnp.eye(n, dtype=bool), kf.k_diag0(name, params), k)
+    k = jnp.where(jnp.eye(n, dtype=bool), kf.k_diag0(name, params).astype(k.dtype), k)
     if noise is not None:
-        k = k + jnp.diag(jnp.broadcast_to(jnp.asarray(noise), (n,)))
+        k = k + jnp.diag(jnp.broadcast_to(jnp.asarray(noise, k.dtype), (n,)))
     return k
 
 
@@ -51,4 +51,4 @@ def cross_cov(name: str, q, x, params):
 
 def add_noise_diag(k, noise):
     n = k.shape[0]
-    return k + jnp.diag(jnp.broadcast_to(jnp.asarray(noise), (n,)))
+    return k + jnp.diag(jnp.broadcast_to(jnp.asarray(noise, k.dtype), (n,)))

@@ -1,0 +1,55 @@
+"""Dense query-grid posterior evaluation (BASELINE config 4; reference
+§4.2's isosurface-sampling path rebuilt as a batched matmul pipeline).
+
+The full res^3 x C cross-covariance can exceed VMEM/HBM budgets, so queries
+stream through the posterior in fixed-size chunks under `lax.map` — each
+chunk is one (chunk, C) @ (C,) mean GEMV plus a (C, chunk) triangular solve
+for variance, all MXU work with static shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gpis_tpu.gp import regression as gpr
+from gpis_tpu.gp.model import GPModel
+
+__all__ = ["make_grid", "evaluate_grid", "evaluate_points_chunked"]
+
+
+def make_grid(resolution: int, extent: float, dtype=jnp.float32):
+    """Cube grid of `resolution`^3 points spanning [-extent, extent]^3 in the
+    normalized frame. Returns (coords (R^3, 3), axis (R,))."""
+    axis = jnp.linspace(-extent, extent, resolution, dtype=dtype)
+    gx, gy, gz = jnp.meshgrid(axis, axis, axis, indexing="ij")
+    return jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1), axis
+
+
+def evaluate_points_chunked(model: GPModel, q, *, chunk: int = 8192, want_var: bool = True):
+    """Posterior mean (and variance) at (M,3) points, streamed in chunks.
+
+    M is padded up to a chunk multiple (padding queries are discarded), so
+    the jitted program has a single static chunk shape."""
+    m = q.shape[0]
+    n_chunks = -(-m // chunk)
+    pad = n_chunks * chunk - m
+    qp = jnp.pad(q, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+
+    if want_var:
+        mean, var = lax.map(lambda qc: gpr.predict(model, qc), qp)
+        return mean.ravel()[:m], var.ravel()[:m]
+    mean = lax.map(lambda qc: gpr.predict_mean(model, qc), qp)
+    return mean.ravel()[:m], None
+
+
+def evaluate_grid(model: GPModel, resolution: int, extent: float, *, chunk: int = 8192,
+                  want_var: bool = True):
+    """Dense grid evaluation. Returns (mean (R,R,R), var (R,R,R)|None, axis (R,))."""
+    coords, axis = make_grid(resolution, extent, dtype=model.dtype)
+    mean, var = evaluate_points_chunked(model, coords, chunk=chunk, want_var=want_var)
+    r = resolution
+    mean = mean.reshape(r, r, r)
+    var = var.reshape(r, r, r) if var is not None else None
+    return mean, var, axis

@@ -1,0 +1,73 @@
+"""Checkpoint / resume (SURVEY.md §6: the reference has none — its model
+dies with the node; the rebuild saves model state after every refit so
+recovery = reload + replay pending touches).
+
+NPZ format: all GPModel leaves plus static metadata. The Cholesky factor is
+included by default (fast resume, larger file) or recomputed on load with
+`save(..., factor=False)`.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpis_tpu.gp.model import GPModel
+
+__all__ = ["save_model", "load_model"]
+
+_FORMAT_VERSION = 1
+
+
+def save_model(path: str, model: GPModel, *, factor: bool = True) -> None:
+    meta = {
+        "format": _FORMAT_VERSION,
+        "kernel": model.kernel,
+        "n0": model.n0,
+        "dtype": str(np.dtype(model.dtype)),
+        "has_factor": bool(factor),
+    }
+    arrays = {
+        "x": np.asarray(model.x),
+        "y": np.asarray(model.y),
+        "noise": np.asarray(model.noise),
+        "alpha": np.asarray(model.alpha),
+        "n_touch": np.asarray(model.n_touch),
+        "param_lengthscale": np.asarray(model.params["lengthscale"]),
+        "param_signal_variance": np.asarray(model.params["signal_variance"]),
+    }
+    if factor:
+        arrays["chol"] = np.asarray(model.chol)
+    np.savez_compressed(path, meta=json.dumps(meta), **arrays)
+
+
+def load_model(path: str) -> GPModel:
+    d = np.load(path, allow_pickle=False)
+    meta = json.loads(str(d["meta"]))
+    if meta["format"] != _FORMAT_VERSION:
+        raise ValueError(f"unsupported checkpoint format {meta['format']}")
+    params = {
+        "lengthscale": jnp.asarray(d["param_lengthscale"]),
+        "signal_variance": jnp.asarray(d["param_signal_variance"]),
+    }
+    x = jnp.asarray(d["x"])
+    if meta["has_factor"]:
+        chol = jnp.asarray(d["chol"])
+    else:
+        from gpis_tpu.kernels import gram as kg
+        from gpis_tpu.linalg import cholesky as lin
+
+        chol = lin.cholesky(kg.gram(meta["kernel"], x, params, noise=jnp.asarray(d["noise"])))
+    return GPModel(
+        x=x,
+        y=jnp.asarray(d["y"]),
+        noise=jnp.asarray(d["noise"]),
+        params=params,
+        chol=chol,
+        alpha=jnp.asarray(d["alpha"]),
+        n_touch=jnp.asarray(d["n_touch"]),
+        kernel=meta["kernel"],
+        n0=int(meta["n0"]),
+    )

@@ -1,0 +1,80 @@
+"""C5/C6 exploration tests: atlas charts and the GPAtlasRRT planner on a
+partial sphere scan — the planner must route toward the unobserved region."""
+
+import numpy as np
+import pytest
+
+from gpis_tpu.config import ExploreConfig, ModelConfig
+from gpis_tpu.data import gpis, synthetic
+from gpis_tpu.explore import atlas, planner
+from gpis_tpu.gp import regression as gpr
+from gpis_tpu.kernels import functions as kf
+
+
+@pytest.fixture(scope="module")
+def partial_model():
+    """Upper-hemisphere scan: the south pole is terra incognita."""
+    pts, _ = synthetic.partial_sphere_cloud(250, radius=1.0, cap_cos=-0.2, seed=2)
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.7, noise_surface=1e-5)
+    ts = gpis.build_training_set(pts, cfg)
+    params = kf.kernel_params(cfg.lengthscale, cfg.signal_variance)
+    return gpr.fit(cfg.kernel, ts.x, ts.y, ts.noise, params, block=128, touch_capacity=128)
+
+
+def test_chart_construction(partial_model):
+    ecfg = ExploreConfig()
+    centers = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    charts = atlas.make_charts(partial_model, centers, ecfg, ids=[0, 1], parents=[-1, 0])
+    for c in charts:
+        # Orthonormal frame.
+        np.testing.assert_allclose(np.linalg.norm(c.normal), 1.0, atol=1e-6)
+        np.testing.assert_allclose(np.dot(c.u, c.v), 0.0, atol=1e-9)
+        np.testing.assert_allclose(np.dot(c.u, c.normal), 0.0, atol=1e-9)
+        assert ecfg.radius_min <= c.radius <= ecfg.radius_max
+    assert charts[1].parent == 0
+
+
+def test_disc_samples_on_boundary(partial_model):
+    ecfg = ExploreConfig(n_disc_samples=16)
+    (chart,) = atlas.make_charts(
+        partial_model, np.array([[0.0, 0.0, 1.0]]), ecfg, ids=[0], parents=[-1]
+    )
+    s = atlas.disc_samples(chart, 16)
+    d = np.linalg.norm(s - chart.center, axis=1)
+    np.testing.assert_allclose(d, chart.radius, atol=1e-9)
+    # All samples lie in the tangent plane.
+    np.testing.assert_allclose((s - chart.center) @ chart.normal, 0.0, atol=1e-9)
+
+
+@pytest.mark.parametrize("strategy", ["single_path", "multi_branch"])
+def test_next_best_path_seeks_unseen_region(partial_model, strategy):
+    ecfg = ExploreConfig(
+        variance_threshold=0.3, max_charts=40, n_disc_samples=16, strategy=strategy
+    )
+    res = planner.next_best_path(
+        partial_model, ecfg, seed_point=np.array([0.0, 0.0, 1.0])
+    )
+    assert len(res.path) >= 2
+    # The path should descend toward the unscanned south: end lower than start.
+    assert res.path[-1][2] < res.path[0][2]
+    # Variance grows along the exploration target.
+    assert res.target_variance > res.charts[0].variance
+    # Path poses carry unit normals.
+    np.testing.assert_allclose(np.linalg.norm(res.normals, axis=1), 1.0, atol=1e-5)
+
+
+def test_termination_on_complete_model():
+    """A fully-scanned sphere should report done (variance below threshold)."""
+    pts = gpis.fibonacci_sphere(400, radius=1.0)
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.7, noise_surface=1e-5)
+    ts = gpis.build_training_set(pts, cfg)
+    params = kf.kernel_params(cfg.lengthscale, cfg.signal_variance)
+    model = gpr.fit(cfg.kernel, ts.x, ts.y, ts.noise, params, block=128, touch_capacity=128)
+    ecfg = ExploreConfig(variance_threshold=0.05)
+    probes = gpis.fibonacci_sphere(128, radius=1.0)
+    assert planner.is_done(model, ecfg, probes)
+    # And an under-scanned model is not done.
+    pts2, _ = synthetic.partial_sphere_cloud(100, radius=1.0, cap_cos=0.3, seed=1)
+    ts2 = gpis.build_training_set(pts2, cfg)
+    m2 = gpr.fit(cfg.kernel, ts2.x, ts2.y, ts2.noise, params, block=64, touch_capacity=64)
+    assert not planner.is_done(m2, ecfg, probes)

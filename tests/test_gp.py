@@ -128,3 +128,15 @@ def test_gp_properties(rng):
     mean, var = gpr.predict(model, x)
     np.testing.assert_allclose(mean, y, atol=1e-4)
     assert np.all(np.asarray(var) >= -1e-9)  # PD kernel: nonneg up to roundoff
+
+
+def test_kinv_variance_path_matches_solve(rng):
+    """GEMM variance path (with_inverse) == triangular-solve path."""
+    x, y, noise, params, _ = _fixture(rng, n=50)
+    model = gpr.fit("rbf", x, y, noise, params, block=64, touch_capacity=64)
+    mi = gpr.with_inverse(model)
+    q = jnp.asarray(rng.normal(size=(30, 3)))
+    m1, v1 = gpr.predict(model, q)
+    m2, v2 = gpr.predict(mi, q)
+    np.testing.assert_allclose(m2, m1, atol=1e-10)
+    np.testing.assert_allclose(v2, v1, atol=1e-8)

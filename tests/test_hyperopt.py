@@ -1,0 +1,56 @@
+"""Config-3 tests: MLL hyperparameter optimization recovers sane
+hyperparameters and improves the MLL (SURVEY.md §8 step 6)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from gpis_tpu.data import gpis
+from gpis_tpu.gp import hyperopt as ho
+from gpis_tpu.gp import regression as gpr
+from gpis_tpu.kernels import functions as kf
+
+
+def _padded_gp_sample(rng, n=60, true_ls=0.6):
+    """Sample y from a GP with known lengthscale so the optimum is known."""
+    x = rng.normal(size=(n, 3))
+    k = oracle.gram("rbf", x, true_ls, 1.0, noise=1e-4)
+    y = np.linalg.cholesky(k) @ rng.normal(size=n)
+    xp, yp, np_ = gpr._pad_training(
+        jnp.asarray(x), jnp.asarray(y), jnp.full(n, 1e-4), 128, 1e10, jnp.float64
+    )
+    return xp, yp, np_, n
+
+
+def test_optimize_improves_mll(rng):
+    xp, yp, np_, n = _padded_gp_sample(rng)
+    init = kf.kernel_params(2.5, 1.0)  # deliberately bad lengthscale
+    mll0 = float(gpr.log_marginal_likelihood("rbf", xp, yp, np_, init))
+    res = ho.optimize("rbf", xp, yp, np_, init, n_real=n, steps=80)
+    assert res.mll > mll0 + 1.0
+    # Recovered lengthscale within a factor ~1.6 of truth (small-n statistics).
+    ls = float(res.params["lengthscale"])
+    assert 0.37 < ls < 1.0, f"lengthscale {ls} not near 0.6"
+    # History is monotone-ish: best value improves over the run.
+    assert max(res.history) >= res.mll - 1e-9
+
+
+def test_optimize_learns_noise(rng):
+    xp, yp, np_, n = _padded_gp_sample(rng)
+    init = kf.kernel_params(0.6, 1.0)
+    res = ho.optimize("rbf", xp, yp, np_, init, n_real=n, steps=60,
+                      learn_noise=True)
+    # Padding rows keep their huge noise.
+    assert float(res.noise[-1]) == pytest.approx(1e10)
+    # Real rows were rescaled by a positive factor.
+    assert float(res.noise[0]) > 0
+
+
+def test_optimize_lbfgs(rng):
+    xp, yp, np_, n = _padded_gp_sample(rng)
+    init = kf.kernel_params(2.0, 1.0)
+    res = ho.optimize("rbf", xp, yp, np_, init, n_real=n, steps=40,
+                      optimizer="lbfgs", learn_noise=False)
+    mll0 = float(gpr.log_marginal_likelihood("rbf", xp, yp, np_, init))
+    assert res.mll >= mll0

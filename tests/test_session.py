@@ -1,0 +1,126 @@
+"""C7/C8 session + service tests: the full reference service loop
+(start -> query -> next_best_path -> update -> done) plus checkpointing and
+the HTTP shim."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from gpis_tpu.api.session import ObjectModelSession
+from gpis_tpu.config import ExploreConfig, ModelConfig
+from gpis_tpu.data import gpis, synthetic
+
+
+@pytest.fixture()
+def session():
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.7, noise_surface=1e-5,
+                      n_external=32, touch_capacity=128, block=64)
+    ecfg = ExploreConfig(max_charts=20, n_disc_samples=12, variance_threshold=0.3)
+    return ObjectModelSession(cfg, ecfg)
+
+
+def test_start_query_world_frame(session):
+    # Off-center, scaled object: session must handle frames transparently.
+    center, radius = np.array([2.0, -1.0, 0.5]), 0.3
+    pts = gpis.fibonacci_sphere(200, radius=radius) + center
+    session.start(pts)
+    mean, var = session.query(np.array([
+        center,                              # inside
+        center + [radius, 0, 0],             # on surface
+        center + [1.7 * radius, 0, 0],       # outside, inside the +1 shell
+        center + [2.0, 0, 0],                # far: reverts to the 0 prior
+    ]))
+    assert mean[0] < -0.5  # inside
+    assert abs(mean[1]) < 0.05  # on surface
+    assert mean[2] > 0.2  # outside
+    assert abs(mean[3]) < 0.05 and var[3] > var[1]  # prior reversion far away
+
+
+def test_empty_cloud_raises(session):
+    with pytest.raises(ValueError, match="non-empty"):
+        session.start(np.zeros((0, 3)))
+    with pytest.raises(RuntimeError, match="start"):
+        session.query(np.zeros((1, 3)))
+
+
+def test_update_loop_reduces_uncertainty():
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.7, noise_surface=1e-5,
+                      n_external=32, touch_capacity=128, block=64)
+    ecfg = ExploreConfig(max_charts=20, n_disc_samples=12, variance_threshold=0.02)
+    session = ObjectModelSession(cfg, ecfg)
+    pts, _ = synthetic.partial_sphere_cloud(150, radius=0.5, cap_cos=0.0, seed=4)
+    session.start(pts)
+    assert not session.is_done()
+    res = session.next_best_path()
+    assert len(res.path) >= 2
+    # "Touch" along the path: accept the planner's world-frame poses as
+    # contacts on the true sphere (project to radius 0.5 like a real finger).
+    touches = res.path / np.linalg.norm(res.path, axis=1, keepdims=True) * 0.5
+    _, var_before = session.query(touches)
+    session.update(touches)
+    _, var_after = session.query(touches)
+    assert np.all(var_after < var_before)
+
+
+def test_extract_surface_world_frame(session):
+    center, radius = np.array([1.0, 2.0, 3.0]), 0.4
+    pts = gpis.fibonacci_sphere(250, radius=radius) + center
+    session.start(pts)
+    verts, faces, var = session.extract_surface(resolution=32, extent=1.4)
+    assert len(verts) > 300
+    r = np.linalg.norm(verts - center, axis=1)
+    assert abs(np.mean(r) - radius) < 0.02
+    assert np.all(var >= -1e-9)
+
+
+def test_checkpoint_roundtrip(tmp_path, session):
+    pts = gpis.fibonacci_sphere(100, radius=0.7)
+    session.start(pts)
+    q = np.array([[0.0, 0.0, 0.0], [0.7, 0.0, 0.0]])
+    m1, v1 = session.query(q)
+    p = str(tmp_path / "model.npz")
+    session.save(p)
+    sess2 = ObjectModelSession.load(p)
+    m2, v2 = sess2.query(q)
+    np.testing.assert_allclose(m1, m2, atol=1e-12)
+    np.testing.assert_allclose(v1, v2, atol=1e-12)
+
+
+def test_http_service(session):
+    from gpis_tpu.api.service import make_server
+
+    srv = make_server(session, port=0)  # ephemeral port
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def call(path, payload=None):
+            url = f"http://127.0.0.1:{port}{path}"
+            if payload is None:
+                with urllib.request.urlopen(url, timeout=30) as r:
+                    return json.loads(r.read())
+            req = urllib.request.Request(
+                url, json.dumps(payload).encode(), {"Content-Type": "application/json"}
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return json.loads(r.read())
+
+        assert call("/health")["ok"]
+        pts = gpis.fibonacci_sphere(80, radius=0.5).tolist()
+        assert call("/start", {"points": pts})["ok"]
+        out = call("/query", {"points": [[0.0, 0.0, 0.0]]})
+        assert out["mean"][0] < -0.5
+        out = call("/update", {"points": [[0.5, 0.0, 0.0]]})
+        assert out["n_touch"] == 1
+        # Error path: malformed body -> 400 with an error message.
+        try:
+            call("/query", {"wrong_key": 1})
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
+    finally:
+        srv.shutdown()
