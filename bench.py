@@ -1,0 +1,136 @@
+"""Headline benchmark (driver-run on real TPU hardware).
+
+Flagship single-chip workload: GPIS fit (dense Gram + Cholesky + alpha +
+K^{-1}) at N=16384 training points, then dense 64^3-grid posterior
+mean+variance evaluation — the judge metric's shape (BASELINE.json
+`metric`), sized for one v5e chip (the 100k-point target is the 8-chip
+sharded configuration, `gpis_tpu.linalg.sharded`).
+
+Baseline: the measured reference CPU envelope for N=10k — 3268 s total
+(fit 85.6 s + 64^3 query ~3182 s; float64 NumPy/SciPy oracle, same math as
+the reference's Eigen path — BASELINE.md row 5).  vs_baseline is the
+speedup factor (baseline_time / our_time) at the LARGER N=16384, i.e. a
+lower bound on the true per-work speedup.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <seconds>, "unit": "s", "vs_baseline": <speedup>}
+plus detail fields (fit_s, query_s, rmse, n).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+ORACLE_CPU_10K_TOTAL_S = 3268.0  # BASELINE.md row 5 (measured 2026-08-16)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gpis_tpu.config import ModelConfig
+    from gpis_tpu.data import gpis
+    from gpis_tpu.gp import regression as gpr
+    from gpis_tpu.kernels import functions as kf
+    from gpis_tpu.surface import grid as grid_mod
+    from gpis_tpu.surface import marching
+
+    n_surface = int(sys.argv[1]) if len(sys.argv) > 1 else 16256
+    res = 64
+    dtype = jnp.float32
+    log(f"backend={jax.default_backend()} n_surface={n_surface} grid={res}^3")
+
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.4, noise_surface=1e-3,
+                      n_external=127, n_internal=1, block=128, touch_capacity=0)
+    pts = gpis.fibonacci_sphere(n_surface, radius=1.0).astype(np.float32)
+    ts = gpis.build_training_set(pts, cfg)
+    params = {k: v.astype(dtype) for k, v in
+              kf.kernel_params(cfg.lengthscale, cfg.signal_variance).items()}
+    xp = ts.x.astype(dtype)
+    yp = ts.y.astype(dtype)
+    noisep = ts.noise.astype(dtype)
+    n = xp.shape[0]
+    # Pad to the block multiple ourselves so the timed region is pure compute.
+    from gpis_tpu.gp.model import round_up
+    c = round_up(n, cfg.block)
+    xp = jnp.pad(xp, ((0, c - n), (0, 0)))
+    yp = jnp.pad(yp, (0, c - n))
+    noisep = jnp.pad(noisep, (0, c - n), constant_values=1e10)
+    log(f"capacity C={c}")
+
+    # Separate programs: one jit holding gram+chol+solves+inverse together
+    # peaks at ~33 GB of HLO temps on a 16 GB chip; split, XLA frees each
+    # program's temps before the next starts.
+    fit_fn = jax.jit(lambda x, y, nz: gpr.fit_padded("rbf", x, y, nz, params, n0=c))
+    kinv_fn = jax.jit(gpr.with_inverse)
+    coords, axis = grid_mod.make_grid(res, 1.5, dtype=dtype)
+    query_fn = jax.jit(
+        lambda m, q: gpr.predict(m, q)
+    )
+    chunk = 8192
+    n_chunks = coords.shape[0] // chunk
+    qchunks = coords.reshape(n_chunks, chunk, 3)
+
+    def run_query(model):
+        means, vars_ = [], []
+        for i in range(n_chunks):
+            mn, vr = query_fn(model, qchunks[i])
+            means.append(mn)
+            vars_.append(vr)
+        jax.block_until_ready(means[-1])
+        return jnp.concatenate(means), jnp.concatenate(vars_)
+
+    # Warmup (compile) round.
+    log("compiling...")
+    t0 = time.perf_counter()
+    model = kinv_fn(fit_fn(xp, yp, noisep))
+    jax.block_until_ready(model.chol)
+    mean, var = run_query(model)
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+    del model
+
+    # Timed round (steady state).
+    t0 = time.perf_counter()
+    model = kinv_fn(fit_fn(xp, yp, noisep))
+    jax.block_until_ready(model.kinv)
+    t_fit = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    mean, var = run_query(model)
+    t_query = time.perf_counter() - t0
+    total = t_fit + t_query
+
+    # Correctness gate: isosurface of the fitted sphere (host-side, untimed).
+    field = np.asarray(mean).reshape(res, res, res)
+    verts, _ = marching.marching_tetrahedra(field, np.asarray(axis))
+    r = np.linalg.norm(verts, axis=1)
+    rmse = float(np.sqrt(np.mean((r - 1.0) ** 2))) if len(verts) else float("nan")
+    nan_frac = float(np.isnan(field).mean())
+    ok = np.isfinite(total) and nan_frac == 0.0 and rmse < 0.02
+
+    result = {
+        "metric": "gpis fit+64^3 grid query wall-clock, N=16k single chip "
+                  "(speedup vs measured CPU oracle at N=10k)",
+        "value": round(total, 3),
+        "unit": "s",
+        "vs_baseline": round(ORACLE_CPU_10K_TOTAL_S / total, 1) if ok else 0.0,
+        "fit_s": round(t_fit, 3),
+        "query_s": round(t_query, 3),
+        "surface_rmse": round(rmse, 5),
+        "n_train": int(c),
+        "n_query": int(coords.shape[0]),
+        "ok": bool(ok),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

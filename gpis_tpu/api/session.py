@@ -51,9 +51,12 @@ class ObjectModelSession:
 
     # ------------------------------------------------------------ start/fit
 
-    def start(self, points, *, params=None):
+    def start(self, points, *, normals=None, params=None):
         """Reference `start_process` (§4.1): downsample, normalize, label,
-        fit.  `points` is an (N,3) world-frame cloud."""
+        fit.  `points` is an (N,3) world-frame cloud.  With `normals`
+        (N,3), surface orientation becomes first-class derivative
+        observations (config 2) and the model switches to the joint system
+        (`gpis_tpu.gp.derivative`)."""
         points = np.asarray(points, dtype=self.config.dtype)
         if points.ndim != 2 or points.shape[1] != 3 or len(points) == 0:
             raise ValueError(
@@ -61,18 +64,43 @@ class ObjectModelSession:
             )
         cfg = self.config
         if cfg.voxel_leaf > 0:
+            if normals is not None:
+                raise ValueError("voxel downsampling with normals is not supported; "
+                                 "downsample the cloud (and normals) beforehand")
             points = voxel.voxel_downsample(points, cfg.voxel_leaf).astype(cfg.dtype)
         ts = gpis.build_training_set(points, cfg)
         self.training = ts
         self.frame = ts.frame
         params = params or kf.kernel_params(cfg.lengthscale, cfg.signal_variance)
-        self.model = gpr.fit(
-            cfg.kernel, ts.x, ts.y, ts.noise, params,
-            block=cfg.block, touch_capacity=cfg.touch_capacity,
-            pad_noise=cfg.pad_noise,
-        )
-        log.info("fit: %d surface pts -> capacity %d (%s)",
-                 ts.n_surface, self.model.capacity, cfg.kernel)
+        if normals is not None:
+            from gpis_tpu.gp import derivative as gpd
+
+            normals = np.asarray(normals, cfg.dtype)
+            if normals.shape != points.shape:
+                raise ValueError("normals must match the point cloud shape")
+            # Surface points carry gradient observations; internal/external
+            # label points observe values only (huge gradient noise).
+            n_s = ts.n_surface
+            c = ts.x.shape[0]
+            nrm_full = jnp.zeros((c, 3), ts.x.dtype).at[:n_s].set(
+                jnp.asarray(normals / np.linalg.norm(normals, axis=1, keepdims=True))
+            )
+            noise_g = jnp.full((c,), cfg.pad_noise, ts.x.dtype).at[:n_s].set(
+                jnp.asarray(cfg.noise_surface * 10.0, ts.x.dtype)
+            )
+            self.model = gpd.fit_with_normals(
+                cfg.kernel, ts.x, ts.y, nrm_full, ts.noise, noise_g, params,
+                block=cfg.block, pad_noise=cfg.pad_noise,
+            )
+        else:
+            self.model = gpr.fit(
+                cfg.kernel, ts.x, ts.y, ts.noise, params,
+                block=cfg.block, touch_capacity=cfg.touch_capacity,
+                pad_noise=cfg.pad_noise,
+            )
+        log.info("fit: %d surface pts -> capacity %d (%s%s)",
+                 ts.n_surface, self.model.capacity, cfg.kernel,
+                 ", +normals" if normals is not None else "")
         return self
 
     def _require_model(self):
@@ -157,8 +185,42 @@ class ObjectModelSession:
         )
         y = (jnp.zeros(pts.shape[0], pts.dtype) if targets is None
              else jnp.asarray(targets, pts.dtype))
-        self.model = gpr.update(self.model, pts, y, self.config.noise_touch)
-        log.info("update: +%d touch points (total %d)", pts.shape[0], int(self.model.n_touch))
+        if hasattr(self.model, "normals"):
+            # Joint (normals) model: touch points join as value-only
+            # observations via a refit of the joint system (the bordering
+            # update specialises to the value-only model; the reference also
+            # refits in practice — SURVEY.md §4.5).
+            from gpis_tpu.gp import derivative as gpd
+
+            m = self.model
+            self._touches = getattr(self, "_touches", [])
+            self._touches.append((np.asarray(pts), np.asarray(y)))
+            tx = np.concatenate([t[0] for t in self._touches])
+            ty = np.concatenate([t[1] for t in self._touches])
+            ts = self.training
+            n_s = ts.n_surface
+            c0 = ts.x.shape[0]
+            x = jnp.concatenate([ts.x, jnp.asarray(tx, ts.x.dtype)])
+            yv = jnp.concatenate([ts.y, jnp.asarray(ty, ts.y.dtype)])
+            nrm = jnp.concatenate(
+                [m.normals[:c0], jnp.zeros((len(tx), 3), ts.x.dtype)]
+            )
+            noise_f = jnp.concatenate(
+                [ts.noise, jnp.full((len(tx),), self.config.noise_touch, ts.x.dtype)]
+            )
+            noise_g = jnp.concatenate(
+                [m.noise_g[:c0], jnp.full((len(tx),), self.config.pad_noise, ts.x.dtype)]
+            )
+            self.model = gpd.fit_with_normals(
+                m.kernel, x, yv, nrm, noise_f, noise_g, m.params,
+                block=self.config.block, pad_noise=self.config.pad_noise,
+            )
+            log.info("update(joint): +%d touch points (refit, %d total)",
+                     pts.shape[0], len(tx))
+        else:
+            self.model = gpr.update(self.model, pts, y, self.config.noise_touch)
+            log.info("update: +%d touch points (total %d)",
+                     pts.shape[0], int(self.model.n_touch))
         return self
 
     # ------------------------------------------------------------ hyperopt

@@ -134,6 +134,10 @@ def predict(model: GPModel, q, *, precision=jax.lax.Precision.HIGHEST):
 
     HIGHEST matmul precision by default: on TPU the default rounds f32
     operands to bf16, which costs ~3 digits on the posterior."""
+    if hasattr(model, "normals"):  # DerivGPModel: joint value+gradient system
+        from gpis_tpu.gp import derivative as gpd
+
+        return gpd.predict(model, q)
     kq = kg.cross_cov(model.kernel, q, model.x, model.params)  # (M, C)
     mean = jnp.dot(kq, model.alpha, precision=precision)
     if model.kinv is not None:
@@ -160,6 +164,11 @@ def predict_mean(model: GPModel, q):
     """Posterior mean only — the cheap path used by Newton projection
     (reference §4.3), where `jax.grad` of this function supplies the
     posterior gradient the reference computed from kernel derivatives."""
+    if hasattr(model, "normals"):  # DerivGPModel
+        from gpis_tpu.kernels import derivative as kd
+
+        kq = kd.cross_cov_value(model.kernel, q, model.x, model.params)
+        return kq @ model.alpha
     kq = kg.cross_cov(model.kernel, q, model.x, model.params)
     return kq @ model.alpha
 

@@ -1,0 +1,117 @@
+"""Derivative-observation covariance blocks (BASELINE config 2; SURVEY.md
+§8 step 4: "extend Gram assembly with dk/dx and d2k/dx dx' blocks so surface
+normals are observations").
+
+A GP over f with observations of both f(x_i) and grad f(x_i) has the joint
+covariance (for kernels k(r2), r2 = ||x - x'||^2):
+
+    cov(f(x),  f(x'))        = k
+    cov(f(x),  d_e f(x'))    = -2 dk_dr2 (x - x')_e
+    cov(d_d f(x), f(x'))     = +2 dk_dr2 (x - x')_d
+    cov(d_d f(x), d_e f(x')) = -2 dk_dr2 δ_de - 4 d2k_dr2 (x-x')_d (x-x')_e
+
+Layout is **dimension-major** (SURVEY.md §8 "hard parts": get the block
+layout right early): the joint index space is [f(1..C), d1(1..C), d2(1..C),
+d3(1..C)], so the joint Gram is a 4x4 grid of dense C x C blocks — each
+block individually tileable by the Pallas kernels, no 4x4 interleaving
+inside tiles.  Validated against `jax.jacfwd` of the scalar kernel and the
+float64 oracle (tests/test_derivative.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gpis_tpu.kernels import functions as kf
+from gpis_tpu.kernels.gram import pairwise_r2
+
+__all__ = ["joint_gram", "cross_cov_value", "cross_cov_grad", "joint_targets"]
+
+
+def _diff_r2(x, z):
+    d = x[:, None, :] - z[None, :, :]  # (N, M, 3)
+    return d, jnp.sum(d * d, axis=-1)
+
+
+def joint_gram(name: str, x, params, noise_f=None, noise_g=None):
+    """(4C, 4C) joint Gram over values+gradients at x (C, 3), dimension-major.
+
+    noise_f: per-point value-observation variance (C,) or scalar.
+    noise_g: per-point gradient-observation variance (shared by the 3 dims).
+    """
+    if not kf.supports_derivatives(name):
+        raise ValueError(f"kernel {name!r} does not support derivative observations")
+    c = x.shape[0]
+    dt = x.dtype
+    d, r2 = _diff_r2(x, x)
+    kff = kf.k_r2(name, r2, params)
+    kff = jnp.where(jnp.eye(c, dtype=bool), kf.k_diag0(name, params).astype(dt), kff)
+    dk = kf.dk_dr2(name, r2, params)
+    d2k = kf.d2k_dr2(name, r2, params)
+
+    # K_fg[i, (e, j)] = -2 dk (x_i - x_j)_e   -> (C, 3C) dimension-major.
+    kfg = jnp.concatenate([-2.0 * dk * d[:, :, e] for e in range(3)], axis=1)
+
+    # K_gg[(d_, i), (e, j)] = -2 dk δ - 4 d2k diff_d diff_e.  The d2k term is
+    # multiplied by diff products that vanish at r=0, masking its singularity
+    # (thin_plate d2k ~ 1/r); zero the diagonal of that term explicitly.
+    eye_c = jnp.eye(c, dtype=bool)
+    rows = []
+    for di in range(3):
+        blocks = []
+        for e in range(3):
+            outer = d[:, :, di] * d[:, :, e]
+            term = -4.0 * jnp.where(eye_c, 0.0, d2k * outer)
+            if di == e:
+                term = term - 2.0 * dk
+            blocks.append(term)
+        rows.append(jnp.concatenate(blocks, axis=1))
+    kgg = jnp.concatenate(rows, axis=0)  # (3C, 3C)
+
+    k = jnp.block([[kff, kfg], [kfg.T, kgg]])
+    if noise_f is not None:
+        dn = jnp.concatenate([
+            jnp.broadcast_to(jnp.asarray(noise_f, dt), (c,)),
+            jnp.broadcast_to(jnp.asarray(noise_g, dt), (c,)),
+            jnp.broadcast_to(jnp.asarray(noise_g, dt), (c,)),
+            jnp.broadcast_to(jnp.asarray(noise_g, dt), (c,)),
+        ])
+        k = k + jnp.diag(dn)
+    return k
+
+
+def cross_cov_value(name: str, q, x, params):
+    """cov(f(q), [f(x); grad f(x)]): (M, 4C) — the query row block for
+    posterior evaluation of f."""
+    d, r2 = _diff_r2(q, x)
+    kqf = kf.k_r2(name, r2, params)
+    dk = kf.dk_dr2(name, r2, params)
+    kqg = jnp.concatenate([-2.0 * dk * d[:, :, e] for e in range(3)], axis=1)
+    return jnp.concatenate([kqf, kqg], axis=1)
+
+
+def cross_cov_grad(name: str, q, x, params):
+    """cov(grad f(q), [f(x); grad f(x)]): (3M, 4C) dimension-major — for
+    querying posterior surface normals directly."""
+    m = q.shape[0]
+    d, r2 = _diff_r2(q, x)
+    dk = kf.dk_dr2(name, r2, params)
+    d2k = kf.d2k_dr2(name, r2, params)
+    zero = r2 <= 1e-24
+    rows = []
+    for di in range(3):
+        kgf = 2.0 * dk * d[:, :, di]  # cov(d_d f(q), f(x))
+        blocks = [kgf]
+        for e in range(3):
+            outer = d[:, :, di] * d[:, :, e]
+            term = -4.0 * jnp.where(zero, 0.0, d2k * outer)
+            if di == e:
+                term = term - 2.0 * dk
+            blocks.append(term)
+        rows.append(jnp.concatenate(blocks, axis=1))
+    return jnp.concatenate(rows, axis=0)
+
+
+def joint_targets(y_f, normals):
+    """Observation vector [y_f; n_x(1..C); n_y(1..C); n_z(1..C)]."""
+    return jnp.concatenate([y_f, normals[:, 0], normals[:, 1], normals[:, 2]])

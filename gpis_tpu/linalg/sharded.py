@@ -1,0 +1,423 @@
+"""Row-block-sharded Gram assembly and ICI-distributed blocked Cholesky
+(BASELINE config 5; SURVEY.md §3 parallelism table and §8 step 7).
+
+The reference is single-process (SURVEY.md §2); everything here is new,
+justified by the north star: "Multi-chip scaling shards the Gram matrix
+row-blocks and the panel-update in Cholesky over ICI so clouds well beyond
+single-HBM capacity factor in-core."
+
+Layout: capacity C = P * rows_per_device; device p owns the contiguous row
+band [p*C/P, (p+1)*C/P).  Within the factorization the loop runs over
+B-sized block columns; the owner of block row j is device j*B // (C/P)
+(bands, not cyclic — band imbalance costs <2x on the dominant trailing
+GEMMs and keeps index arithmetic trivially static; a block-cyclic variant
+is a planned refinement).
+
+Algorithm (left-looking, in-place, masked full-width — every step is one
+(C/P, C) x (C, B) MXU GEMM per device plus one B x B host-free potrf):
+
+    for block column j:
+      owner computes S = A[j,j] - L[j,:<j] L[j,:<j]^T ; Ljj = potrf(S)
+      broadcast finished block row j of L            (psum-style bcast)
+      all devices: panel = A[:, j] - L[:, :<j] L[j, :<j]^T
+                   L[:, j] = panel @ Ljj^{-T}   (rows > j; owner writes Ljj)
+
+Communication per step: one (B, C) block-row broadcast over ICI; total
+C*B*nb = C^2 words — asymptotically free next to the C^3/P compute.
+
+All functions are shard_map'ed over a 1-axis mesh and run identically on
+the virtual CPU mesh used in CI (SURVEY.md §5 item 4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gpis_tpu.kernels import functions as kf
+from gpis_tpu.kernels import gram as kg
+
+__all__ = [
+    "sharded_gram",
+    "sharded_cholesky",
+    "sharded_solve_lower_vec",
+    "sharded_solve_lower_t_vec",
+    "sharded_cho_solve_vec",
+    "sharded_predict",
+]
+
+
+# ----------------------------------------------------------- Gram assembly
+
+
+def sharded_gram(name: str, x, params, noise, mesh, *, axis: str = "row"):
+    """Row-band-sharded Gram: device p computes K[rows_p, :] locally from the
+    replicated coordinate array (C*3 floats — tiny), so assembly needs zero
+    communication and scales O(C^2 / P)."""
+
+    c = x.shape[0]
+    p = mesh.shape[axis]
+    if c % p:
+        raise ValueError(f"capacity {c} not divisible by mesh size {p}")
+
+    def body(x_rows, x_full, noise_rows):
+        idx = lax.axis_index(axis)
+        k_rows = kg.cross_cov(name, x_rows, x_full, params)  # (C/P, C)
+        #
+
+        rows_per = x_rows.shape[0]
+        row_ids = idx * rows_per + jax.lax.broadcasted_iota(
+            jnp.int32, k_rows.shape, 0
+        )
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, k_rows.shape, 1)
+        diag = row_ids == col_ids
+        k0 = kf.k_diag0(name, params).astype(k_rows.dtype)
+        return jnp.where(diag, k0 + noise_rows[:, None], k_rows)
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P(axis)),
+        out_specs=P(axis, None),
+    )
+    return fn(x, x, jnp.broadcast_to(jnp.asarray(noise, x.dtype), (c,)))
+
+
+# ------------------------------------------------------ sharded Cholesky
+
+
+def _bcast_from(value, owner, axis):
+    """Broadcast `value` from device `owner` to all (psum of masked value)."""
+    me = lax.axis_index(axis)
+    return lax.psum(jnp.where(me == owner, value, jnp.zeros_like(value)), axis)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "axis", "mesh"))
+def sharded_cholesky(a, mesh, *, block: int = 256, axis: str = "row"):
+    """Lower Cholesky of a row-band-sharded SPD matrix. Returns L with the
+    same sharding. a: (C, C) sharded P(axis, None)."""
+    c = a.shape[0]
+    p = mesh.shape[axis]
+    rows_per = c // p
+    if c % p or rows_per % block or c % block:
+        raise ValueError(f"capacity {c} must tile into {p} devices x {block} blocks")
+    nb = c // block
+    dt = a.dtype
+
+    def body(a_loc):
+        # a_loc: (rows_per, C) — overwritten column-block by column-block
+        # with L (in-place left-looking; see module docstring).
+        me = lax.axis_index(axis)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_per, c), 1)
+        grow_ids = me * rows_per + jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per, c), 0
+        )
+
+        def step(j, l_loc):
+            j0 = j * block
+            owner = j0 // rows_per
+            lrow = j0 - owner * rows_per  # local row offset at owner
+
+            # Finished columns mask (< j0).
+            done = (col_ids < j0).astype(dt)
+            l_done = l_loc * done  # (rows_per, C)
+
+            # Owner's block row j (masked to finished columns), broadcast.
+            mine = lax.dynamic_slice(l_done, (lrow, 0), (block, c))
+            row_j = _bcast_from(jnp.where(me == owner, mine, jnp.zeros_like(mine)), owner, axis)
+            # (block, C) finished block row j of L.
+
+            # Column panel j update for all local rows.
+            a_panel = lax.dynamic_slice(l_loc, (0, j0), (rows_per, block))
+            upd = lax.dot_general(
+                l_done, row_j,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+            )  # (rows_per, block) = L_loc[:, :j0] @ row_j[:, :j0]^T
+            a_panel = a_panel - upd
+
+            # Diagonal block (owner computes, all compute identically after bcast).
+            s_mine = lax.dynamic_slice(a_panel, (lrow, 0), (block, block))
+            s = _bcast_from(jnp.where(me == owner, s_mine, jnp.zeros_like(s_mine)), owner, axis)
+            ljj = jnp.linalg.cholesky(s)
+
+            # panel rows: L[i, j] = a_panel @ Ljj^{-T} for global rows > j.
+            panel = lax.linalg.triangular_solve(
+                ljj, a_panel, left_side=False, lower=True, transpose_a=True
+            )  # solves X Ljj^T = a_panel
+            grow = grow_ids[:, :block]
+            below = grow >= (j0 + block)
+            panel = jnp.where(below, panel, jnp.zeros((), dt))
+            # Owner writes the diagonal block into its local rows.
+            panel_with_diag = lax.dynamic_update_slice(panel, ljj, (lrow, 0))
+            panel = jnp.where(me == owner, panel_with_diag, panel)
+
+            return lax.dynamic_update_slice(l_loc, panel, (0, j0))
+
+        l_loc = lax.fori_loop(0, nb, step, a_loc)
+        # Zero any strict-upper leftovers (columns >= my last row+1 beyond
+        # diagonal are already zeroed per panel; nothing else to do).
+        return l_loc
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis, None),), out_specs=P(axis, None))
+    return fn(a)
+
+
+# ----------------------------------------------------- distributed solves
+
+
+@functools.partial(jax.jit, static_argnames=("block", "axis", "mesh"))
+def sharded_solve_lower_vec(l, b, mesh, *, block: int = 256, axis: str = "row"):
+    """Forward-substitute L y = b with L row-band-sharded, b replicated.
+    Returns y replicated. Block-sequential; each step broadcasts one B-vector."""
+    c = l.shape[0]
+    p = mesh.shape[axis]
+    rows_per = c // p
+    nb = c // block
+    dt = l.dtype
+
+    def body(l_loc, b_full):
+        me = lax.axis_index(axis)
+
+        def step(j, y):
+            j0 = j * block
+            owner = (j * block) // rows_per
+            lrow = j * block - owner * rows_per
+            row_block = lax.dynamic_slice(l_loc, (lrow, 0), (block, c))  # only owner's is valid
+            # rhs_j = b_j - L[j, :j0] y[:j0]
+            ymask = jnp.where(jax.lax.broadcasted_iota(jnp.int32, (c,), 0) < j0, y, 0.0)
+            rhs = lax.dynamic_slice(b_full, (j0,), (block,)) - row_block @ ymask
+            ljj = lax.dynamic_slice(row_block, (0, j0), (block, block))
+            yj = lax.linalg.triangular_solve(
+                ljj, rhs[:, None], left_side=True, lower=True
+            )[:, 0]
+            yj = _bcast_from(jnp.where(me == owner, yj, jnp.zeros_like(yj)), owner, axis)
+            return lax.dynamic_update_slice(y, yj, (j0,))
+
+        return lax.fori_loop(0, nb, step, jnp.zeros((c,), dt))
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis, None), P()), out_specs=P())
+    return fn(l, b)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "axis", "mesh"))
+def sharded_solve_lower_t_vec(l, b, mesh, *, block: int = 256, axis: str = "row"):
+    """Back-substitute L^T y = b (L row-band-sharded, b replicated).
+
+    Step j (descending): y_j = Ljj^{-T} (b_j - sum_{i>j} L[i, j]^T y_i).
+    The partial sums come from *columns* j of rows below — computed locally
+    on every device from its row band, then psum-reduced."""
+    c = l.shape[0]
+    p = mesh.shape[axis]
+    rows_per = c // p
+    nb = c // block
+    dt = l.dtype
+
+    def body(l_loc, b_full):
+        me = lax.axis_index(axis)
+        grow_ids = me * rows_per + jax.lax.broadcasted_iota(jnp.int32, (rows_per,), 0)
+
+        def step(t, y):
+            j = nb - 1 - t
+            j0 = j * block
+            owner = (j * block) // rows_per
+            lrow = j * block - owner * rows_per
+            # Local contribution: L[rows>j0+B, j0:j0+B]^T @ y[rows>j0+B]
+            col_blk = lax.dynamic_slice(l_loc, (0, j0), (rows_per, block))
+            below = (grow_ids >= j0 + block).astype(dt)
+            y_rows = lax.dynamic_slice(y, (me * rows_per,), (rows_per,))
+            contrib = (col_blk * (below * y_rows)[:, None]).sum(axis=0)  # (block,)
+            contrib = lax.psum(contrib, axis)
+            rhs = lax.dynamic_slice(b_full, (j0,), (block,)) - contrib
+            row_block = lax.dynamic_slice(l_loc, (lrow, 0), (block, c))
+            ljj = lax.dynamic_slice(row_block, (0, j0), (block, block))
+            yj = lax.linalg.triangular_solve(
+                ljj, rhs[:, None], left_side=True, lower=True, transpose_a=True
+            )[:, 0]
+            yj = _bcast_from(jnp.where(me == owner, yj, jnp.zeros_like(yj)), owner, axis)
+            return lax.dynamic_update_slice(y, yj, (j0,))
+
+        return lax.fori_loop(0, nb, step, jnp.zeros((c,), dt))
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis, None), P()), out_specs=P())
+    return fn(l, b)
+
+
+def sharded_cho_solve_vec(l, b, mesh, *, block: int = 256, axis: str = "row"):
+    y = sharded_solve_lower_vec(l, b, mesh, block=block, axis=axis)
+    return sharded_solve_lower_t_vec(l, y, mesh, block=block, axis=axis)
+
+
+# ------------------------------------------------- sharded inverse factor
+
+
+@functools.partial(jax.jit, static_argnames=("block", "axis", "mesh"))
+def sharded_linv(l, mesh, *, block: int = 256, axis: str = "row"):
+    """W = L^{-1}, row-band-sharded, via a right-looking distributed TRSM:
+
+        S_loc := I[rows_loc, :]
+        for block row j:  owner solves W_j = Ljj^{-1} S[j, :] ; broadcast W_j
+                          all: S_loc -= L_loc[:, j] W_j     (local GEMM)
+
+    O(C^3 / P) compute per device, C^2 words of ICI broadcast total.  With W
+    in hand, posterior variance and alpha become pure local GEMMs + psum
+    (see `sharded_predict_linv`):  var = k0 - ||W kq^T||^2,
+    alpha = W^T (W y)."""
+    c = l.shape[0]
+    p = mesh.shape[axis]
+    rows_per = c // p
+    nb = c // block
+    dt = l.dtype
+
+    def body(l_loc):
+        me = lax.axis_index(axis)
+        grow_ids = me * rows_per + jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per, 1), 0
+        )
+        # S starts as this device's rows of the identity.
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_per, c), 1)
+        s0 = (col_ids == grow_ids).astype(dt)
+
+        def step(j, s_loc):
+            j0 = j * block
+            owner = j0 // rows_per
+            lrow = j0 - owner * rows_per
+
+            s_mine = lax.dynamic_slice(s_loc, (lrow, 0), (block, c))
+            ljj_mine = lax.dynamic_slice(l_loc, (lrow, j0), (block, block))
+            wj_mine = lax.linalg.triangular_solve(
+                ljj_mine, s_mine, left_side=True, lower=True
+            )
+            wj = _bcast_from(
+                jnp.where(me == owner, wj_mine, jnp.zeros_like(wj_mine)), owner, axis
+            )  # (block, C)
+
+            # Trailing update on strictly-below rows (others masked).
+            l_col = lax.dynamic_slice(l_loc, (0, j0), (rows_per, block))
+            below = (grow_ids[:, 0] >= j0 + block).astype(dt)[:, None]
+            s_loc = s_loc - (l_col * below) @ wj
+            # Owner's own rows become final W_j (wj is the clean broadcast
+            # value — identical to wj_mine at the owner, NaN-free elsewhere).
+            s_with = lax.dynamic_update_slice(s_loc, wj, (lrow, 0))
+            return jnp.where(me == owner, s_with, s_loc)
+
+        return lax.fori_loop(0, nb, step, s0)
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis, None),), out_specs=P(axis, None))
+    return fn(l)
+
+
+def sharded_alpha_from_linv(w, y, mesh, *, axis: str = "row"):
+    """alpha = K^{-1} y = W^T (W y) with W = L^{-1} row-sharded, y replicated."""
+
+    def body(w_loc, y_full):
+        vy = jnp.dot(w_loc, y_full, precision=lax.Precision.HIGHEST)  # (C/P,)
+        contrib = jnp.dot(w_loc.T, vy, precision=lax.Precision.HIGHEST)  # (C,)
+        return lax.psum(contrib, axis)
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis, None), P()), out_specs=P())
+    return fn(w, y)
+
+
+def sharded_predict_linv(name: str, q, x, params, alpha, w, mesh, *, axis: str = "row"):
+    """Posterior mean + variance with the precomputed sharded W = L^{-1}:
+    entirely local GEMMs + one psum per query shard — the speed-of-light
+    distributed variance path."""
+    m = q.shape[0]
+    p = mesh.shape[axis]
+    if m % p:
+        raise ValueError(f"query count {m} not divisible by mesh size {p}")
+
+    def body(q_loc, x_full, alpha_full, w_loc):
+        kq = kg.cross_cov(name, q_loc, x_full, params)  # (M/P, C)
+        mean = jnp.dot(kq, alpha_full, precision=lax.Precision.HIGHEST)
+        # ||W kq^T||^2 pairs every W row band with every query shard, so the
+        # query block rides the ring (M/P x 3 floats per hop) accumulating
+        # each band's partial square-norm; kq is recomputed per hop from the
+        # replicated coordinates (cheap next to the GEMM).
+        perm = [(i, (i + 1) % p) for i in range(p)]
+
+        def ring_step(s, carry):
+            qv, quadv = carry
+            kqv = kg.cross_cov(name, qv, x_full, params)
+            v = jnp.dot(w_loc, kqv.T, precision=lax.Precision.HIGHEST)  # (C/P, M/P)
+            quadv = quadv + jnp.sum(v * v, axis=0)
+            qv = lax.ppermute(qv, axis, perm)
+            quadv = lax.ppermute(quadv, axis, perm)
+            return qv, quadv
+
+        quad0 = lax.pvary(jnp.zeros((q_loc.shape[0],), kq.dtype), (axis,))
+        _, quad = lax.fori_loop(0, p, ring_step, (q_loc, quad0))
+        k0 = kf.k_diag0(name, params).astype(kq.dtype)
+        return mean, k0 - quad
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P(axis, None)),
+        out_specs=(P(axis), P(axis)),
+    )
+    return fn(q, x, alpha, w)
+
+
+# --------------------------------------------------------- sharded query
+
+
+def sharded_predict(name: str, q, x, params, alpha, kinv, mesh, *, axis: str = "row"):
+    """Posterior mean + variance at queries, sharded by query rows.
+
+    mean is embarrassingly parallel (x and alpha replicated: C*4 bytes).
+    variance rides the ring-attention pattern (SURVEY.md §6 long-context
+    row): the *query block* rotates around the ICI ring (M/P x 3 floats per
+    hop — tiny) while each device contributes its Kinv row band's share of
+    the quadratic form, recomputing the visiting block's cross-covariance
+    locally from the replicated coordinates (O(M C / P) — free next to the
+    O(M C^2 / P^2) GEMM).  Kinv never moves.
+    """
+    m = q.shape[0]
+    c = x.shape[0]
+    p = mesh.shape[axis]
+    if m % p:
+        raise ValueError(f"query count {m} not divisible by mesh size {p}")
+    rows_per = c // p
+
+    def body(q_loc, x_full, alpha_full, kinv_loc):
+        me = lax.axis_index(axis)
+        kq_own = kg.cross_cov(name, q_loc, x_full, params)  # (M/P, C) local
+        mean = jnp.dot(kq_own, alpha_full, precision=lax.Precision.HIGHEST)
+
+        perm = [(i, (i + 1) % p) for i in range(p)]
+
+        def ring_step(s, carry):
+            q_vis, quad_vis = carry
+            # The visiting block currently belongs to device (me - s) % p.
+            kq = kg.cross_cov(name, q_vis, x_full, params)  # recompute, cheap
+            cols0 = me * rows_per
+            kq_blk = lax.dynamic_slice(
+                kq, (jnp.zeros((), cols0.dtype), cols0), (kq.shape[0], rows_per)
+            )
+            t = jnp.dot(kq_blk, kinv_loc, precision=lax.Precision.HIGHEST)  # (M/P, C)
+            quad_vis = quad_vis + jnp.sum(t * kq, axis=1)
+            # Pass the block (and its running sum) to the right neighbor.
+            q_vis = lax.ppermute(q_vis, axis, perm)
+            quad_vis = lax.ppermute(quad_vis, axis, perm)
+            return q_vis, quad_vis
+
+        quad0 = lax.pvary(jnp.zeros((q_loc.shape[0],), kq_own.dtype), (axis,))
+        q_back, quad = lax.fori_loop(0, p, ring_step, (q_loc, quad0))
+        # After p hops the block is home with its complete quadratic form.
+        k0 = kf.k_diag0(name, params).astype(kq_own.dtype)
+        return mean, k0 - quad
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P(axis, None)),
+        out_specs=(P(axis), P(axis)),
+    )
+    return fn(q, x, alpha, kinv)

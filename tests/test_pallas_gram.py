@@ -1,0 +1,54 @@
+"""Pallas Gram/cross-cov kernels vs the jnp reference, tile-for-tile
+(SURVEY.md §5 item 3). Runs in interpreter mode on CPU; the same code
+compiles on TPU."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpis_tpu.kernels import functions as kf
+from gpis_tpu.kernels import gram as kg
+from gpis_tpu.kernels import pallas_gram as pg
+
+KERNELS = ["rbf", "thin_plate", "laplace", "inverse_multiquadric"]
+
+
+@pytest.mark.parametrize("name", KERNELS)
+@pytest.mark.parametrize("shape", [(64, 40), (300, 300), (256, 512)])
+def test_cross_cov_matches_jnp(name, shape, rng):
+    m, n = shape
+    q = jnp.asarray(rng.normal(size=(m, 3)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    params = {k: v.astype(jnp.float32) for k, v in kf.kernel_params(0.8, 1.2).items()}
+    got = pg.cross_cov_pallas(name, q, x, params)
+    want = kg.cross_cov(name, q, x, params)
+    assert got.shape == (m, n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("name", ["rbf", "thin_plate"])
+@pytest.mark.parametrize("n", [100, 256, 700])
+def test_gram_matches_jnp(name, n, rng):
+    x = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    noise = jnp.asarray(rng.uniform(1e-4, 1e-2, size=n), jnp.float32)
+    params = {k: v.astype(jnp.float32) for k, v in kf.kernel_params(2.5, 1.1).items()}
+    got = pg.gram_pallas(name, x, params, noise)
+    want = kg.gram(name, x, params, noise=noise)
+    assert got.shape == (n, n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=2e-5)
+    # Diagonal carries exact k(0) + noise.
+    np.testing.assert_allclose(
+        np.diagonal(np.asarray(got)),
+        float(kf.k_diag0(name, params)) + np.asarray(noise),
+        rtol=1e-6,
+    )
+
+
+def test_gram_pallas_f64(rng):
+    """Interpreter mode also validates the f64 path used in parity tests."""
+    x = jnp.asarray(rng.normal(size=(96, 3)))
+    noise = jnp.full((96,), 1e-4)
+    params = kf.kernel_params(0.9, 1.0)
+    got = pg.gram_pallas("rbf", x, params, noise)
+    want = kg.gram("rbf", x, params, noise=noise)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)

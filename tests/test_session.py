@@ -124,3 +124,29 @@ def test_http_service(session):
             assert "error" in json.loads(e.read())
     finally:
         srv.shutdown()
+
+
+def test_session_with_normals():
+    """Config 2 through the session: normals tighten the model with few
+    points, and the whole explore/update loop still works."""
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.9, noise_surface=1e-5,
+                      n_external=16, block=32)
+    sess = ObjectModelSession(cfg)
+    pts = gpis.fibonacci_sphere(60, radius=0.5) + np.array([1.0, 0.0, 0.0])
+    normals = (pts - np.array([1.0, 0.0, 0.0]))
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+    sess.start(pts, normals=normals)
+    mean, var = sess.query(np.array([[1.0, 0.0, 0.0], [1.5, 0.0, 0.0]]))
+    assert mean[0] < -0.5
+    assert abs(mean[1]) < 0.05
+    # Surface extraction works on the joint model too.
+    verts, faces, v = sess.extract_surface(resolution=24, extent=1.3)
+    r = np.linalg.norm(verts - np.array([1.0, 0.0, 0.0]), axis=1)
+    assert abs(np.mean(r) - 0.5) < 0.02
+    # Touch update on the joint model (refit path).
+    t = np.array([[1.5, 0.0, 0.0]])
+    _, v0 = sess.query(t)
+    sess.update(t)
+    _, v1 = sess.query(t)
+    assert v1[0] < v0[0]
+    sess.update(np.array([[1.0, 0.5, 0.0]]))  # second batch

@@ -1,0 +1,115 @@
+"""Distributed-path tests on the 8-device virtual CPU mesh (SURVEY.md §5
+item 4): sharded Gram, ICI-distributed Cholesky, distributed solves,
+sharded W = L^{-1}, and both sharded posterior query paths — all vs the
+single-device reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpis_tpu.kernels import functions as kf
+from gpis_tpu.kernels import gram as kg
+from gpis_tpu.linalg import cholesky as lin
+from gpis_tpu.linalg import sharded as sh
+from gpis_tpu.parallel import mesh as pm
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+C, B, P = 1024, 64, 8
+LS, SV = 0.8, 1.2
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return pm.make_row_mesh(P)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(C, 3)))
+    noise = jnp.asarray(rng.uniform(1e-4, 1e-2, size=C))
+    y = jnp.asarray(rng.normal(size=C) * 0.3)
+    params = kf.kernel_params(LS, SV)
+    return x, y, noise, params
+
+
+def test_sharded_gram(mesh, problem):
+    x, y, noise, params = problem
+    got = sh.sharded_gram("rbf", x, params, noise, mesh)
+    want = kg.gram("rbf", x, params, noise=noise)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+    # Output is genuinely row-sharded.
+    assert got.sharding.spec == pm.P("row", None)
+
+
+def test_sharded_cholesky(mesh, problem):
+    x, y, noise, params = problem
+    a = sh.sharded_gram("rbf", x, params, noise, mesh)
+    got = sh.sharded_cholesky(a, mesh, block=B)
+    want = jnp.linalg.cholesky(kg.gram("rbf", x, params, noise=noise))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-9)
+    np.testing.assert_allclose(np.triu(np.asarray(got), 1), 0.0, atol=0.0)
+
+
+def test_sharded_solves(mesh, problem):
+    x, y, noise, params = problem
+    k = kg.gram("rbf", x, params, noise=noise)
+    l = jnp.linalg.cholesky(k)
+    lsh = jax.device_put(l, pm.row_sharding(mesh))
+    yf = sh.sharded_solve_lower_vec(lsh, y, mesh, block=B)
+    np.testing.assert_allclose(np.asarray(l @ yf), np.asarray(y), atol=1e-9)
+    yb = sh.sharded_solve_lower_t_vec(lsh, y, mesh, block=B)
+    np.testing.assert_allclose(np.asarray(l.T @ yb), np.asarray(y), atol=1e-9)
+    alpha = sh.sharded_cho_solve_vec(lsh, y, mesh, block=B)
+    np.testing.assert_allclose(np.asarray(k @ alpha), np.asarray(y), atol=1e-8)
+
+
+def test_sharded_linv_and_alpha(mesh, problem):
+    x, y, noise, params = problem
+    k = kg.gram("rbf", x, params, noise=noise)
+    l = jnp.linalg.cholesky(k)
+    lsh = jax.device_put(l, pm.row_sharding(mesh))
+    w = sh.sharded_linv(lsh, mesh, block=B)
+    np.testing.assert_allclose(
+        np.asarray(w) @ np.asarray(l), np.eye(C), atol=1e-8
+    )
+    alpha = sh.sharded_alpha_from_linv(w, y, mesh)
+    np.testing.assert_allclose(np.asarray(k @ alpha), np.asarray(y), atol=1e-7)
+
+
+def test_sharded_predict_paths(mesh, problem):
+    """End-to-end sharded fit + both query paths vs single-device predict."""
+    rng = np.random.default_rng(3)
+    x, y, noise, params = problem
+    q = jnp.asarray(rng.normal(size=(512, 3)))
+
+    # Single-device reference.
+    k = kg.gram("rbf", x, params, noise=noise)
+    l = lin.cholesky(k)
+    alpha_ref = lin.cho_solve(l, y)
+    kq = kg.cross_cov("rbf", q, x, params)
+    mean_ref = kq @ alpha_ref
+    v = lin.solve_lower(l, kq.T)
+    var_ref = float(kf.k_diag0("rbf", params)) - jnp.sum(v * v, axis=0)
+
+    # Fully sharded pipeline: gram -> cholesky -> linv -> alpha -> query.
+    a = sh.sharded_gram("rbf", x, params, noise, mesh)
+    lsh = sh.sharded_cholesky(a, mesh, block=B)
+    w = sh.sharded_linv(lsh, mesh, block=B)
+    alpha = sh.sharded_alpha_from_linv(w, y, mesh)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(alpha_ref), atol=1e-7)
+
+    mean1, var1 = sh.sharded_predict_linv("rbf", q, x, params, alpha, w, mesh)
+    np.testing.assert_allclose(np.asarray(mean1), np.asarray(mean_ref), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var1), np.asarray(var_ref), atol=1e-8)
+
+    # Ring path with kinv (kinv = W^T W, formed densely here for the test).
+    kinv = jnp.asarray(np.asarray(w).T @ np.asarray(w))
+    kinv_sh = jax.device_put(kinv, pm.row_sharding(mesh))
+    mean2, var2 = sh.sharded_predict("rbf", q, x, params, alpha, kinv_sh, mesh)
+    np.testing.assert_allclose(np.asarray(mean2), np.asarray(mean_ref), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var2), np.asarray(var_ref), atol=1e-7)
