@@ -63,6 +63,8 @@ def main(argv=None):
     p = sub.add_parser("fit", help="fit a GPIS model from a point cloud")
     p.add_argument("cloud")
     p.add_argument("-o", "--output", required=True)
+    p.add_argument("--normals", action="store_true",
+                   help="use surface normals from the cloud file as derivative observations")
     _add_model_args(p)
 
     p = sub.add_parser("mesh", help="extract isosurface mesh from a model")
@@ -106,8 +108,12 @@ def main(argv=None):
 
     if args.cmd == "fit":
         model_cfg, explore_cfg, mesh_cfg = _config_from_args(args)
-        pts, _ = load_cloud(args.cloud)
-        sess = ObjectModelSession(model_cfg, explore_cfg, mesh_cfg).start(pts)
+        pts, nrm = load_cloud(args.cloud)
+        if args.normals and nrm is None:
+            raise SystemExit(f"--normals given but {args.cloud} has no normals")
+        sess = ObjectModelSession(model_cfg, explore_cfg, mesh_cfg).start(
+            pts, normals=nrm if args.normals else None
+        )
         sess.save(args.output)
         print(f"model saved to {args.output} (capacity {sess.model.capacity})")
 

@@ -98,7 +98,8 @@ def _bcast_from(value, owner, axis):
 
 
 @functools.partial(jax.jit, static_argnames=("block", "axis", "mesh"))
-def sharded_cholesky(a, mesh, *, block: int = 256, axis: str = "row"):
+def sharded_cholesky(a, mesh, *, block: int = 256, axis: str = "row",
+                     precision=lax.Precision.HIGHEST):
     """Lower Cholesky of a row-band-sharded SPD matrix. Returns L with the
     same sharding. a: (C, C) sharded P(axis, None)."""
     c = a.shape[0]
@@ -137,7 +138,7 @@ def sharded_cholesky(a, mesh, *, block: int = 256, axis: str = "row"):
             upd = lax.dot_general(
                 l_done, row_j,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                precision=lax.Precision.HIGHEST,
+                precision=precision,
             )  # (rows_per, block) = L_loc[:, :j0] @ row_j[:, :j0]^T
             a_panel = a_panel - upd
 
@@ -257,7 +258,8 @@ def sharded_cho_solve_vec(l, b, mesh, *, block: int = 256, axis: str = "row"):
 
 
 @functools.partial(jax.jit, static_argnames=("block", "axis", "mesh"))
-def sharded_linv(l, mesh, *, block: int = 256, axis: str = "row"):
+def sharded_linv(l, mesh, *, block: int = 256, axis: str = "row",
+                 precision=lax.Precision.HIGHEST):
     """W = L^{-1}, row-band-sharded, via a right-looking distributed TRSM:
 
         S_loc := I[rows_loc, :]
@@ -300,7 +302,7 @@ def sharded_linv(l, mesh, *, block: int = 256, axis: str = "row"):
             # Trailing update on strictly-below rows (others masked).
             l_col = lax.dynamic_slice(l_loc, (0, j0), (rows_per, block))
             below = (grow_ids[:, 0] >= j0 + block).astype(dt)[:, None]
-            s_loc = s_loc - (l_col * below) @ wj
+            s_loc = s_loc - jnp.dot(l_col * below, wj, precision=precision)
             # Owner's own rows become final W_j (wj is the clean broadcast
             # value — identical to wj_mine at the owner, NaN-free elsewhere).
             s_with = lax.dynamic_update_slice(s_loc, wj, (lrow, 0))
@@ -324,7 +326,8 @@ def sharded_alpha_from_linv(w, y, mesh, *, axis: str = "row"):
     return fn(w, y)
 
 
-def sharded_predict_linv(name: str, q, x, params, alpha, w, mesh, *, axis: str = "row"):
+def sharded_predict_linv(name: str, q, x, params, alpha, w, mesh, *, axis: str = "row",
+                         precision=lax.Precision.HIGHEST):
     """Posterior mean + variance with the precomputed sharded W = L^{-1}:
     entirely local GEMMs + one psum per query shard — the speed-of-light
     distributed variance path."""
@@ -335,7 +338,7 @@ def sharded_predict_linv(name: str, q, x, params, alpha, w, mesh, *, axis: str =
 
     def body(q_loc, x_full, alpha_full, w_loc):
         kq = kg.cross_cov(name, q_loc, x_full, params)  # (M/P, C)
-        mean = jnp.dot(kq, alpha_full, precision=lax.Precision.HIGHEST)
+        mean = jnp.dot(kq, alpha_full, precision=precision)
         # ||W kq^T||^2 pairs every W row band with every query shard, so the
         # query block rides the ring (M/P x 3 floats per hop) accumulating
         # each band's partial square-norm; kq is recomputed per hop from the
@@ -345,7 +348,7 @@ def sharded_predict_linv(name: str, q, x, params, alpha, w, mesh, *, axis: str =
         def ring_step(s, carry):
             qv, quadv = carry
             kqv = kg.cross_cov(name, qv, x_full, params)
-            v = jnp.dot(w_loc, kqv.T, precision=lax.Precision.HIGHEST)  # (C/P, M/P)
+            v = jnp.dot(w_loc, kqv.T, precision=precision)  # (C/P, M/P)
             quadv = quadv + jnp.sum(v * v, axis=0)
             qv = lax.ppermute(qv, axis, perm)
             quadv = lax.ppermute(quadv, axis, perm)

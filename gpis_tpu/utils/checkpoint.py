@@ -21,29 +21,37 @@ __all__ = ["save_model", "load_model"]
 _FORMAT_VERSION = 1
 
 
-def save_model(path: str, model: GPModel, *, factor: bool = True) -> None:
+def save_model(path: str, model, *, factor: bool = True) -> None:
+    """Save a GPModel or DerivGPModel (joint normals model)."""
+    joint = hasattr(model, "normals")
     meta = {
         "format": _FORMAT_VERSION,
         "kernel": model.kernel,
         "n0": model.n0,
         "dtype": str(np.dtype(model.dtype)),
         "has_factor": bool(factor),
+        "joint": joint,
     }
     arrays = {
         "x": np.asarray(model.x),
         "y": np.asarray(model.y),
-        "noise": np.asarray(model.noise),
         "alpha": np.asarray(model.alpha),
-        "n_touch": np.asarray(model.n_touch),
         "param_lengthscale": np.asarray(model.params["lengthscale"]),
         "param_signal_variance": np.asarray(model.params["signal_variance"]),
     }
+    if joint:
+        arrays["normals"] = np.asarray(model.normals)
+        arrays["noise_f"] = np.asarray(model.noise_f)
+        arrays["noise_g"] = np.asarray(model.noise_g)
+    else:
+        arrays["noise"] = np.asarray(model.noise)
+        arrays["n_touch"] = np.asarray(model.n_touch)
     if factor:
         arrays["chol"] = np.asarray(model.chol)
     np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
 
-def load_model(path: str) -> GPModel:
+def load_model(path: str):
     d = np.load(path, allow_pickle=False)
     meta = json.loads(str(d["meta"]))
     if meta["format"] != _FORMAT_VERSION:
@@ -53,6 +61,24 @@ def load_model(path: str) -> GPModel:
         "signal_variance": jnp.asarray(d["param_signal_variance"]),
     }
     x = jnp.asarray(d["x"])
+    if meta.get("joint"):
+        from gpis_tpu.gp.derivative import DerivGPModel
+        from gpis_tpu.kernels import derivative as kd
+        from gpis_tpu.linalg import cholesky as lin
+
+        if meta["has_factor"]:
+            chol = jnp.asarray(d["chol"])
+        else:
+            chol = lin.cholesky(kd.joint_gram(
+                meta["kernel"], x, params,
+                noise_f=jnp.asarray(d["noise_f"]), noise_g=jnp.asarray(d["noise_g"]),
+            ))
+        return DerivGPModel(
+            x=x, y=jnp.asarray(d["y"]), normals=jnp.asarray(d["normals"]),
+            noise_f=jnp.asarray(d["noise_f"]), noise_g=jnp.asarray(d["noise_g"]),
+            params=params, chol=chol, alpha=jnp.asarray(d["alpha"]),
+            kernel=meta["kernel"], n0=int(meta["n0"]),
+        )
     if meta["has_factor"]:
         chol = jnp.asarray(d["chol"])
     else:
