@@ -252,7 +252,7 @@ def log_marginal_likelihood(kernel, xp, yp, noisep, params, *, n_real=None):
     (0.5*log(2*pi*noise_i) each) is subtracted so the *value* is comparable
     to an unpadded oracle as well.
     """
-    k = kg.gram(kernel, xp, params, noise=noisep)
+    k = kg.gram_reference(kernel, xp, params, noise=noisep)
     l = jnp.linalg.cholesky(k)
     alpha = lin.cho_solve(l, yp)
     c = xp.shape[0]

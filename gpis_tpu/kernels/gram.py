@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from gpis_tpu.kernels import functions as kf
 
-__all__ = ["pairwise_r2", "gram", "cross_cov", "add_noise_diag"]
+__all__ = ["pairwise_r2", "gram", "gram_reference", "cross_cov", "add_noise_diag"]
 
 
 def pairwise_r2(x, z):
@@ -33,7 +33,27 @@ def gram(name: str, x, params, noise=None):
 
     noise: scalar or (N,) per-point observation variances (the GPIS builder
     assigns different noise to surface/internal/external points; SURVEY.md §3
-    C3)."""
+    C3).  Large matrices on TPU dispatch to the tiled Pallas kernel."""
+    n = x.shape[0]
+    if n * n >= 1 << 22 and noise is not None:
+        try:
+            import jax
+
+            if jax.default_backend() == "tpu":
+                from gpis_tpu.kernels import pallas_gram as pg
+
+                return pg.gram_pallas(
+                    name, x, params,
+                    jnp.broadcast_to(jnp.asarray(noise, x.dtype), (n,)),
+                )
+        except Exception:
+            pass
+    return gram_reference(name, x, params, noise=noise)
+
+
+def gram_reference(name: str, x, params, noise=None):
+    """Pure-jnp Gram (always differentiable — the MLL/hyperopt path uses
+    this form so AD never meets the Pallas kernel)."""
     k = kf.k_r2(name, pairwise_r2(x, x), params)
     # Exact k(0) on the diagonal (thin-plate's r2=0 sqrt clamp is below fp
     # noise, but setting the diagonal explicitly keeps parity bit-clean).
@@ -45,7 +65,23 @@ def gram(name: str, x, params, noise=None):
 
 
 def cross_cov(name: str, q, x, params):
-    """Cross-covariance K(Q, X): q (M,3) queries vs x (N,3) training points."""
+    """Cross-covariance K(Q, X): q (M,3) queries vs x (N,3) training points.
+
+    On TPU, large blocks dispatch to the tiled Pallas kernel (fused
+    distance+covariance, no (M,N,3) broadcast intermediate in HBM); small
+    blocks and other backends use the direct jnp form.  Both are
+    tile-compared in tests (SURVEY.md §5 item 3)."""
+    m, n = q.shape[0], x.shape[0]
+    if m * n >= 1 << 22:  # ~4M elements: broadcast temps start to matter
+        try:
+            import jax
+
+            if jax.default_backend() == "tpu":
+                from gpis_tpu.kernels import pallas_gram as pg
+
+                return pg.cross_cov_pallas(name, q, x, params)
+        except Exception:
+            pass
     return kf.k_r2(name, pairwise_r2(q, x), params)
 
 

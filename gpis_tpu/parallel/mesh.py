@@ -21,7 +21,13 @@ def make_row_mesh(n_devices: int | None = None, axis_name: str = "row") -> Mesh:
     n = n_devices or len(devs)
     if n > len(devs):
         raise ValueError(f"requested {n} devices, only {len(devs)} visible")
-    return jax.make_mesh((n,), (axis_name,), devices=devs[:n])
+    # Auto axis type: jax 0.9's default Explicit mode rejects mixing sharded
+    # batch inputs with vmap-broadcast (unsharded) constants; Auto restores
+    # propagation semantics, which is what the shard_map paths expect too.
+    return jax.make_mesh(
+        (n,), (axis_name,), devices=devs[:n],
+        axis_types=(jax.sharding.AxisType.Auto,),
+    )
 
 
 def row_sharding(mesh: Mesh, ndim: int = 2, axis_name: str = "row") -> NamedSharding:
