@@ -44,7 +44,9 @@ class ObjectModelSession:
                  mesh: MeshConfig | None = None):
         self.config = config or ModelConfig()
         self.explore_config = explore or ExploreConfig()
-        self.mesh_config = mesh or MeshConfig()
+        # Sharded fitting is opt-in: only an explicitly-passed MeshConfig
+        # with n_devices > 1 routes start() to the distributed pipeline.
+        self.mesh_config = mesh
         self.model = None
         self.frame = None
         self.training = None
@@ -91,6 +93,23 @@ class ObjectModelSession:
             self.model = gpd.fit_with_normals(
                 cfg.kernel, ts.x, ts.y, nrm_full, ts.noise, noise_g, params,
                 block=cfg.block, pad_noise=cfg.pad_noise,
+            )
+        elif self.mesh_config is not None and self.mesh_config.n_devices > 1:
+            # Distributed fit (config 5): the cloud is too big for one HBM,
+            # or the user asked for the mesh explicitly.
+            import jax
+
+            from gpis_tpu.gp import sharded_model as gsm
+
+            if len(jax.devices()) < self.mesh_config.n_devices:
+                raise RuntimeError(
+                    f"mesh requests {self.mesh_config.n_devices} devices but "
+                    f"only {len(jax.devices())} are visible"
+                )
+            self.model = gsm.fit_sharded(
+                cfg.kernel, ts.x, ts.y, ts.noise, params,
+                n_devices=self.mesh_config.n_devices,
+                block=self.mesh_config.block, pad_noise=cfg.pad_noise,
             )
         else:
             self.model = gpr.fit(
@@ -180,6 +199,11 @@ class ObjectModelSession:
         """Reference `update` service (§4.5): append tactile points (label 0,
         low touch noise) and refit incrementally."""
         self._require_model()
+        if hasattr(self.model, "mesh"):
+            raise NotImplementedError(
+                "incremental update on the sharded model is not implemented "
+                "yet; refit with start() including the touch points"
+            )
         pts = self.frame.to_normalized(
             jnp.asarray(np.asarray(touch_points_world, self.config.dtype))
         )

@@ -138,6 +138,8 @@ def predict(model: GPModel, q, *, precision=jax.lax.Precision.HIGHEST):
         from gpis_tpu.gp import derivative as gpd
 
         return gpd.predict(model, q)
+    if hasattr(model, "mesh"):  # ShardedGPModel: distributed query paths
+        return model.predict(q)
     kq = kg.cross_cov(model.kernel, q, model.x, model.params)  # (M, C)
     mean = jnp.dot(kq, model.alpha, precision=precision)
     if model.kinv is not None:
@@ -169,6 +171,8 @@ def predict_mean(model: GPModel, q):
 
         kq = kd.cross_cov_value(model.kernel, q, model.x, model.params)
         return kq @ model.alpha
+    # ShardedGPModel falls through: x and alpha are replicated, so the mean
+    # is an ordinary local GEMV (differentiable for Newton projection).
     kq = kg.cross_cov(model.kernel, q, model.x, model.params)
     return kq @ model.alpha
 

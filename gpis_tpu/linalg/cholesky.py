@@ -26,6 +26,7 @@ from jax import lax
 __all__ = [
     "cholesky",
     "blocked_cholesky",
+    "blocked_cholesky_ad",
     "solve_lower",
     "solve_lower_t",
     "cho_solve",
@@ -33,11 +34,24 @@ __all__ = [
 
 
 def cholesky(a):
-    """Lower Cholesky factor of SPD ``a``. XLA-native path."""
+    """Lower Cholesky factor of SPD ``a``.
+
+    XLA's native cholesky on small/medium problems; on TPU, matrices >= 8k
+    route to `blocked_cholesky` — this backend's XLA expansion keeps O(nb)
+    trailing-submatrix temp buffers live (observed 33 GB for a 16k matrix on
+    a 16 GB chip), while the blocked loop holds exactly A + L + one panel.
+    """
+    try:
+        import jax
+
+        if a.shape[0] >= 8192 and a.shape[0] % 512 == 0 and jax.default_backend() == "tpu":
+            return blocked_cholesky(a, block=512)
+    except Exception:
+        pass
     return jnp.linalg.cholesky(a)
 
 
-def blocked_cholesky(a, block: int = 256):
+def blocked_cholesky(a, block: int = 256, *, precision=None):
     """Left-looking blocked Cholesky with static shapes.
 
     For each column panel j (width B): subtract the contribution of all
@@ -45,7 +59,12 @@ def blocked_cholesky(a, block: int = 256):
     block, and form the sub-diagonal panel with a triangular solve.  The
     column mask keeps shapes static so the whole loop is one `lax.fori_loop`
     under jit.
+
+    precision: matmul precision for the trailing updates; defaults to
+    HIGHEST (full f32 on TPU — bf16-rounded updates can push an
+    ill-conditioned trailing block indefinite).
     """
+    precision = precision or lax.Precision.HIGHEST
     n = a.shape[0]
     if n % block != 0:
         raise ValueError(f"matrix size {n} must be a multiple of block {block}")
@@ -63,7 +82,7 @@ def blocked_cholesky(a, block: int = 256):
         mask = (col_idx < j0).astype(dt)[None, :]  # (1, n)
         l_done = l * mask  # (n, n) with only finished columns
         l_row = lax.dynamic_slice(l_done, (j0, 0), (block, n))  # (B, n)
-        a_panel = a_panel - l_done @ l_row.T  # (n, B) MXU matmul
+        a_panel = a_panel - jnp.dot(l_done, l_row.T, precision=precision)
         # Diagonal block potrf.
         d = lax.dynamic_slice(a_panel, (j0, 0), (block, block))
         ld = jnp.linalg.cholesky(d)
@@ -81,6 +100,42 @@ def blocked_cholesky(a, block: int = 256):
 
     l0 = jnp.zeros_like(a)
     return lax.fori_loop(0, nb, body, l0)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def blocked_cholesky_ad(a, block: int = 256):
+    """`blocked_cholesky` with a custom VJP (SURVEY.md §8 hard part: "AD
+    through the blocked/sharded factorization").
+
+    The backward pass is the standard Cholesky pullback
+        P    = Phi(L^T Lbar)          (Phi: lower triangle, diagonal halved)
+        Abar = sym(L^{-T} P L^{-1})
+    implemented with two triangular solves — O(n^3) but only O(n^2) memory,
+    so the MLL objective differentiates at sizes where XLA's native
+    cholesky-with-AD blows HBM (see `cholesky`)."""
+    return blocked_cholesky(a, block)
+
+
+def _blocked_chol_fwd(a, block):
+    l = blocked_cholesky(a, block)
+    return l, l
+
+
+def _blocked_chol_bwd(block, l, lbar):
+    n = l.shape[0]
+    dt = l.dtype
+    p = l.T @ lbar
+    phi = jnp.tril(p) - 0.5 * jnp.diag(jnp.diagonal(p))
+    x1 = lax.linalg.triangular_solve(l, phi, left_side=True, lower=True, transpose_a=True)
+    abar = lax.linalg.triangular_solve(l, x1.T, left_side=True, lower=True, transpose_a=True).T
+    abar = 0.5 * (abar + abar.T)
+    return (abar.astype(dt),)
+
+
+blocked_cholesky_ad.defvjp(_blocked_chol_fwd, _blocked_chol_bwd)
 
 
 def solve_lower(l, b):

@@ -37,3 +37,29 @@ def test_cho_solve(rng):
     bm = jnp.asarray(rng.normal(size=(96, 5)))
     xm = lin.cho_solve(l, bm)
     np.testing.assert_allclose(a @ xm, bm, atol=1e-8)
+
+
+def test_blocked_cholesky_ad_matches_xla_grad(rng):
+    """custom_vjp of the blocked factorization == XLA cholesky AD."""
+    import jax
+
+    n = 128
+    a = _spd(rng, n)
+
+    def f_blocked(a):
+        l = lin.blocked_cholesky_ad(a, 32)
+        return jnp.sum(jnp.log(jnp.diagonal(l))) + jnp.sum(l * 0.001)
+
+    def f_xla(a):
+        l = jnp.linalg.cholesky(a)
+        return jnp.sum(jnp.log(jnp.diagonal(l))) + jnp.sum(l * 0.001)
+
+    g1 = jax.grad(f_blocked)(a)
+    g2 = jax.grad(f_xla)(a)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-9)
+
+
+def test_cholesky_dispatch_small():
+    """Small matrices stay on the XLA path regardless of backend."""
+    a = jnp.eye(64) * 2.0
+    np.testing.assert_allclose(lin.cholesky(a), jnp.sqrt(2.0) * jnp.eye(64), atol=1e-12)

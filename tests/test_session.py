@@ -150,3 +150,33 @@ def test_session_with_normals():
     _, v1 = sess.query(t)
     assert v1[0] < v0[0]
     sess.update(np.array([[1.0, 0.5, 0.0]]))  # second batch
+
+
+def test_session_sharded_mesh():
+    """Config 5 through the session API on the 8-device virtual mesh."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from gpis_tpu.config import MeshConfig
+
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.6, noise_surface=1e-4,
+                      n_external=32, n_internal=1)
+    sess = ObjectModelSession(cfg, mesh=MeshConfig(n_devices=8, block=64))
+    pts = gpis.fibonacci_sphere(480, radius=0.5) + np.array([1.0, 0.0, 0.0])
+    sess.start(pts)
+    assert hasattr(sess.model, "mesh")
+    mean, var = sess.query(np.array([[1.0, 0.0, 0.0], [1.5, 0.0, 0.0]]))
+    assert mean[0] < -0.5 and abs(mean[1]) < 0.05
+    # Matches the single-chip session posterior.
+    single = ObjectModelSession(cfg).start(pts)
+    m2, v2 = single.query(np.array([[1.0, 0.0, 0.0], [1.5, 0.0, 0.0]]))
+    np.testing.assert_allclose(mean, m2, atol=1e-4)
+    np.testing.assert_allclose(var, v2, atol=1e-4)
+    # Surface extraction (sharded grid eval) works.
+    verts, _, _ = sess.extract_surface(resolution=24, extent=1.3)
+    r = np.linalg.norm(verts - np.array([1.0, 0.0, 0.0]), axis=1)
+    assert abs(np.mean(r) - 0.5) < 0.02
+    # update is explicitly unsupported for now.
+    with pytest.raises(NotImplementedError):
+        sess.update(np.array([[1.5, 0.0, 0.0]]))
