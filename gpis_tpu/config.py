@@ -101,8 +101,9 @@ class ExploreConfig:
 class MeshConfig:
     """TPU device-mesh + blocking description (new; SURVEY.md §3 parallelism table)."""
 
-    # Number of devices along the row-sharding axis ('row').
-    n_devices: int = 8
+    # Number of devices along the row-sharding axis ('row'); 1 = single-chip
+    # (the sharded pipeline only engages when this is explicitly > 1).
+    n_devices: int = 1
     axis_name: str = "row"
     # Block edge for the blocked/sharded Cholesky and Gram tiling.
     block: int = 256
