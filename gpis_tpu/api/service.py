@@ -62,6 +62,19 @@ def make_server(session: ObjectModelSession, host: str = "127.0.0.1", port: int 
                         })
                     elif self.path == "/done":
                         self._send(200, {"done": session.is_done()})
+                    elif self.path == "/stats":
+                        self._send(200, dict(session.stats))
+                    elif self.path.startswith("/mesh"):
+                        from urllib.parse import parse_qs, urlparse
+
+                        qs = parse_qs(urlparse(self.path).query)
+                        res_ = int(qs.get("resolution", ["32"])[0])
+                        verts, faces, var = session.extract_surface(resolution=res_)
+                        self._send(200, {
+                            "verts": np.round(verts, 5).tolist(),
+                            "faces": faces.tolist(),
+                            "variance": np.round(var, 6).tolist(),
+                        })
                     else:
                         self._send(404, {"error": f"unknown path {self.path}"})
             except Exception as e:  # noqa: BLE001 — service boundary
@@ -79,7 +92,19 @@ def make_server(session: ObjectModelSession, host: str = "127.0.0.1", port: int 
                         self._send(200, {"mean": mean.tolist(), "var": var.tolist()})
                     elif self.path == "/update":
                         session.update(np.asarray(req["points"], np.float64))
-                        self._send(200, {"ok": True, "n_touch": int(session.model.n_touch)})
+                        n_touch = int(getattr(session.model, "n_touch", 0))
+                        self._send(200, {"ok": True, "n_touch": n_touch})
+                    elif self.path == "/save":
+                        session.save(req["path"])
+                        self._send(200, {"ok": True, "path": req["path"]})
+                    elif self.path == "/hyperopt":
+                        res = session.optimize_hyperparameters(
+                            steps=int(req.get("steps", 100))
+                        )
+                        self._send(200, {
+                            "ok": True, "mll": res.mll,
+                            "lengthscale": float(res.params["lengthscale"]),
+                        })
                     else:
                         self._send(404, {"error": f"unknown path {self.path}"})
             except Exception as e:  # noqa: BLE001 — service boundary

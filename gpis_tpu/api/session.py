@@ -50,6 +50,9 @@ class ObjectModelSession:
         self.model = None
         self.frame = None
         self.training = None
+        # Wall-clock of the last fit/query/update/explore calls (SURVEY.md §6
+        # metrics/observability: machine-readable stage timings).
+        self.stats: dict[str, float] = {}
 
     # ------------------------------------------------------------ start/fit
 
@@ -59,6 +62,9 @@ class ObjectModelSession:
         (N,3), surface orientation becomes first-class derivative
         observations (config 2) and the model switches to the joint system
         (`gpis_tpu.gp.derivative`)."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
         points = np.asarray(points, dtype=self.config.dtype)
         if points.ndim != 2 or points.shape[1] != 3 or len(points) == 0:
             raise ValueError(
@@ -117,9 +123,10 @@ class ObjectModelSession:
                 block=cfg.block, touch_capacity=cfg.touch_capacity,
                 pad_noise=cfg.pad_noise,
             )
-        log.info("fit: %d surface pts -> capacity %d (%s%s)",
+        self.stats["fit_s"] = _time.perf_counter() - _t0
+        log.info("fit: %d surface pts -> capacity %d (%s%s) in %.3fs",
                  ts.n_surface, self.model.capacity, cfg.kernel,
-                 ", +normals" if normals is not None else "")
+                 ", +normals" if normals is not None else "", self.stats["fit_s"])
         return self
 
     def _require_model(self):
@@ -246,6 +253,27 @@ class ObjectModelSession:
             log.info("update: +%d touch points (total %d)",
                      pts.shape[0], int(self.model.n_touch))
         return self
+
+    def export_exploration(self, html_path: str, resolution: int = 32):
+        """One-stop visual: isosurface mesh + atlas charts + next-best path
+        into a self-contained HTML viewer (the RViz-panel replacement)."""
+        from gpis_tpu.viz.export import export_html
+
+        res = self.next_best_path()
+        verts, faces, var = self.extract_surface(resolution=resolution)
+        charts = [
+            {
+                "center": np.asarray(self.frame.to_world(jnp.asarray(c.center, self.config.dtype))).tolist(),
+                "normal": c.normal.tolist(),
+                "u": c.u.tolist(),
+                "v": c.v.tolist(),
+                "radius": float(c.radius * float(self.frame.scale)),
+            }
+            for c in res.charts
+        ]
+        export_html(html_path, verts, faces, variance=var, charts=charts,
+                    best_path=res.path)
+        return res
 
     # ------------------------------------------------------------ hyperopt
 

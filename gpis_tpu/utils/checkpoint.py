@@ -22,7 +22,10 @@ _FORMAT_VERSION = 1
 
 
 def save_model(path: str, model, *, factor: bool = True) -> None:
-    """Save a GPModel or DerivGPModel (joint normals model)."""
+    """Save a GPModel, DerivGPModel (joint normals), or ShardedGPModel."""
+    if hasattr(model, "mesh"):
+        _save_sharded(path, model)
+        return
     joint = hasattr(model, "normals")
     meta = {
         "format": _FORMAT_VERSION,
@@ -51,11 +54,60 @@ def save_model(path: str, model, *, factor: bool = True) -> None:
     np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
 
+def _save_sharded(path: str, model) -> None:
+    meta = {
+        "format": _FORMAT_VERSION,
+        "kernel": model.kernel,
+        "n0": model.n0,
+        "dtype": str(np.dtype(model.dtype)),
+        "sharded": True,
+        "n_devices": int(model.mesh.shape["row"]),
+        "block": int(model.block),
+    }
+    np.savez_compressed(
+        path, meta=json.dumps(meta),
+        x=np.asarray(model.x), y=np.asarray(model.y), noise=np.asarray(model.noise),
+        l=np.asarray(model.l), w=np.asarray(model.w), alpha=np.asarray(model.alpha),
+        param_lengthscale=np.asarray(model.params["lengthscale"]),
+        param_signal_variance=np.asarray(model.params["signal_variance"]),
+    )
+
+
+def _load_sharded(d, meta):
+    import jax
+
+    from gpis_tpu.gp.sharded_model import ShardedGPModel
+    from gpis_tpu.parallel import mesh as pm
+
+    n = meta["n_devices"]
+    if len(jax.devices()) < n:
+        raise RuntimeError(
+            f"checkpoint was fit on {n} devices; only {len(jax.devices())} visible"
+        )
+    mesh = pm.make_row_mesh(n)
+    rs = pm.row_sharding(mesh)
+    params = {
+        "lengthscale": jnp.asarray(d["param_lengthscale"]),
+        "signal_variance": jnp.asarray(d["param_signal_variance"]),
+    }
+    return ShardedGPModel(
+        kernel=meta["kernel"], x=jnp.asarray(d["x"]), y=jnp.asarray(d["y"]),
+        noise=jnp.asarray(d["noise"]),
+        params=params,
+        l=jax.device_put(jnp.asarray(d["l"]), rs),
+        w=jax.device_put(jnp.asarray(d["w"]), rs),
+        alpha=jnp.asarray(d["alpha"]),
+        mesh=mesh, block=meta["block"], n0=int(meta["n0"]),
+    )
+
+
 def load_model(path: str):
     d = np.load(path, allow_pickle=False)
     meta = json.loads(str(d["meta"]))
     if meta["format"] != _FORMAT_VERSION:
         raise ValueError(f"unsupported checkpoint format {meta['format']}")
+    if meta.get("sharded"):
+        return _load_sharded(d, meta)
     params = {
         "lengthscale": jnp.asarray(d["param_lengthscale"]),
         "signal_variance": jnp.asarray(d["param_signal_variance"]),

@@ -111,6 +111,15 @@ function draw(){
     ctx.closePath();ctx.fillStyle=col;ctx.globalAlpha=0.85;ctx.fill();
   }
   ctx.globalAlpha=1;
+  for(const ch of D.charts){
+    ctx.strokeStyle='#66ff99';ctx.lineWidth=1.5;ctx.beginPath();
+    for(let k=0;k<=16;k++){
+      const t=k/16*2*Math.PI;
+      const p=[0,1,2].map(d=>ch.center[d]+ch.radius*(Math.cos(t)*ch.u[d]+Math.sin(t)*ch.v[d]));
+      const q=proj(p); k?ctx.lineTo(q[0],q[1]):ctx.moveTo(q[0],q[1]);
+    }
+    ctx.stroke();
+  }
   if(D.path.length){ctx.strokeStyle='#ffdd00';ctx.lineWidth=3;ctx.beginPath();
     D.path.forEach((p,i)=>{const q=proj(p);i?ctx.lineTo(q[0],q[1]):ctx.moveTo(q[0],q[1]);});
     ctx.stroke();}

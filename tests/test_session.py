@@ -180,3 +180,78 @@ def test_session_sharded_mesh():
     # update is explicitly unsupported for now.
     with pytest.raises(NotImplementedError):
         sess.update(np.array([[1.5, 0.0, 0.0]]))
+
+
+def test_service_extended_endpoints(tmp_path):
+    """/mesh, /save, /stats endpoints of the HTTP shim."""
+    from gpis_tpu.api.service import make_server
+
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.7, noise_surface=1e-5,
+                      n_external=16, block=32)
+    sess = ObjectModelSession(cfg)
+    srv = make_server(sess, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def call(path, payload=None):
+            url = f"http://127.0.0.1:{port}{path}"
+            if payload is None:
+                with urllib.request.urlopen(url, timeout=60) as r:
+                    return json.loads(r.read())
+            req = urllib.request.Request(
+                url, json.dumps(payload).encode(), {"Content-Type": "application/json"}
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())
+
+        pts = gpis.fibonacci_sphere(60, radius=0.5).tolist()
+        assert call("/start", {"points": pts})["ok"]
+        stats = call("/stats")
+        assert stats["fit_s"] > 0
+        mesh = call("/mesh?resolution=16")
+        assert len(mesh["verts"]) > 50 and len(mesh["faces"]) > 20
+        ck = str(tmp_path / "srv_model.npz")
+        assert call("/save", {"path": ck})["ok"]
+        sess2 = ObjectModelSession.load(ck)
+        m, _ = sess2.query(np.array([[0.0, 0.0, 0.0]]))
+        assert m[0] < -0.5
+    finally:
+        srv.shutdown()
+
+
+def test_export_exploration(tmp_path):
+    """Chart + path HTML export from a partial scan."""
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.7, noise_surface=1e-5,
+                      n_external=16, block=32)
+    ecfg = ExploreConfig(max_charts=8, n_disc_samples=8, variance_threshold=0.3)
+    sess = ObjectModelSession(cfg, ecfg)
+    pts, _ = synthetic.partial_sphere_cloud(100, radius=0.5, cap_cos=0.0, seed=2)
+    sess.start(pts)
+    out = str(tmp_path / "exp.html")
+    res = sess.export_exploration(out, resolution=16)
+    html = open(out).read()
+    assert '"charts"' in html and len(res.charts) >= 1
+    assert '"center"' in html  # chart payload made it into the viewer
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    import jax as _jax
+
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from gpis_tpu.config import MeshConfig
+
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.6, noise_surface=1e-4, n_external=32)
+    sess = ObjectModelSession(cfg, mesh=MeshConfig(n_devices=8, block=64))
+    pts = gpis.fibonacci_sphere(480, radius=0.5)
+    sess.start(pts)
+    q = np.array([[0.0, 0.0, 0.0], [0.5, 0.0, 0.0]])
+    m1, v1 = sess.query(q)
+    p = str(tmp_path / "sharded.npz")
+    sess.save(p)
+    sess2 = ObjectModelSession.load(p)
+    assert hasattr(sess2.model, "mesh")
+    m2, v2 = sess2.query(q)
+    np.testing.assert_allclose(m1, m2, atol=1e-6)
+    np.testing.assert_allclose(v1, v2, atol=1e-6)
