@@ -278,16 +278,37 @@ class ObjectModelSession:
     # ------------------------------------------------------------ hyperopt
 
     def optimize_hyperparameters(self, **kw):
-        """MLL optimization (config 3) in place; refits with the optimum."""
+        """MLL optimization (config 3) in place; refits with the optimum.
+        Dispatches to the joint objective when the model carries normals."""
         self._require_model()
         m = self.model
-        res = ho.optimize(
-            m.kernel, m.x, m.y, m.noise, m.params,
-            n_real=m.n0, **kw,
-        )
-        self.model = gpr.fit_padded(
-            m.kernel, m.x, m.y, res.noise, res.params, n0=m.n0
-        )
+        if hasattr(m, "mesh"):
+            raise NotImplementedError(
+                "hyperopt on the sharded model is not implemented yet; "
+                "optimize on a single-chip subsample first"
+            )
+        if hasattr(m, "normals"):
+            from gpis_tpu.gp import derivative as gpd
+
+            kw.pop("learn_noise", None)
+            kw.pop("learn_signal", None)
+            res = ho.optimize_joint(
+                m.kernel, m.x, m.y, m.normals, m.noise_f, m.noise_g,
+                m.params, n_real=m.n0, **kw,
+            )
+            self.model = gpd.fit_with_normals(
+                m.kernel, m.x, m.y, m.normals, m.noise_f, m.noise_g,
+                res.params, block=self.config.block,
+                pad_noise=self.config.pad_noise,
+            )
+        else:
+            res = ho.optimize(
+                m.kernel, m.x, m.y, m.noise, m.params,
+                n_real=m.n0, **kw,
+            )
+            self.model = gpr.fit_padded(
+                m.kernel, m.x, m.y, res.noise, res.params, n0=m.n0
+            )
         log.info("hyperopt: mll=%.4f lengthscale=%.4f", res.mll,
                  float(res.params["lengthscale"]))
         return res

@@ -6,8 +6,9 @@
     gpis explore model.npz [--max-charts 64]
     gpis update model.npz touch.xyz -o model.npz
     gpis hyperopt cloud.ply -o model.npz
+    gpis explore-viz model.npz -o viewer.html
     gpis serve model.npz --port 8731
-    gpis bench  (forwards to the repo bench harness)
+    gpis bench [n_surface]   (TPU headline benchmark, one JSON line)
 """
 
 from __future__ import annotations
@@ -94,6 +95,14 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=150)
     _add_model_args(p)
 
+    p = sub.add_parser("explore-viz", help="export mesh+charts+path HTML viewer")
+    p.add_argument("model")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--resolution", type=int, default=32)
+
+    p = sub.add_parser("bench", help="run the TPU headline benchmark (one JSON line)")
+    p.add_argument("n_surface", nargs="?", type=int, default=None)
+
     p = sub.add_parser("serve", help="serve the JSON API")
     p.add_argument("model", nargs="?", help="optional checkpoint to preload")
     p.add_argument("--host", default="127.0.0.1")
@@ -170,6 +179,20 @@ def main(argv=None):
         sess.save(args.output)
         print(f"mll={res.mll:.4f} lengthscale={float(res.params['lengthscale']):.4f} "
               f"-> {args.output}")
+
+    elif args.cmd == "explore-viz":
+        sess = _load_session(args.model)
+        res = sess.export_exploration(args.output, resolution=args.resolution)
+        print(f"viewer with {len(res.charts)} charts + {len(res.path)}-pose path "
+              f"-> {args.output}")
+
+    elif args.cmd == "bench":
+        import runpy
+        import pathlib
+
+        bench = pathlib.Path(__file__).resolve().parents[2] / "bench.py"
+        sys.argv = ["bench.py"] + ([str(args.n_surface)] if args.n_surface else [])
+        runpy.run_path(str(bench), run_name="__main__")
 
     elif args.cmd == "serve":
         from gpis_tpu.api.service import serve

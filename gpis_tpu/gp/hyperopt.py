@@ -20,7 +20,7 @@ import optax
 
 from gpis_tpu.gp import regression as gpr
 
-__all__ = ["optimize", "HyperoptResult"]
+__all__ = ["optimize", "optimize_joint", "HyperoptResult"]
 
 
 class HyperoptResult(dict):
@@ -107,3 +107,67 @@ def optimize(
         history=history,
         mll=-float(best_val),
     )
+
+
+def optimize_joint(
+    kernel: str,
+    xp,
+    yp,
+    normals,
+    noise_f,
+    noise_g,
+    init_params,
+    *,
+    n_real: int,
+    steps: int = 100,
+    learning_rate: float = 0.05,
+) -> HyperoptResult:
+    """MLL hyperparameter optimization for the joint (value + normals)
+    system — config 3 applied to the config 2 model.  Lengthscale only
+    (noise scales of two observation families are left fixed; learning them
+    jointly is under-determined on typical scans)."""
+    from gpis_tpu.kernels import derivative as kd
+    from gpis_tpu.linalg import cholesky as lin_mod
+
+    dt = xp.dtype
+    yj = kd.joint_targets(yp, normals)
+    theta0 = {"log_ls": jnp.log(jnp.asarray(init_params["lengthscale"], dt))}
+
+    def loss(theta):
+        params = {
+            "lengthscale": jnp.exp(theta["log_ls"]),
+            "signal_variance": jnp.asarray(init_params["signal_variance"], dt),
+        }
+        k = kd.joint_gram_reference(kernel, xp, params, noise_f=noise_f, noise_g=noise_g)
+        l = jnp.linalg.cholesky(k)
+        alpha = lin_mod.cho_solve(l, yj)
+        return (
+            0.5 * jnp.dot(yj, alpha)
+            + jnp.sum(jnp.log(jnp.diagonal(l)))
+            + 0.5 * yj.shape[0] * jnp.log(2.0 * jnp.pi)
+        )
+
+    opt = optax.adam(learning_rate)
+
+    @jax.jit
+    def step(theta, opt_state):
+        val, g = jax.value_and_grad(loss)(theta)
+        updates, opt_state = opt.update(g, opt_state, theta)
+        return optax.apply_updates(theta, updates), opt_state, val
+
+    theta = theta0
+    opt_state = opt.init(theta)
+    history = []
+    best_theta, best_val = theta, jnp.inf
+    for _ in range(steps):
+        theta, opt_state, val = step(theta, opt_state)
+        v = float(val)
+        history.append(-v)
+        if v < best_val:
+            best_theta, best_val = theta, v
+    params = {
+        "lengthscale": jnp.exp(best_theta["log_ls"]),
+        "signal_variance": jnp.asarray(init_params["signal_variance"], dt),
+    }
+    return HyperoptResult(params=params, noise=noise_f, history=history,
+                          mll=-float(best_val))

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from gpis_tpu.kernels import functions as kf
 from gpis_tpu.kernels.gram import pairwise_r2
 
-__all__ = ["joint_gram", "cross_cov_value", "cross_cov_grad", "joint_targets"]
+__all__ = ["joint_gram", "joint_gram_reference", "cross_cov_value", "cross_cov_grad", "joint_targets"]
 
 
 def _diff_r2(x, z):
@@ -39,6 +39,28 @@ def joint_gram(name: str, x, params, noise_f=None, noise_g=None):
     noise_f: per-point value-observation variance (C,) or scalar.
     noise_g: per-point gradient-observation variance (shared by the 3 dims).
     """
+    if not kf.supports_derivatives(name):
+        raise ValueError(f"kernel {name!r} does not support derivative observations")
+    c = x.shape[0]
+    dt = x.dtype
+    if c * c >= 1 << 22 and noise_f is not None:
+        # Large blocks on TPU: tiled Pallas assembly (no (C,C,3) broadcast
+        # intermediates; 13 unique block kernels).
+        try:
+            import jax
+
+            if jax.default_backend() == "tpu":
+                from gpis_tpu.kernels import pallas_deriv as pd
+
+                return pd.joint_gram_pallas(name, x, params, noise_f, noise_g)
+        except Exception:
+            pass
+    return joint_gram_reference(name, x, params, noise_f=noise_f, noise_g=noise_g)
+
+
+def joint_gram_reference(name: str, x, params, noise_f=None, noise_g=None):
+    """Pure-jnp joint Gram (always differentiable — the MLL path for models
+    with normal observations uses this form)."""
     if not kf.supports_derivatives(name):
         raise ValueError(f"kernel {name!r} does not support derivative observations")
     c = x.shape[0]
@@ -83,6 +105,19 @@ def joint_gram(name: str, x, params, noise_f=None, noise_g=None):
 def cross_cov_value(name: str, q, x, params):
     """cov(f(q), [f(x); grad f(x)]): (M, 4C) — the query row block for
     posterior evaluation of f."""
+    if q.shape[0] * x.shape[0] >= 1 << 22:
+        try:
+            import jax
+
+            if jax.default_backend() == "tpu":
+                from gpis_tpu.kernels import pallas_deriv as pd
+                from gpis_tpu.kernels import pallas_gram as pg
+
+                kqf = pg.cross_cov_pallas(name, q, x, params)
+                kqg = [pd.kfg_pallas(name, q, x, params, e) for e in range(3)]
+                return jnp.concatenate([kqf] + kqg, axis=1)
+        except Exception:
+            pass
     d, r2 = _diff_r2(q, x)
     kqf = kf.k_r2(name, r2, params)
     dk = kf.dk_dr2(name, r2, params)

@@ -54,3 +54,26 @@ def test_optimize_lbfgs(rng):
                       optimizer="lbfgs", learn_noise=False)
     mll0 = float(gpr.log_marginal_likelihood("rbf", xp, yp, np_, init))
     assert res.mll >= mll0
+
+
+def test_optimize_joint_recovers_lengthscale():
+    """Joint-system MLL (config 3 on config 2's model) through the session."""
+    from gpis_tpu.api.session import ObjectModelSession
+    from gpis_tpu.config import ModelConfig
+    from gpis_tpu.data import gpis as gpis_mod
+
+    pts = gpis_mod.fibonacci_sphere(60, radius=0.5)
+    normals = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    # Deliberately wrong initial lengthscale.
+    cfg = ModelConfig(kernel="rbf", lengthscale=3.0, noise_surface=1e-5,
+                      n_external=16, block=16)
+    sess = ObjectModelSession(cfg)
+    sess.start(pts, normals=normals)
+    mll0 = None
+    res = sess.optimize_hyperparameters(steps=60)
+    ls = float(res.params["lengthscale"])
+    assert 0.2 < ls < 2.5  # moved off the bad init toward data support
+    assert res.history[-1] >= res.history[0] - 1e-6
+    # The refit model still behaves like a GPIS.
+    mean, _ = sess.query(np.array([[0.0, 0.0, 0.0]]))
+    assert mean[0] < -0.5
