@@ -68,9 +68,11 @@ def main():
 
     # Separate programs: one jit holding gram+chol+solves+inverse together
     # peaks at ~33 GB of HLO temps on a 16 GB chip; split, XLA frees each
-    # program's temps before the next starts.
+    # program's temps before the next starts.  The factorization routes to
+    # blocked_cholesky (lin.cholesky dispatch) and the variance factor is
+    # W = L^{-1} via the blocked TRSM — both memory-bounded.
     fit_fn = jax.jit(lambda x, y, nz: gpr.fit_padded("rbf", x, y, nz, params, n0=c))
-    kinv_fn = jax.jit(gpr.with_inverse)
+    linv_fn = jax.jit(lambda m: gpr.with_linv(m, block=512))
     coords, axis = grid_mod.make_grid(res, 1.5, dtype=dtype)
     query_fn = jax.jit(
         lambda m, q: gpr.predict(m, q)
@@ -91,7 +93,7 @@ def main():
     # Warmup (compile) round.
     log("compiling...")
     t0 = time.perf_counter()
-    model = kinv_fn(fit_fn(xp, yp, noisep))
+    model = linv_fn(fit_fn(xp, yp, noisep))
     jax.block_until_ready(model.chol)
     mean, var = run_query(model)
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
@@ -99,8 +101,8 @@ def main():
 
     # Timed round (steady state).
     t0 = time.perf_counter()
-    model = kinv_fn(fit_fn(xp, yp, noisep))
-    jax.block_until_ready(model.kinv)
+    model = linv_fn(fit_fn(xp, yp, noisep))
+    jax.block_until_ready(model.linv)
     t_fit = time.perf_counter() - t0
 
     t0 = time.perf_counter()

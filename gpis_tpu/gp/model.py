@@ -54,6 +54,10 @@ class GPModel:
     # path from a triangular solve into two pure GEMMs — the right trade for
     # dense-grid queries (BASELINE config 4). None = use the solve path.
     kinv: jax.Array | None = None
+    # Optional precomputed L^{-1} (C, C): variance = k0 - ||W K*^T||^2 — one
+    # GEMM per chunk, half the flops of the kinv path and better
+    # conditioned. Preferred when present.
+    linv: jax.Array | None = None
 
     @property
     def capacity(self) -> int:

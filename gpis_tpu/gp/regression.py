@@ -35,6 +35,7 @@ from gpis_tpu.linalg import cholesky as lin
 __all__ = [
     "fit",
     "with_inverse",
+    "with_linv",
     "fit_padded",
     "predict",
     "predict_mean",
@@ -142,7 +143,10 @@ def predict(model: GPModel, q, *, precision=jax.lax.Precision.HIGHEST):
         return model.predict(q)
     kq = kg.cross_cov(model.kernel, q, model.x, model.params)  # (M, C)
     mean = jnp.dot(kq, model.alpha, precision=precision)
-    if model.kinv is not None:
+    if model.linv is not None:
+        v = jnp.dot(model.linv, kq.T, precision=precision)  # (C, M) GEMM
+        quad = jnp.sum(v * v, axis=0)
+    elif model.kinv is not None:
         t = jnp.dot(kq, model.kinv, precision=precision)  # (M, C) GEMM
         quad = jnp.sum(kq * t, axis=1)
     else:
@@ -160,6 +164,13 @@ def with_inverse(model: GPModel) -> GPModel:
     amortized over any number of dense-grid queries."""
     eye = jnp.eye(model.capacity, dtype=model.dtype)
     return dataclasses.replace(model, kinv=lin.cho_solve(model.chol, eye))
+
+
+def with_linv(model: GPModel, *, block: int = 512) -> GPModel:
+    """Attach W = L^{-1} (blocked TRSM) — the preferred dense-grid variance
+    path: one GEMM per query chunk, memory-bounded at any size."""
+    b = block if model.capacity % block == 0 else model.capacity
+    return dataclasses.replace(model, linv=lin.blocked_linv(model.chol, b))
 
 
 def predict_mean(model: GPModel, q):

@@ -27,6 +27,7 @@ __all__ = [
     "cholesky",
     "blocked_cholesky",
     "blocked_cholesky_ad",
+    "blocked_linv",
     "solve_lower",
     "solve_lower_t",
     "cho_solve",
@@ -136,6 +137,35 @@ def _blocked_chol_bwd(block, l, lbar):
 
 
 blocked_cholesky_ad.defvjp(_blocked_chol_fwd, _blocked_chol_bwd)
+
+
+def blocked_linv(l, block: int = 512, *, precision=None):
+    """W = L^{-1} by a right-looking blocked TRSM (single-chip mirror of
+    `gpis_tpu.linalg.sharded.sharded_linv`): memory = L + W + one panel,
+    avoiding XLA's triangular-solve expansion temps at large n.
+
+        S := I
+        for block row j: W_j = Ljj^{-1} S[j] ; S[below] -= L[:, j] W_j
+    """
+    precision = precision or lax.Precision.HIGHEST
+    n = l.shape[0]
+    if n % block != 0:
+        raise ValueError(f"matrix size {n} must be a multiple of block {block}")
+    nb = n // block
+    dt = l.dtype
+    row_ids = jnp.arange(n)[:, None]
+
+    def body(j, s):
+        j0 = j * block
+        sj = lax.dynamic_slice(s, (j0, 0), (block, n))
+        ljj = lax.dynamic_slice(l, (j0, j0), (block, block))
+        wj = lax.linalg.triangular_solve(ljj, sj, left_side=True, lower=True)
+        l_col = lax.dynamic_slice(l, (0, j0), (n, block))
+        below = (row_ids[:, 0] >= j0 + block).astype(dt)[:, None]
+        s = s - jnp.dot(l_col * below, wj, precision=precision)
+        return lax.dynamic_update_slice(s, wj, (j0, 0))
+
+    return lax.fori_loop(0, nb, body, jnp.eye(n, dtype=dt))
 
 
 def solve_lower(l, b):

@@ -183,3 +183,15 @@ def test_batched_sharded_over_objects(rng):
     mean_b, _ = gpb.predict_batch(bm, q)
     assert mean_b.shape == (8, 8)
     assert np.isfinite(np.asarray(mean_b)).all()
+
+
+def test_linv_variance_path_matches_solve(rng):
+    """W = L^{-1} GEMM variance path == triangular-solve path."""
+    x, y, noise, params, _ = _fixture(rng, n=50)
+    model = gpr.fit("rbf", x, y, noise, params, block=64, touch_capacity=64)
+    ml = gpr.with_linv(model, block=64)
+    q = jnp.asarray(rng.normal(size=(30, 3)))
+    m1, v1 = gpr.predict(model, q)
+    m2, v2 = gpr.predict(ml, q)
+    np.testing.assert_allclose(m2, m1, atol=1e-10)
+    np.testing.assert_allclose(v2, v1, atol=1e-9)

@@ -63,3 +63,10 @@ def test_cholesky_dispatch_small():
     """Small matrices stay on the XLA path regardless of backend."""
     a = jnp.eye(64) * 2.0
     np.testing.assert_allclose(lin.cholesky(a), jnp.sqrt(2.0) * jnp.eye(64), atol=1e-12)
+
+
+def test_blocked_linv(rng):
+    a = _spd(rng, 256)
+    l = jnp.linalg.cholesky(a)
+    w = lin.blocked_linv(l, 64)
+    np.testing.assert_allclose(np.asarray(w @ l), np.eye(256), atol=1e-9)
