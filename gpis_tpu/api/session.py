@@ -116,6 +116,7 @@ class ObjectModelSession:
                 cfg.kernel, ts.x, ts.y, ts.noise, params,
                 n_devices=self.mesh_config.n_devices,
                 block=self.mesh_config.block, pad_noise=cfg.pad_noise,
+                touch_capacity=cfg.touch_capacity,
             )
         else:
             self.model = gpr.fit(
@@ -207,10 +208,15 @@ class ObjectModelSession:
         low touch noise) and refit incrementally."""
         self._require_model()
         if hasattr(self.model, "mesh"):
-            raise NotImplementedError(
-                "incremental update on the sharded model is not implemented "
-                "yet; refit with start() including the touch points"
+            pts = self.frame.to_normalized(
+                jnp.asarray(np.asarray(touch_points_world, self.config.dtype))
             )
+            y = (jnp.zeros(pts.shape[0], pts.dtype) if targets is None
+                 else jnp.asarray(targets, pts.dtype))
+            self.model = self.model.update(pts, y, self.config.noise_touch)
+            log.info("update(sharded): +%d touch points (total %d)",
+                     pts.shape[0], self.model.n_touch)
+            return self
         pts = self.frame.to_normalized(
             jnp.asarray(np.asarray(touch_points_world, self.config.dtype))
         )

@@ -39,6 +39,12 @@ class ShardedGPModel:
     block: int
     n0: int
 
+    # Touch slots filled so far (host-side counter; slots live in the last
+    # device's row band so incremental updates refactor one band only).
+    n_touch: int = 0
+    # Number of real (non-padding) training rows from the initial fit.
+    n_real: int = 0
+
     @property
     def capacity(self) -> int:
         return self.x.shape[0]
@@ -46,6 +52,41 @@ class ShardedGPModel:
     @property
     def dtype(self):
         return self.x.dtype
+
+    def update(self, new_x, new_y, new_noise) -> "ShardedGPModel":
+        """Incremental tactile update (reference §4.5, distributed): write
+        the touch points into tail-band slots and refactor only the last
+        row band via the sharded bordering update."""
+        p = self.mesh.shape["row"]
+        c = self.capacity
+        band = c // p
+        rest = c - band
+        k_new = int(np.asarray(new_x).shape[0])
+        # Touch slots begin after the real rows, but never before the tail
+        # band (the bordering update refactors the tail band only).
+        start = max(self.n_real, rest) + self.n_touch
+        if start + k_new > c:
+            raise ValueError(
+                f"touch batch {k_new} exceeds remaining tail-band capacity "
+                f"{c - start} (band size {band})"
+            )
+        dt = self.dtype
+        x = self.x.at[start : start + k_new].set(jnp.asarray(new_x, dt))
+        y = self.y.at[start : start + k_new].set(jnp.asarray(new_y, dt))
+        floor = 4.0 * float(jnp.finfo(dt).eps) * c * abs(
+            float(kf.k_diag0(self.kernel, self.params))
+        )
+        nz = jnp.maximum(jnp.broadcast_to(jnp.asarray(new_noise, dt), (k_new,)), floor)
+        noise = self.noise.at[start : start + k_new].set(nz)
+
+        l_new, w_new = sh.sharded_update_tail(
+            self.kernel, self.params, x, noise, self.l, self.w, self.mesh
+        )
+        alpha = sh.sharded_alpha_from_linv(w_new, y, self.mesh)
+        return dataclasses.replace(
+            self, x=x, y=y, noise=noise, l=l_new, w=w_new, alpha=alpha,
+            n_touch=self.n_touch + k_new,
+        )
 
     # Session-facing prediction API (GPModel-compatible shape).
     def predict(self, q, *, precision=None):
@@ -70,6 +111,7 @@ def fit_sharded(
     *,
     n_devices: int | None = None,
     block: int = 256,
+    touch_capacity: int = 0,
     pad_noise: float = 1e10,
     dtype=None,
     jitter: float | None = None,
@@ -80,8 +122,11 @@ def fit_sharded(
     p = mesh.shape["row"]
     dtype = dtype or jnp.asarray(x).dtype
     n = x.shape[0]
-    # Capacity: multiple of devices x block.
-    c = round_up(n, p * block)
+    # Capacity: multiple of devices x block, with touch slots guaranteed to
+    # fit in the LAST device's band (see ShardedGPModel.update).
+    c = round_up(n + touch_capacity, p * block)
+    while c - max(n, c - c // p) < touch_capacity:
+        c += p * block
     xp = jnp.zeros((c, 3), dtype).at[:n].set(jnp.asarray(x, dtype))
     yp = jnp.zeros((c,), dtype).at[:n].set(jnp.asarray(y, dtype))
     np_ = jnp.full((c,), pad_noise, dtype).at[:n].set(
@@ -107,5 +152,5 @@ def fit_sharded(
     alpha = sh.sharded_alpha_from_linv(w, yp, mesh)
     return ShardedGPModel(
         kernel=kernel, x=xp, y=yp, noise=np_, params=params,
-        l=l, w=w, alpha=alpha, mesh=mesh, block=block, n0=c,
+        l=l, w=w, alpha=alpha, mesh=mesh, block=block, n0=c, n_real=n,
     )

@@ -49,6 +49,7 @@ __all__ = [
     "sharded_solve_lower_t_vec",
     "sharded_cho_solve_vec",
     "sharded_predict",
+    "sharded_update_tail",
 ]
 
 
@@ -366,6 +367,74 @@ def sharded_predict_linv(name: str, q, x, params, alpha, w, mesh, *, axis: str =
         out_specs=(P(axis), P(axis)),
     )
     return fn(q, x, alpha, w)
+
+
+# ------------------------------------------------- sharded bordering update
+
+
+def sharded_update_tail(name: str, params, x, noise, l, w, mesh, *, axis: str = "row"):
+    """Refactor the LAST row band of the sharded Cholesky factor and W after
+    its training rows changed (tactile update, reference §4.5).
+
+    Preconditions: only rows in the last device's band [rest, C) changed
+    (touch slots are placed there by `gpis_tpu.gp.sharded_model`); leading
+    rows untouched.  Uses W11 = L11^{-1} (the unchanged leading block of W)
+    so the bordering solve is pure GEMMs:
+
+        L21 = K21 W11^T     (each device contributes its W-band's columns,
+                             one all_gather assembles the tail rows)
+        L22 = chol(K22 - L21 L21^T)            (local to the last device)
+        W21 = -L22^{-1} (L21 W11)              (psum of band partials)
+        W22 = L22^{-1}
+
+    Returns (l_new, w_new) with the same shardings."""
+    c = l.shape[0]
+    p = mesh.shape[axis]
+    band = c // p
+    rest = c - band
+    dt = l.dtype
+
+    def body(x_full, noise_full, l_loc, w_loc):
+        me = lax.axis_index(axis)
+        last = p - 1
+        x_tail = x_full[rest:]
+
+        kt = kg.cross_cov(name, x_tail, x_full, params)  # (band, C)
+        l21_cols = jnp.dot(kt, w_loc.T, precision=lax.Precision.HIGHEST)
+        l21_cols = jnp.where(me == last, jnp.zeros_like(l21_cols), l21_cols)
+
+        gathered = lax.all_gather(l21_cols, axis)  # (p, band, band)
+        l21 = jnp.moveaxis(gathered, 0, 1).reshape(band, c)
+
+        k22 = kg.cross_cov(name, x_tail, x_tail, params)
+        k22 = jnp.where(
+            jnp.eye(band, dtype=bool),
+            kf.k_diag0(name, params).astype(dt) + noise_full[rest:],
+            k22,
+        )
+        s = k22 - jnp.dot(l21, l21.T, precision=lax.Precision.HIGHEST)
+        l22 = jnp.linalg.cholesky(s)
+
+        part = jnp.dot(l21_cols, w_loc, precision=lax.Precision.HIGHEST)
+        t = lax.psum(part, axis)
+        w21 = -lax.linalg.triangular_solve(l22, t, left_side=True, lower=True)
+        w22 = lax.linalg.triangular_solve(
+            l22, jnp.eye(band, dtype=dt), left_side=True, lower=True
+        )
+        w_tail = lax.dynamic_update_slice(w21, w22, (0, rest))
+        l_tail = lax.dynamic_update_slice(l21, l22, (0, rest))
+
+        l_new = jnp.where(me == last, l_tail, l_loc)
+        w_new = jnp.where(me == last, w_tail, w_loc)
+        return l_new, w_new
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None)),
+    )
+    return fn(x, jnp.broadcast_to(jnp.asarray(noise, dt), (c,)), l, w)
 
 
 # --------------------------------------------------------- sharded query

@@ -63,6 +63,8 @@ def _save_sharded(path: str, model) -> None:
         "sharded": True,
         "n_devices": int(model.mesh.shape["row"]),
         "block": int(model.block),
+        "n_touch": int(model.n_touch),
+        "n_real": int(model.n_real),
     }
     np.savez_compressed(
         path, meta=json.dumps(meta),
@@ -98,6 +100,7 @@ def _load_sharded(d, meta):
         w=jax.device_put(jnp.asarray(d["w"]), rs),
         alpha=jnp.asarray(d["alpha"]),
         mesh=mesh, block=meta["block"], n0=int(meta["n0"]),
+        n_touch=int(meta.get("n_touch", 0)), n_real=int(meta.get("n_real", 0)),
     )
 
 

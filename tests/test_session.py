@@ -177,9 +177,14 @@ def test_session_sharded_mesh():
     verts, _, _ = sess.extract_surface(resolution=24, extent=1.3)
     r = np.linalg.norm(verts - np.array([1.0, 0.0, 0.0]), axis=1)
     assert abs(np.mean(r) - 0.5) < 0.02
-    # update is explicitly unsupported for now.
-    with pytest.raises(NotImplementedError):
-        sess.update(np.array([[1.5, 0.0, 0.0]]))
+    # Incremental update on the sharded model (distributed bordering):
+    # touch an off-surface spot where the posterior is genuinely uncertain.
+    t = np.array([[1.8, 0.0, 0.0]])
+    _, v0 = sess.query(t)
+    sess.update(t)
+    _, v1 = sess.query(t)
+    assert v1[0] < v0[0] * 0.5
+    assert sess.model.n_touch == 1
 
 
 def test_service_extended_endpoints(tmp_path):

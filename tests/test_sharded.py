@@ -113,3 +113,50 @@ def test_sharded_predict_paths(mesh, problem):
     mean2, var2 = sh.sharded_predict("rbf", q, x, params, alpha, kinv_sh, mesh)
     np.testing.assert_allclose(np.asarray(mean2), np.asarray(mean_ref), atol=1e-8)
     np.testing.assert_allclose(np.asarray(var2), np.asarray(var_ref), atol=1e-7)
+
+
+def test_sharded_update_matches_refit(mesh):
+    """Distributed bordering update == full sharded refit with the touches."""
+    from gpis_tpu.gp import sharded_model as gsm
+
+    rng = np.random.default_rng(11)
+    n = 900
+    x = jnp.asarray(rng.normal(size=(n, 3)))
+    x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+    y = jnp.asarray(rng.normal(size=n) * 0.2)
+    params = kf.kernel_params(0.7, 1.0)
+
+    m = gsm.fit_sharded("rbf", x, y, 1e-4, params, mesh=mesh, block=32,
+                        touch_capacity=64, jitter=0.0)
+    tx = jnp.asarray(rng.normal(size=(10, 3)))
+    tx = tx / jnp.linalg.norm(tx, axis=1, keepdims=True)
+    m2 = m.update(tx, jnp.zeros(10), 1e-5)
+    tx2 = jnp.asarray(rng.normal(size=(6, 3)) * 0.9)
+    m3 = m2.update(tx2, jnp.zeros(6), 1e-5)
+    assert m3.n_touch == 16
+
+    # Reference: refit from scratch on the union (same noise floor logic).
+    q = jnp.asarray(rng.normal(size=(64, 3)))
+    mean_u, var_u = m3.predict(q)
+
+    floor = 4.0 * float(jnp.finfo(m.dtype).eps) * m.capacity
+    xa = jnp.concatenate([x, tx, tx2])
+    ya = jnp.concatenate([y, jnp.zeros(16)])
+    na = jnp.concatenate([jnp.full((n,), 1e-4), jnp.full((16,), max(1e-5, floor))])
+    mr = gsm.fit_sharded("rbf", xa, ya, na, params, mesh=mesh, block=32,
+                         touch_capacity=48, jitter=0.0)
+    mean_r, var_r = mr.predict(q)
+    np.testing.assert_allclose(np.asarray(mean_u), np.asarray(mean_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_u), np.asarray(var_r), atol=1e-6)
+
+
+def test_sharded_update_overflow(mesh):
+    from gpis_tpu.gp import sharded_model as gsm
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(500, 3)))
+    m = gsm.fit_sharded("rbf", x, jnp.zeros(500), 1e-4,
+                        kf.kernel_params(0.8, 1.0), mesh=mesh, block=32,
+                        touch_capacity=8)
+    with pytest.raises(ValueError, match="tail-band"):
+        m.update(jnp.zeros((200, 3)), jnp.zeros(200), 1e-5)
