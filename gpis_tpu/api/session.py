@@ -73,9 +73,12 @@ class ObjectModelSession:
         cfg = self.config
         if cfg.voxel_leaf > 0:
             if normals is not None:
-                raise ValueError("voxel downsampling with normals is not supported; "
-                                 "downsample the cloud (and normals) beforehand")
-            points = voxel.voxel_downsample(points, cfg.voxel_leaf).astype(cfg.dtype)
+                points, normals = voxel.voxel_downsample_with_normals(
+                    points, normals, cfg.voxel_leaf
+                )
+                points = points.astype(cfg.dtype)
+            else:
+                points = voxel.voxel_downsample(points, cfg.voxel_leaf).astype(cfg.dtype)
         ts = gpis.build_training_set(points, cfg)
         self.training = ts
         self.frame = ts.frame

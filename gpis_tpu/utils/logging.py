@@ -44,3 +44,4 @@ def enable_json_logs(stream=None) -> None:
     h = logging.StreamHandler(stream or sys.stderr)
     h.setFormatter(_JsonFormatter())
     root.addHandler(h)
+    root.setLevel(logging.INFO)

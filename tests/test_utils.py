@@ -1,0 +1,86 @@
+"""Utils subsystem tests: profiling timers, structured logging, voxel filter
+with normals (SURVEY.md §6 aux subsystems)."""
+
+import json
+import logging
+
+import numpy as np
+
+from gpis_tpu.data import voxel
+from gpis_tpu.utils import profiling
+from gpis_tpu.utils.logging import enable_json_logs, get_logger
+
+
+def test_timer_stages():
+    t = profiling.Timer()
+    with t.stage("a"):
+        sum(range(1000))
+    with t.stage("b"):
+        pass
+    with t.stage("a"):  # accumulates
+        pass
+    d = json.loads(t.json())
+    assert set(d) == {"a", "b"}
+    assert d["a"] >= 0 and d["b"] >= 0
+
+
+def test_timed_contextmanager():
+    out = {}
+    with profiling.timed("x", out):
+        sum(range(100))
+    assert out["x"] > 0
+
+
+def test_trace_noop():
+    with profiling.trace(None):
+        pass  # no log dir: must be a clean no-op
+
+
+def test_json_logging(capsys):
+    import io
+
+    buf = io.StringIO()
+    enable_json_logs(buf)
+    log = get_logger("test")
+    log.info("hello %d", 42)
+    entry = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert entry["msg"] == "hello 42"
+    assert entry["level"] == "INFO"
+    # Restore default handler for other tests.
+    root = logging.getLogger("gpis_tpu")
+    for h in list(root.handlers):
+        root.removeHandler(h)
+
+
+def test_voxel_with_normals(rng):
+    pts = np.array([[0.0, 0, 0], [0.02, 0, 0], [1.0, 1, 1]])
+    nrm = np.array([[1.0, 0, 0], [0.0, 1, 0], [0, 0, 1.0]])
+    p2, n2 = voxel.voxel_downsample_with_normals(pts, nrm, 0.1)
+    assert p2.shape == (2, 3) and n2.shape == (2, 3)
+    np.testing.assert_allclose(np.linalg.norm(n2, axis=1), 1.0, atol=1e-12)
+    # Merged cell normal is the renormalized mean of (1,0,0) and (0,1,0).
+    i = int(np.argmin(p2[:, 0]))
+    np.testing.assert_allclose(n2[i], [np.sqrt(0.5), np.sqrt(0.5), 0.0], atol=1e-12)
+
+
+def test_voxel_with_normals_cancellation():
+    pts = np.array([[0.0, 0, 0], [0.01, 0, 0]])
+    nrm = np.array([[1.0, 0, 0], [-1.0, 0, 0]])  # cancel exactly
+    p2, n2 = voxel.voxel_downsample_with_normals(pts, nrm, 0.1)
+    assert len(p2) == 1
+    np.testing.assert_allclose(np.abs(n2[0]), [1.0, 0, 0])  # falls back, unit
+
+
+def test_session_voxel_with_normals():
+    from gpis_tpu.api.session import ObjectModelSession
+    from gpis_tpu.config import ModelConfig
+    from gpis_tpu.data import gpis
+
+    pts = gpis.fibonacci_sphere(300, radius=0.5)
+    nrm = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.8, noise_surface=1e-5,
+                      n_external=16, block=32, voxel_leaf=0.08)
+    sess = ObjectModelSession(cfg).start(pts, normals=nrm)
+    assert sess.training.n_surface < 300  # actually downsampled
+    mean, _ = sess.query(np.array([[0.0, 0.0, 0.0], [0.5, 0.0, 0.0]]))
+    assert mean[0] < -0.5 and abs(mean[1]) < 0.05
