@@ -31,6 +31,7 @@ from gpis_tpu.gp.model import GPModel, round_up
 from gpis_tpu.kernels import functions as kf
 from gpis_tpu.kernels import gram as kg
 from gpis_tpu.linalg import cholesky as lin
+from gpis_tpu.linalg.matmul import matmul as _mm
 
 __all__ = [
     "fit",
@@ -142,12 +143,12 @@ def predict(model: GPModel, q, *, precision=jax.lax.Precision.HIGHEST):
     if hasattr(model, "mesh"):  # ShardedGPModel: distributed query paths
         return model.predict(q)
     kq = kg.cross_cov(model.kernel, q, model.x, model.params)  # (M, C)
-    mean = jnp.dot(kq, model.alpha, precision=precision)
+    mean = _mm(kq, model.alpha, precision=precision)
     if model.linv is not None:
-        v = jnp.dot(model.linv, kq.T, precision=precision)  # (C, M) GEMM
+        v = _mm(model.linv, kq.T, precision=precision)  # (C, M) GEMM
         quad = jnp.sum(v * v, axis=0)
     elif model.kinv is not None:
-        t = jnp.dot(kq, model.kinv, precision=precision)  # (M, C) GEMM
+        t = _mm(kq, model.kinv, precision=precision)  # (M, C) GEMM
         quad = jnp.sum(kq * t, axis=1)
     else:
         v = lin.solve_lower(model.chol, kq.T)  # (C, M)

@@ -70,3 +70,39 @@ def test_blocked_linv(rng):
     l = jnp.linalg.cholesky(a)
     w = lin.blocked_linv(l, 64)
     np.testing.assert_allclose(np.asarray(w @ l), np.eye(256), atol=1e-9)
+
+
+def test_matmul_bf16x3_accuracy(rng):
+    """3-pass bf16 split ~= f32-quality matmul (vs f64 reference)."""
+    from gpis_tpu.linalg.matmul import matmul_bf16x3
+
+    a = jnp.asarray(rng.normal(size=(128, 256)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(256, 64)), jnp.float32)
+    ref = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+    got3 = np.asarray(matmul_bf16x3(a, b), np.float64)
+    got1 = np.asarray(
+        jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32), np.float64)
+    err3 = np.abs(got3 - ref).max() / np.abs(ref).max()
+    err1 = np.abs(got1 - ref).max() / np.abs(ref).max()
+    assert err3 < 5e-5, err3           # ~16-bit mantissa quality
+    assert err3 < err1 / 20            # far better than single-pass bf16
+
+
+def test_predict_bf16x3_precision_option(rng):
+    """predict(precision='bf16x3') stays close to the exact posterior."""
+    from gpis_tpu.data import gpis as gpis_mod
+    from gpis_tpu.gp import regression as gpr_mod
+    from gpis_tpu.kernels import functions as kf_mod
+
+    pts = jnp.asarray(gpis_mod.fibonacci_sphere(100, 1.0), jnp.float32)
+    params = {k: v.astype(jnp.float32)
+              for k, v in kf_mod.kernel_params(0.8, 1.0).items()}
+    m = gpr_mod.fit("rbf", pts, jnp.zeros(100, jnp.float32), 1e-4, params,
+                    block=32, touch_capacity=0)
+    m = gpr_mod.with_linv(m, block=32)
+    q = jnp.asarray(rng.normal(size=(50, 3)), jnp.float32)
+    mean_e, var_e = gpr_mod.predict(m, q)
+    mean_f, var_f = gpr_mod.predict(m, q, precision="bf16x3")
+    np.testing.assert_allclose(np.asarray(mean_f), np.asarray(mean_e), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(var_f), np.asarray(var_e), atol=2e-3)
