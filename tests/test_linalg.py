@@ -106,3 +106,35 @@ def test_predict_bf16x3_precision_option(rng):
     mean_f, var_f = gpr_mod.predict(m, q, precision="bf16x3")
     np.testing.assert_allclose(np.asarray(mean_f), np.asarray(mean_e), atol=2e-4)
     np.testing.assert_allclose(np.asarray(var_f), np.asarray(var_e), atol=2e-3)
+
+
+def test_pallas_blocked_cholesky(rng):
+    """Pallas panel-update pipeline == XLA cholesky (interpret mode on CPU)."""
+    from gpis_tpu.linalg.pallas_chol import pallas_blocked_cholesky
+
+    n = 512
+    a32 = np.asarray(_spd(rng, n), np.float32)
+    a = jnp.asarray(a32)
+    got = pallas_blocked_cholesky(a, block=256)
+    want = jnp.linalg.cholesky(a)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=5e-3)
+    # Reconstruction check is the stronger gate in f32.
+    rec = np.asarray(got) @ np.asarray(got).T
+    np.testing.assert_allclose(rec, a32, rtol=1e-4, atol=1e-3)
+
+
+def test_panel_update_pallas_matches_masked(rng):
+    from gpis_tpu.linalg.pallas_chol import panel_update_pallas
+
+    n, b = 512, 256
+    l = jnp.asarray(np.tril(rng.normal(size=(n, n))), jnp.float32)
+    # Zero unfinished columns like the factorization loop does.
+    j0 = 256
+    l = l * (np.arange(n) < j0)[None, :].astype(np.float32)
+    l_row = l[j0:j0 + b]
+    a_panel = jnp.asarray(rng.normal(size=(n, b)), jnp.float32)
+    got = panel_update_pallas(l, l_row, a_panel, j0, block=b)
+    want = a_panel - l @ l_row.T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
