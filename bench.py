@@ -32,6 +32,32 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _watchdog(seconds: float):
+    """The axon TPU tunnel can wedge indefinitely (device claim hangs); a
+    bench that never prints is worse than one that reports failure.  If the
+    deadline passes before `cancel()` is called, emit a JSON failure line
+    and hard-exit."""
+    import os
+    import threading
+
+    cancelled = threading.Event()
+
+    def fire():
+        if not cancelled.wait(seconds):
+            print(json.dumps({
+                "metric": "gpis fit+64^3 grid query wall-clock (watchdog)",
+                "value": -1.0,
+                "unit": "s",
+                "vs_baseline": 0.0,
+                "ok": False,
+                "error": f"device unresponsive for {seconds:.0f}s (TPU tunnel down?)",
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return cancelled.set
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -46,7 +72,14 @@ def main():
     n_surface = int(sys.argv[1]) if len(sys.argv) > 1 else 16256
     res = 64
     dtype = jnp.float32
+
+    # Liveness gate: one tiny op within 150s or report-and-exit.
+    cancel = _watchdog(150.0)
+    probe = jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    cancel()
     log(f"backend={jax.default_backend()} n_surface={n_surface} grid={res}^3")
+    # Main run guarded by a generous envelope (compiles included).
+    _watchdog(3000.0)
 
     cfg = ModelConfig(kernel="rbf", lengthscale=0.4, noise_surface=1e-3,
                       n_external=127, n_internal=1, block=128, touch_capacity=0)
