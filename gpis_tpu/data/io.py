@@ -23,9 +23,11 @@ _PLY_TYPES = {
 
 
 def load_cloud(path: str):
-    """Load a cloud from .ply/.npz/.xyz/.txt. Returns (points, normals|None)."""
+    """Load a cloud from .ply/.pcd/.npz/.xyz/.txt. Returns (points, normals|None)."""
     if path.endswith(".ply"):
         return load_ply(path)
+    if path.endswith(".pcd"):
+        return load_pcd(path)
     if path.endswith(".npz"):
         d = np.load(path)
         pts = np.asarray(d["points"], np.float64)
@@ -35,6 +37,66 @@ def load_cloud(path: str):
     if data.shape[1] >= 6:
         return data[:, :3], data[:, 3:6]
     return data[:, :3], None
+
+
+def load_pcd(path: str):
+    """PCL .pcd reader (ascii and binary formats) — the reference's native
+    cloud format (SURVEY.md §1: clouds arrive via PCL)."""
+    with open(path, "rb") as f:
+        fields, sizes, types, counts = [], [], [], []
+        n_points = 0
+        data_mode = None
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError(f"{path}: truncated PCD header")
+            parts = line.decode("ascii", "replace").strip().split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            key = parts[0].upper()
+            if key == "FIELDS":
+                fields = [p.lower() for p in parts[1:]]
+            elif key == "SIZE":
+                sizes = [int(p) for p in parts[1:]]
+            elif key == "TYPE":
+                types = parts[1:]
+            elif key == "COUNT":
+                counts = [int(p) for p in parts[1:]]
+            elif key == "POINTS":
+                n_points = int(parts[1])
+            elif key == "DATA":
+                data_mode = parts[1].lower()
+                break
+        counts = counts or [1] * len(fields)
+        np_types = {("F", 4): "f4", ("F", 8): "f8", ("U", 1): "u1", ("U", 2): "u2",
+                    ("U", 4): "u4", ("I", 1): "i1", ("I", 2): "i2", ("I", 4): "i4"}
+        dtype = np.dtype([
+            (name if cnt == 1 else f"{name}_", f"<{np_types[(t, s)]}", (cnt,) if cnt > 1 else ())
+            for name, s, t, cnt in zip(fields, sizes, types, counts)
+        ])
+        if data_mode == "ascii":
+            rows = np.loadtxt(f, max_rows=n_points)
+            rows = rows.reshape(n_points, -1)
+            idx = {}
+            col = 0
+            for name, cnt in zip(fields, counts):
+                idx[name] = col
+                col += cnt
+            pts = rows[:, [idx["x"], idx["y"], idx["z"]]].astype(np.float64)
+            nrm = None
+            if all(k in idx for k in ("normal_x", "normal_y", "normal_z")):
+                nrm = rows[:, [idx["normal_x"], idx["normal_y"], idx["normal_z"]]].astype(np.float64)
+            return pts, nrm
+        if data_mode == "binary":
+            raw = np.frombuffer(f.read(dtype.itemsize * n_points), dtype=dtype,
+                                count=n_points)
+            pts = np.stack([raw["x"], raw["y"], raw["z"]], axis=1).astype(np.float64)
+            nrm = None
+            if all(k in dtype.names for k in ("normal_x", "normal_y", "normal_z")):
+                nrm = np.stack([raw["normal_x"], raw["normal_y"], raw["normal_z"]],
+                               axis=1).astype(np.float64)
+            return pts, nrm
+        raise ValueError(f"unsupported PCD data mode {data_mode!r} (ascii/binary only)")
 
 
 def load_ply(path: str):
