@@ -260,3 +260,21 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     m2, v2 = sess2.query(q)
     np.testing.assert_allclose(m1, m2, atol=1e-6)
     np.testing.assert_allclose(v1, v2, atol=1e-6)
+
+
+@pytest.mark.parametrize("kernel,ls", [("thin_plate", 4.0), ("inverse_multiquadric", 0.7),
+                                       ("laplace", 0.7)])
+def test_session_all_kernels_e2e(kernel, ls):
+    """Every covariance function drives the full session loop."""
+    cfg = ModelConfig(kernel=kernel, lengthscale=ls, noise_surface=1e-5,
+                      n_external=24, block=32)
+    sess = ObjectModelSession(cfg)
+    pts = gpis.fibonacci_sphere(150, radius=0.5) + np.array([0.5, 0.5, 0.5])
+    sess.start(pts)
+    mean, var = sess.query(np.array([[0.5, 0.5, 0.5], [1.0, 0.5, 0.5]]))
+    assert mean[0] < -0.5 and abs(mean[1]) < 0.1
+    verts, _, _ = sess.extract_surface(resolution=24, extent=1.3)
+    r = np.linalg.norm(verts - np.array([0.5, 0.5, 0.5]), axis=1)
+    assert abs(np.mean(r) - 0.5) < 0.03
+    sess.update(np.array([[1.0, 0.5, 0.5]]))
+    assert int(sess.model.n_touch) == 1
