@@ -31,7 +31,7 @@ def _add_model_args(p):
 
 
 def _config_from_args(args):
-    from gpis_tpu.config import ModelConfig, config_from_dict, load_config
+    from gpis_tpu.config import config_from_dict, load_config
 
     if args.config:
         model_cfg, explore_cfg, mesh_cfg = load_config(args.config)

@@ -72,6 +72,14 @@ class ModelConfig:
 
     def __post_init__(self):
         if self.kernel not in _KERNELS:
+            # Registered custom kernels are accepted too (C1 extension point).
+            try:
+                from gpis_tpu.kernels.functions import _REGISTRY
+
+                if self.kernel in _REGISTRY:
+                    return
+            except ImportError:
+                pass
             raise ValueError(f"unknown kernel {self.kernel!r}; expected one of {_KERNELS}")
 
 

@@ -23,7 +23,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from gpis_tpu.kernels import functions as kf
-from gpis_tpu.kernels.gram import pairwise_r2
 
 __all__ = ["joint_gram", "joint_gram_reference", "cross_cov_value", "cross_cov_grad", "joint_targets"]
 

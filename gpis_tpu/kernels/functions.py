@@ -37,6 +37,8 @@ import jax.numpy as jnp
 
 __all__ = [
     "KERNEL_NAMES",
+    "register_kernel",
+    "unregister_kernel",
     "kernel_params",
     "k_r2",
     "dk_dr2",
@@ -48,6 +50,27 @@ __all__ = [
 KERNEL_NAMES = ("rbf", "thin_plate", "laplace", "inverse_multiquadric")
 
 Params = Mapping[str, Any]
+
+# User-registered covariance functions (the reference's kernel-functor
+# extension point, SURVEY.md §3 C1: "one small struct per kernel").  Each
+# entry: dict with k_r2, k_diag0, and optional dk_dr2 / d2k_dr2 callables,
+# all taking (r2_or_nothing, params).
+_REGISTRY: dict[str, dict] = {}
+
+
+def register_kernel(name: str, *, k_r2, k_diag0, dk_dr2=None, d2k_dr2=None):
+    """Register a custom covariance function usable everywhere a built-in
+    kernel name is (fit, session, Pallas tiles — the tile kernels call the
+    same functions).  Derivative observations require dk_dr2 and d2k_dr2."""
+    if name in KERNEL_NAMES:
+        raise ValueError(f"cannot shadow built-in kernel {name!r}")
+    _REGISTRY[name] = {
+        "k_r2": k_r2, "k_diag0": k_diag0, "dk_dr2": dk_dr2, "d2k_dr2": d2k_dr2,
+    }
+
+
+def unregister_kernel(name: str):
+    _REGISTRY.pop(name, None)
 
 
 def kernel_params(lengthscale=1.0, signal_variance=1.0) -> dict:
@@ -62,6 +85,8 @@ def supports_derivatives(name: str) -> bool:
     """Laplace is not differentiable at r=0, so normal observations are
     unsupported for it (matching the reference, which only forms derivative
     terms for its smooth kernels; SURVEY.md §3 C1)."""
+    if name in _REGISTRY:
+        return _REGISTRY[name]["dk_dr2"] is not None and _REGISTRY[name]["d2k_dr2"] is not None
     return name in ("rbf", "thin_plate", "inverse_multiquadric")
 
 
@@ -87,6 +112,8 @@ def k_r2(name: str, r2, params: Params):
         # zero at r=R, conditionally positive definite (needs noise jitter).
         r = _safe_sqrt(r2)
         return sv * (2.0 * r * r2 - 3.0 * ls * r2 + ls * ls * ls)
+    if name in _REGISTRY:
+        return _REGISTRY[name]["k_r2"](r2, params)
     raise ValueError(f"unknown kernel {name!r}")
 
 
@@ -100,6 +127,8 @@ def k_diag0(name: str, params: Params):
         return sv / ls
     if name == "thin_plate":
         return sv * ls * ls * ls
+    if name in _REGISTRY:
+        return jnp.asarray(_REGISTRY[name]["k_diag0"](params))
     raise ValueError(f"unknown kernel {name!r}")
 
 
@@ -119,6 +148,8 @@ def dk_dr2(name: str, r2, params: Params):
     if name == "laplace":
         r = _safe_sqrt(r2)
         return -0.5 * sv * jnp.exp(-r / ls) / (ls * r)
+    if name in _REGISTRY and _REGISTRY[name]["dk_dr2"] is not None:
+        return _REGISTRY[name]["dk_dr2"](r2, params)
     raise ValueError(f"unknown kernel {name!r}")
 
 
@@ -140,4 +171,6 @@ def d2k_dr2(name: str, r2, params: Params):
         return 0.75 * sv * (r2 + c2) ** (-2.5)
     if name == "thin_plate":
         return sv * 1.5 / _safe_sqrt(r2)
+    if name in _REGISTRY and _REGISTRY[name]["d2k_dr2"] is not None:
+        return _REGISTRY[name]["d2k_dr2"](r2, params)
     raise ValueError(f"kernel {name!r} does not support second derivatives")

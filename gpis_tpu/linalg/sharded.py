@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax import shard_map
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from gpis_tpu.kernels import functions as kf
 from gpis_tpu.kernels import gram as kg

@@ -64,3 +64,46 @@ def test_cross_cov_matches_oracle(rng):
     got = kg.cross_cov("rbf", q, x, params)
     want = oracle.k_r2("rbf", oracle.pairwise_r2(np.asarray(q), np.asarray(x)), LS, SV)
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_custom_kernel_registry(rng):
+    """C1 extension point: a registered kernel works through the full stack
+    (fit/predict and the Pallas tile kernels call the same function)."""
+    from gpis_tpu.gp import regression as gpr
+
+    def matern32_k(r2, params):
+        ls, sv = params["lengthscale"], params["signal_variance"]
+        r = jnp.sqrt(jnp.maximum(r2, 1e-30))
+        a = jnp.sqrt(3.0) * r / ls
+        return sv * (1.0 + a) * jnp.exp(-a)
+
+    kf.register_kernel("matern32", k_r2=matern32_k,
+                       k_diag0=lambda p: p["signal_variance"])
+    try:
+        x = jnp.asarray(rng.normal(size=(40, 3)))
+        y = jnp.asarray(rng.normal(size=40) * 0.1)
+        params = kf.kernel_params(0.9, 1.2)
+        m = gpr.fit("matern32", x, y, 1e-4, params, block=32, touch_capacity=0)
+        q = jnp.asarray(rng.normal(size=(10, 3)))
+        mean, var = gpr.predict(m, q)
+        assert np.isfinite(np.asarray(mean)).all()
+        assert np.all(np.asarray(var) >= -1e-9)
+        # Posterior interpolates with small noise.
+        mean_x, _ = gpr.predict(m, x)
+        np.testing.assert_allclose(np.asarray(mean_x), np.asarray(y), atol=0.05)
+        # The pallas tile path sees it too (interpret mode).
+        from gpis_tpu.kernels import pallas_gram as pg
+
+        p32 = {k: v.astype(jnp.float32) for k, v in params.items()}
+        g1 = pg.cross_cov_pallas("matern32", q.astype(jnp.float32),
+                                 x.astype(jnp.float32), p32)
+        g2 = kg.cross_cov("matern32", q.astype(jnp.float32),
+                          x.astype(jnp.float32), p32)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+        # Config accepts it; derivative obs are refused (no dk supplied).
+        from gpis_tpu.config import ModelConfig
+
+        ModelConfig(kernel="matern32")
+        assert not kf.supports_derivatives("matern32")
+    finally:
+        kf.unregister_kernel("matern32")

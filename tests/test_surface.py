@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from gpis_tpu.config import ModelConfig
-from gpis_tpu.data import gpis, synthetic
+from gpis_tpu.data import gpis
 from gpis_tpu.gp import regression as gpr
 from gpis_tpu.kernels import functions as kf
 from gpis_tpu.surface import grid, marching, projection

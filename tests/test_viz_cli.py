@@ -10,7 +10,6 @@ import pytest
 from gpis_tpu.cli.main import main as cli_main
 from gpis_tpu.config import config_from_dict, load_config
 from gpis_tpu.data import gpis
-from gpis_tpu.data.io import load_ply
 from gpis_tpu.viz import export
 
 
