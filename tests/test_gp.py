@@ -195,3 +195,21 @@ def test_linv_variance_path_matches_solve(rng):
     m2, v2 = gpr.predict(ml, q)
     np.testing.assert_allclose(m2, m1, atol=1e-10)
     np.testing.assert_allclose(v2, v1, atol=1e-9)
+
+
+def test_reset_touches(rng):
+    """Clearing touch slots returns the posterior to its pre-touch state."""
+    x, y, noise, params, _ = _fixture(rng, n=60)
+    m0 = gpr.fit("rbf", x, y, noise, params, block=64, touch_capacity=64)
+    q = jnp.asarray(rng.normal(size=(20, 3)))
+    mean0, var0 = gpr.predict(m0, q)
+
+    m1 = gpr.update(m0, jnp.asarray(rng.normal(size=(5, 3))), jnp.zeros(5), 1e-6)
+    mean1, _ = gpr.predict(m1, q)
+    assert np.abs(np.asarray(mean1 - mean0)).max() > 1e-8  # touches had effect
+
+    m2 = gpr.reset_touches(m1)
+    assert int(m2.n_touch) == 0
+    mean2, var2 = gpr.predict(m2, q)
+    np.testing.assert_allclose(np.asarray(mean2), np.asarray(mean0), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var2), np.asarray(var0), atol=1e-8)
