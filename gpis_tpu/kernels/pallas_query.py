@@ -1,0 +1,119 @@
+"""Fused posterior-query Pallas kernel (speed-of-light dense-grid path).
+
+`predict` with W = L^{-1} does: assemble kq = K(Q,X) (HBM write+read), then
+mean = kq @ alpha and v = W kq^T, quad = colsum(v^2).  This kernel fuses all
+of it: each (TI, TC) tile of W meets a (TQ, TC) tile of kq that is
+*generated in VMEM* from the coordinate vectors — the cross-covariance never
+exists in HBM.  Per query chunk the only HBM traffic is W itself (read
+once) plus O(M) outputs.
+
+    grid (M/TQ, C/TI, C/TC), c innermost:
+      r2/kq tile from per-dim coordinate broadcasts (VPU)
+      v_scratch (TI, TQ) accumulates W_tile @ kq^T over c     (MXU)
+      at the last c-tile: quad[mq] += colsum(v^2)
+      mean[mq] accumulates kq @ alpha on the i==0 plane
+
+Returns (mean (M,), quad (M,)); var = k(0) - quad at the caller.  Validated
+against the linv predict path in tests (interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gpis_tpu.kernels import functions as kf
+from gpis_tpu.kernels.pallas_gram import _coord_split, _interpret
+
+__all__ = ["fused_query_pallas"]
+
+_TQ = 256
+_TI = 256
+_TC = 256
+
+
+def _kernel(q0, q1, q2, x0, x1, x2, w_ref, alpha_ref, ls_ref, sv_ref,
+            mean_ref, quad_ref, v_scr, *, name):
+    i = pl.program_id(1)
+    c = pl.program_id(2)
+    nc = pl.num_programs(2)
+
+    d0 = q0[...] - x0[...]
+    d1 = q1[...] - x1[...]
+    d2 = q2[...] - x2[...]
+    r2 = d0 * d0 + d1 * d1 + d2 * d2
+    params = {"lengthscale": ls_ref[0, 0], "signal_variance": sv_ref[0, 0]}
+    kq = kf.k_r2(name, r2, params)  # (TQ, TC)
+
+    @pl.when(c == 0)
+    def _():
+        v_scr[...] = jnp.zeros_like(v_scr)
+
+    v_scr[...] += jax.lax.dot_general(
+        w_ref[...], kq,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(v_scr.dtype)  # (TI, TQ)
+
+    @pl.when(i == 0)
+    def _():
+        @pl.when(c == 0)
+        def _():
+            mean_ref[...] = jnp.zeros_like(mean_ref)
+            quad_ref[...] = jnp.zeros_like(quad_ref)
+
+        mean_ref[...] += jax.lax.dot_general(
+            kq, alpha_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(mean_ref.dtype).T  # (1, TQ)
+
+    @pl.when(c == nc - 1)
+    def _():
+        quad_ref[...] += jnp.sum(v_scr[...] * v_scr[...], axis=0)[None, :].astype(
+            quad_ref.dtype
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("name",))
+def fused_query_pallas(name: str, q, x, params, alpha, w):
+    """(mean, quad) at queries q (M,3); w = L^{-1} (C,C); alpha (C,)."""
+    m, c = q.shape[0], x.shape[0]
+    dt = q.dtype
+    if c % _TI or c % _TC:
+        raise ValueError(f"capacity {c} must be a multiple of {max(_TI, _TC)}")
+    qc, _ = _coord_split(q.astype(dt), _TQ)
+    _, xr = _coord_split(x.astype(dt), _TC)
+    mp = qc[0].shape[0]
+    ls = jnp.asarray(params["lengthscale"], dt).reshape(1, 1)
+    sv = jnp.asarray(params["signal_variance"], dt).reshape(1, 1)
+    alpha_row = jnp.asarray(alpha, dt)[None, :]  # (1, C)
+
+    grid = (mp // _TQ, c // _TI, c // _TC)
+    mean, quad = pl.pallas_call(
+        functools.partial(_kernel, name=name),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, mp), dt),
+            jax.ShapeDtypeStruct((1, mp), dt),
+        ),
+        grid=grid,
+        in_specs=[
+            *[pl.BlockSpec((_TQ, 1), lambda mq, i, cc: (mq, 0), memory_space=pltpu.VMEM)] * 3,
+            *[pl.BlockSpec((1, _TC), lambda mq, i, cc: (0, cc), memory_space=pltpu.VMEM)] * 3,
+            pl.BlockSpec((_TI, _TC), lambda mq, i, cc: (i, cc), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TC), lambda mq, i, cc: (0, cc), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda mq, i, cc: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda mq, i, cc: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _TQ), lambda mq, i, cc: (0, mq), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TQ), lambda mq, i, cc: (0, mq), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((_TI, _TQ), jnp.float32)],
+        interpret=_interpret(),
+    )(*qc, *xr, w, alpha_row, ls, sv)
+    return mean[0, :m], quad[0, :m]

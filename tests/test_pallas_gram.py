@@ -52,3 +52,26 @@ def test_gram_pallas_f64(rng):
     got = pg.gram_pallas("rbf", x, params, noise)
     want = kg.gram("rbf", x, params, noise=noise)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+
+
+def test_fused_query_pallas(rng):
+    """Fused assemble+GEMM query kernel == linv predict path."""
+    from gpis_tpu.gp import regression as gpr
+    from gpis_tpu.kernels.pallas_query import fused_query_pallas
+
+    n = 256
+    x = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=n) * 0.2, jnp.float32)
+    params = {k: v.astype(jnp.float32) for k, v in kf.kernel_params(0.8, 1.0).items()}
+    m = gpr.fit("rbf", x, y, 1e-3, params, block=128, touch_capacity=0)
+    m = gpr.with_linv(m, block=128)
+    q = jnp.asarray(rng.normal(size=(100, 3)), jnp.float32)
+
+    mean_ref, var_ref = gpr.predict(m, q)
+    mean, quad = fused_query_pallas("rbf", q, m.x, m.params, m.alpha, m.linv)
+    var = float(kf.k_diag0("rbf", m.params)) - quad
+    # f32 agreement: alpha entries are O(1e2) (noise 1e-3), so the fused
+    # kernel's different summation order shows at the ~1e-3 absolute level.
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
+                               rtol=2e-3, atol=1e-3)
