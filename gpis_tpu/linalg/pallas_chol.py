@@ -61,19 +61,21 @@ def _panel_kernel(j0_ref, l_ref, lrow_ref, apanel_ref, out_ref):
 def panel_update_pallas(l, l_row, a_panel, j0, *, block: int):
     """A_panel - L[:, :j0] @ L_row[:, :j0]^T with k-tile skipping.
 
-    l: (n, n) current factor; l_row: (block, n) rows [j0, j0+B) of l;
-    a_panel: (n, block) column panel of A; j0: traced scalar."""
-    n = l.shape[0]
-    if n % _TN or n % _TK or block > _TN:
+    l: (nr, nc) current factor rows (nr == nc single-chip; nr = local band
+    in the sharded case); l_row: (block, nc) rows [j0, j0+B) of l (already
+    broadcast in the sharded case); a_panel: (nr, block); j0: traced scalar
+    — the contraction runs over columns < j0."""
+    nr, nc = l.shape
+    if nr % _TN or nc % _TK or block > _TN:
         # Shapes outside the tiling contract: fall back to the masked matmul.
-        cols = jnp.arange(n) < j0
+        cols = jnp.arange(nc) < j0
         l_done = l * cols[None, :].astype(l.dtype)
         lr = l_row * cols[None, :].astype(l.dtype)
         return a_panel - jnp.dot(l_done, lr.T, precision=lax.Precision.HIGHEST)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n // _TN, n // _TK),
+        grid=(nr // _TN, nc // _TK),
         in_specs=[
             pl.BlockSpec((_TN, _TK), lambda i, k, j: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, _TK), lambda i, k, j: (0, k), memory_space=pltpu.VMEM),
@@ -85,7 +87,7 @@ def panel_update_pallas(l, l_row, a_panel, j0, *, block: int):
     )
     return pl.pallas_call(
         _panel_kernel,
-        out_shape=jax.ShapeDtypeStruct((n, block), a_panel.dtype),
+        out_shape=jax.ShapeDtypeStruct((nr, block), a_panel.dtype),
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(jnp.asarray([j0], jnp.int32), l, l_row, a_panel)

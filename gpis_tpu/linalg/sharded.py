@@ -98,11 +98,15 @@ def _bcast_from(value, owner, axis):
     return lax.psum(jnp.where(me == owner, value, jnp.zeros_like(value)), axis)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "axis", "mesh"))
+@functools.partial(jax.jit, static_argnames=("block", "axis", "mesh", "use_pallas"))
 def sharded_cholesky(a, mesh, *, block: int = 256, axis: str = "row",
-                     precision=lax.Precision.HIGHEST):
+                     precision=lax.Precision.HIGHEST, use_pallas: bool = False):
     """Lower Cholesky of a row-band-sharded SPD matrix. Returns L with the
-    same sharding. a: (C, C) sharded P(axis, None)."""
+    same sharding. a: (C, C) sharded P(axis, None).
+
+    use_pallas: run each panel's trailing update through the k-tile-skipping
+    Pallas kernel (linalg.pallas_chol) instead of the masked full-width
+    matmul — same math, skips the masked-out half of the contraction."""
     c = a.shape[0]
     p = mesh.shape[axis]
     rows_per = c // p
@@ -136,12 +140,17 @@ def sharded_cholesky(a, mesh, *, block: int = 256, axis: str = "row",
 
             # Column panel j update for all local rows.
             a_panel = lax.dynamic_slice(l_loc, (0, j0), (rows_per, block))
-            upd = lax.dot_general(
-                l_done, row_j,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                precision=precision,
-            )  # (rows_per, block) = L_loc[:, :j0] @ row_j[:, :j0]^T
-            a_panel = a_panel - upd
+            if use_pallas:
+                from gpis_tpu.linalg.pallas_chol import panel_update_pallas
+
+                a_panel = panel_update_pallas(l_loc, row_j, a_panel, j0, block=block)
+            else:
+                upd = lax.dot_general(
+                    l_done, row_j,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=precision,
+                )  # (rows_per, block) = L_loc[:, :j0] @ row_j[:, :j0]^T
+                a_panel = a_panel - upd
 
             # Diagonal block (owner computes, all compute identically after bcast).
             s_mine = lax.dynamic_slice(a_panel, (lrow, 0), (block, block))
@@ -166,7 +175,10 @@ def sharded_cholesky(a, mesh, *, block: int = 256, axis: str = "row",
         # diagonal are already zeroed per panel; nothing else to do).
         return l_loc
 
-    fn = shard_map(body, mesh=mesh, in_specs=(P(axis, None),), out_specs=P(axis, None))
+    # check_vma=False: pallas_call outputs inside shard_map have no varying
+    # annotation in jax 0.9; the body is manifestly per-device correct.
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis, None),),
+                   out_specs=P(axis, None), check_vma=not use_pallas)
     return fn(a)
 
 

@@ -160,3 +160,18 @@ def test_sharded_update_overflow(mesh):
                         touch_capacity=8)
     with pytest.raises(ValueError, match="tail-band"):
         m.update(jnp.zeros((200, 3)), jnp.zeros(200), 1e-5)
+
+
+@pytest.mark.slow
+def test_sharded_cholesky_pallas_panels(mesh):
+    """use_pallas=True (k-tile-skipping panel updates) matches the matmul
+    variant. C sized so the panel kernel's tiling contract holds per band."""
+    rng = np.random.default_rng(5)
+    c = 2048
+    x = jnp.asarray(rng.normal(size=(c, 3)), jnp.float32)
+    noise = jnp.full((c,), 1e-2, jnp.float32)
+    params = {k: v.astype(jnp.float32) for k, v in kf.kernel_params(0.8, 1.0).items()}
+    a = sh.sharded_gram("rbf", x, params, noise, mesh)
+    l1 = sh.sharded_cholesky(a, mesh, block=256)
+    l2 = sh.sharded_cholesky(a, mesh, block=256, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=1e-4, atol=1e-4)
