@@ -115,6 +115,14 @@ def main():
         t = timeit(fn, reps)
         emit("query_gemm", "linv-bf16x3", t, tflops=round(3 * qflops / t / 1e12, 2))
 
+    # fused streaming kernel (assembly + mean + quad in one pass)
+    from gpis_tpu.kernels.pallas_query import fused_query_pallas
+
+    alpha = jnp.zeros((n,), dt)
+    fn = jax.jit(lambda: fused_query_pallas("rbf", q, x, params, alpha, w))
+    t = timeit(fn, reps)
+    emit("query_fused", "pallas", t, tflops=round(qflops / t / 1e12, 2))
+
     # solve-path variance for reference (small rep count: can be slow)
     fn = jax.jit(lambda: lax.linalg.triangular_solve(l, kq.T, left_side=True, lower=True))
     t = timeit(fn, 1)

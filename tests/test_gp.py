@@ -213,3 +213,37 @@ def test_reset_touches(rng):
     mean2, var2 = gpr.predict(m2, q)
     np.testing.assert_allclose(np.asarray(mean2), np.asarray(mean0), atol=1e-8)
     np.testing.assert_allclose(np.asarray(var2), np.asarray(var0), atol=1e-8)
+
+
+@pytest.mark.slow
+def test_random_parity_sweep(rng):
+    """Property sweep: random kernels/hyperparams/clouds stay at the 1e-6
+    oracle-parity bar (SURVEY.md §5 item 5 broadened)."""
+    kernels = ["rbf", "inverse_multiquadric", "laplace", "thin_plate"]
+    for trial in range(12):
+        name = kernels[trial % 4]
+        n = int(rng.integers(20, 90))
+        x = jnp.asarray(rng.normal(size=(n, 3)))
+        y = jnp.asarray(rng.normal(size=n) * 0.3)
+        if name == "thin_plate":
+            # Conditionally PD: R must exceed the diameter and the noise has
+            # to absorb the O(1) indefiniteness (same regime the reference's
+            # YAML configs live in).
+            diam = float(np.linalg.norm(
+                np.asarray(x)[:, None] - np.asarray(x)[None, :], axis=-1).max())
+            ls = diam * float(rng.uniform(1.5, 2.5))
+            noise = jnp.asarray(rng.uniform(1e-3, 1e-2, size=n))
+        else:
+            ls = float(rng.uniform(0.4, 1.5))
+            noise = jnp.asarray(rng.uniform(1e-5, 1e-2, size=n))
+        sv = float(rng.uniform(0.5, 2.0))
+        params = kf.kernel_params(ls, sv)
+        model = gpr.fit(name, x, y, noise, params, block=32, touch_capacity=32)
+        q = jnp.asarray(rng.normal(size=(15, 3)) * 1.3)
+        mean, var = gpr.predict(model, q)
+        om = oracle.fit(name, np.asarray(x), np.asarray(y), np.asarray(noise), ls, sv)
+        omean, ovar = oracle.predict(om, np.asarray(q))
+        np.testing.assert_allclose(np.asarray(mean), omean, atol=1e-6,
+                                   err_msg=f"trial {trial} {name} ls={ls:.2f}")
+        np.testing.assert_allclose(np.asarray(var), ovar, atol=1e-6,
+                                   err_msg=f"trial {trial} {name}")
