@@ -122,16 +122,25 @@ def load_ply(path: str):
             elif line[0] == b"end_header":
                 break
         names = [p[1] for p in props]
+        idx = {n: i for i, n in enumerate(names)}
         if fmt == "ascii":
             rows = np.loadtxt(f, max_rows=n_vertex).reshape(n_vertex, len(props))
         elif fmt == "binary_little_endian":
             fmt_str = "<" + "".join(_PLY_TYPES[t][0] for t, _ in props)
             size = struct.calcsize(fmt_str)
             buf = f.read(size * n_vertex)
+            # Native fast path: the C++ extractor parses the record buffer
+            # directly (SURVEY.md §3 C3: PLY fast path of the host runtime).
+            try:
+                from gpis_tpu.native import bindings as nb
+
+                if nb.available():
+                    return nb.ply_extract(buf, n_vertex, [t for t, _ in props], idx)
+            except Exception:
+                pass
             rows = np.array([struct.unpack_from(fmt_str, buf, i * size) for i in range(n_vertex)])
         else:
             raise ValueError(f"unsupported PLY format {fmt}")
-        idx = {n: i for i, n in enumerate(names)}
         pts = rows[:, [idx["x"], idx["y"], idx["z"]]].astype(np.float64)
         nrm = None
         if all(k in idx for k in ("nx", "ny", "nz")):

@@ -12,7 +12,7 @@ import pathlib
 
 import numpy as np
 
-__all__ = ["available", "voxel_downsample", "marching_tets"]
+__all__ = ["available", "voxel_downsample", "marching_tets", "ply_extract"]
 
 _LIB = None
 _TRIED = False
@@ -48,6 +48,13 @@ def _load():
     ]
     lib.gom_free.restype = None
     lib.gom_free.argtypes = [ctypes.c_void_p]
+    c_i32 = ctypes.POINTER(ctypes.c_int32)
+    lib.gom_ply_extract.restype = ctypes.c_int64
+    lib.gom_ply_extract.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, c_i32, c_i32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, c_d, c_d,
+    ]
     _LIB = lib
     return _LIB
 
@@ -96,3 +103,33 @@ def marching_tets(field: np.ndarray, axis_x, axis_y=None, axis_z=None,
     lib.gom_free(out_ptr)
     faces = np.arange(ntri * 3, dtype=np.int64).reshape(-1, 3)
     return buf, faces
+
+
+_PLY_KINDS = {"float": 0, "float32": 0, "double": 1, "float64": 1,
+              "uchar": 2, "uint8": 2, "char": 2, "int8": 2,
+              "short": 3, "ushort": 3, "int16": 3, "uint16": 3,
+              "int": 4, "int32": 4, "uint": 4, "uint32": 4}
+_PLY_SIZES = {0: 4, 1: 8, 2: 1, 3: 2, 4: 4}
+
+
+def ply_extract(buf: bytes, n_vertex: int, prop_types, idx):
+    """Extract xyz (+normals) from a binary-little-endian PLY vertex buffer.
+    prop_types: list of PLY type strings; idx: name->property index map."""
+    lib = _load()
+    kinds = np.asarray([_PLY_KINDS[t] for t in prop_types], np.int32)
+    sizes = np.asarray([_PLY_SIZES[k] for k in kinds], np.int32)
+    arr = np.frombuffer(buf, np.uint8)
+    pts = np.empty((n_vertex, 3), np.float64)
+    has_n = all(k in idx for k in ("nx", "ny", "nz"))
+    nrm = np.empty((n_vertex, 3), np.float64) if has_n else None
+    lib.gom_ply_extract(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_vertex,
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        kinds.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(prop_types), idx["x"], idx["y"], idx["z"],
+        idx.get("nx", -1), idx.get("ny", -1), idx.get("nz", -1),
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        (nrm.ctypes.data_as(ctypes.POINTER(ctypes.c_double)) if has_n
+         else ctypes.cast(None, ctypes.POINTER(ctypes.c_double))),
+    )
+    return pts, nrm

@@ -56,3 +56,22 @@ def test_marching_anisotropic_axes():
     assert len(v) > 100
     val = np.sqrt((v[:, 0] / 1.5) ** 2 + v[:, 1] ** 2 + v[:, 2] ** 2) - 0.8
     assert np.abs(val).max() < 0.05
+
+
+def test_ply_extract_binary(tmp_path, rng):
+    """Native binary-PLY fast path == the struct fallback."""
+    from gpis_tpu.data import io as io_mod
+
+    pts = rng.normal(size=(30, 3)).astype(np.float32)
+    nrm = rng.normal(size=(30, 3)).astype(np.float32)
+    p = str(tmp_path / "b.ply")
+    with open(p, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(b"element vertex 30\n")
+        for name in ("x", "y", "z", "nx", "ny", "nz"):
+            f.write(f"property float {name}\n".encode())
+        f.write(b"end_header\n")
+        f.write(np.concatenate([pts, nrm], axis=1).astype("<f4").tobytes())
+    p2, n2 = io_mod.load_ply(p)
+    np.testing.assert_allclose(p2, pts, atol=1e-6)
+    np.testing.assert_allclose(n2, nrm, atol=1e-6)
