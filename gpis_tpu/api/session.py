@@ -292,10 +292,36 @@ class ObjectModelSession:
         self._require_model()
         m = self.model
         if hasattr(m, "mesh"):
-            raise NotImplementedError(
-                "hyperopt on the sharded model is not implemented yet; "
-                "optimize on a single-chip subsample first"
+            # Sharded model: optimize the MLL on a single-chip subsample
+            # (hyperparameters are global; a few thousand points pin them),
+            # then refit the full sharded model with the optimum.
+            import jax.numpy as _jnp
+
+            sub = int(kw.pop("subsample", 2048))
+            n = m.n_real
+            step = max(1, n // sub)
+            xs = m.x[:n:step]
+            ys = m.y[:n:step]
+            ns = m.noise[:n:step]
+            sub_model = gpr.fit(m.kernel, xs, ys, ns, m.params,
+                                block=self.config.block, touch_capacity=0,
+                                pad_noise=self.config.pad_noise)
+            res = ho.optimize(
+                m.kernel, sub_model.x, sub_model.y, sub_model.noise,
+                m.params, n_real=xs.shape[0], **kw,
             )
+            from gpis_tpu.gp import sharded_model as gsm
+
+            noise_scale = res.noise[0] / sub_model.noise[0]
+            self.model = gsm.fit_sharded(
+                m.kernel, m.x[:n], m.y[:n], m.noise[:n] * noise_scale,
+                res.params, mesh=m.mesh, block=m.block,
+                touch_capacity=self.config.touch_capacity,
+                pad_noise=self.config.pad_noise,
+            )
+            log.info("hyperopt(sharded, %d-pt subsample): mll=%.4f ls=%.4f",
+                     xs.shape[0], res.mll, float(res.params["lengthscale"]))
+            return res
         if hasattr(m, "normals"):
             from gpis_tpu.gp import derivative as gpd
 

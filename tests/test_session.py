@@ -278,3 +278,22 @@ def test_session_all_kernels_e2e(kernel, ls):
     assert abs(np.mean(r) - 0.5) < 0.03
     sess.update(np.array([[1.0, 0.5, 0.5]]))
     assert int(sess.model.n_touch) == 1
+
+
+def test_sharded_hyperopt_subsample():
+    import jax as _jax
+
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from gpis_tpu.config import MeshConfig
+
+    cfg = ModelConfig(kernel="rbf", lengthscale=2.5, noise_surface=1e-4,
+                      n_external=32, block=32, touch_capacity=32)
+    sess = ObjectModelSession(cfg, mesh=MeshConfig(n_devices=8, block=32))
+    pts = gpis.fibonacci_sphere(600, radius=0.5)
+    sess.start(pts)
+    res = sess.optimize_hyperparameters(steps=40, subsample=256, learn_noise=False)
+    assert float(res.params["lengthscale"]) < 2.5  # moved off the bad init
+    assert hasattr(sess.model, "mesh")  # still sharded after refit
+    mean, _ = sess.query(np.array([[0.0, 0.0, 0.0]]))
+    assert mean[0] < -0.5
