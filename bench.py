@@ -123,10 +123,18 @@ def main():
         jax.block_until_ready(means[-1])
         return jnp.concatenate(means), jnp.concatenate(vars_)
 
-    # Warmup (compile) round.
+    # Warmup (compile) round, with a conditioning ladder: if the f32 factor
+    # comes back NaN (lambda_min < n*eps*||K||), escalate the noise x10 —
+    # the RMSE gate below still verifies surface quality at whatever level
+    # the ladder lands on.
     log("compiling...")
     t0 = time.perf_counter()
-    model = linv_fn(fit_fn(xp, yp, noisep))
+    for _ in range(4):
+        model = linv_fn(fit_fn(xp, yp, noisep))
+        if not bool(jnp.isnan(jnp.diagonal(model.chol)).any()):
+            break
+        log("NaN factor; escalating noise x10")
+        noisep = jnp.where(noisep < 1.0, noisep * 10.0, noisep)
     jax.block_until_ready(model.chol)
     mean, var = run_query(model)
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
