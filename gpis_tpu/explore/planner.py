@@ -26,7 +26,6 @@ from gpis_tpu.config import ExploreConfig
 from gpis_tpu.explore import atlas as atlas_mod
 from gpis_tpu.gp import regression as gpr
 from gpis_tpu.gp.model import GPModel
-from gpis_tpu.kernels import functions as kf
 from gpis_tpu.surface import projection
 
 __all__ = ["ExplorationResult", "next_best_path", "is_done"]
@@ -70,12 +69,11 @@ def next_best_path(
     cfg: ExploreConfig,
     *,
     seed_point=None,
-    rng: np.random.Generator | None = None,
 ) -> ExplorationResult:
     """Grow the atlas from a surface seed toward high variance and return the
-    next-best tactile path (reference `getNextBestPath`, §4.4)."""
-    rng = rng or np.random.default_rng(0)
-    prior = float(kf.k_diag0(model.kernel, model.params))
+    next-best tactile path (reference `getNextBestPath`, §4.4).  Deterministic:
+    candidate selection is argmax-variance (the reference's strategy), so
+    repeated calls on the same model yield the same path."""
 
     # Root chart: project the seed (default: the *surface-labeled* training
     # point with the highest posterior variance — internal/external label
