@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["sphere_cloud", "ellipsoid_cloud", "box_cloud", "partial_sphere_cloud", "sdf_sphere"]
+__all__ = ["sphere_cloud", "ellipsoid_cloud", "box_cloud", "partial_sphere_cloud", "torus_cloud", "sdf_sphere", "sdf_torus"]
 
 
 def _rng(seed):
@@ -61,3 +61,24 @@ def box_cloud(n: int, half=(0.6, 0.5, 0.4), seed: int = 0, dtype=np.float64):
 def sdf_sphere(q, radius: float = 1.0, center=(0.0, 0.0, 0.0)):
     """Ground-truth signed distance of a sphere (for surface-RMSE checks)."""
     return np.linalg.norm(np.asarray(q) - np.asarray(center), axis=-1) - radius
+
+
+def torus_cloud(n: int, R: float = 1.0, r: float = 0.35, seed: int = 0, dtype=np.float64):
+    """n points on a torus (major radius R, tube radius r) with outward
+    normals — a genus-1 surface that stresses isosurface extraction and the
+    implicit labeling (the internal -1 point sits OFF the surface's solid)."""
+    g = _rng(seed)
+    u = g.uniform(0, 2 * np.pi, n)
+    v = g.uniform(0, 2 * np.pi, n)
+    cx, sx = np.cos(u), np.sin(u)
+    pts = np.stack([(R + r * np.cos(v)) * cx, (R + r * np.cos(v)) * sx,
+                    r * np.sin(v)], axis=1)
+    nrm = np.stack([np.cos(v) * cx, np.cos(v) * sx, np.sin(v)], axis=1)
+    return pts.astype(dtype), nrm.astype(dtype)
+
+
+def sdf_torus(q, R: float = 1.0, r: float = 0.35):
+    """Signed distance of a torus."""
+    q = np.asarray(q)
+    qxy = np.linalg.norm(q[..., :2], axis=-1)
+    return np.sqrt((qxy - R) ** 2 + q[..., 2] ** 2) - r

@@ -122,3 +122,50 @@ def test_config5_sharded_fit_query():
     mean_ref, var_ref = gpr.predict(ref, q)
     np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), atol=1e-6)
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref), atol=1e-6)
+
+
+def test_torus_reconstruction():
+    """Genus-1 object. The reference's centroid-internal-point labeling
+    breaks here (the centroid sits in the torus HOLE — outside the solid),
+    and so does ours, faithfully.  The rebuild's fix: derivative (normal)
+    observations orient the surface without any internal label, and the
+    torus reconstructs."""
+    pts, nrm = synthetic.torus_cloud(1200, R=1.0, r=0.35, seed=3)
+    ls = 0.35
+
+    # Joint model: surface values + normals, NO internal point needed.
+    params = kf.kernel_params(ls, 1.0)
+    # Normalize like the session would (unit sphere), keeping normals valid
+    # (similarity transforms preserve directions).
+    from gpis_tpu.data.gpis import normalize_cloud
+
+    xn, frame = normalize_cloud(pts)
+    model = gpd.fit_with_normals(
+        "rbf", xn, jnp.zeros(len(pts)), jnp.asarray(nrm),
+        1e-5, 1e-4, kf.kernel_params(ls / float(frame.scale), 1.0), block=64,
+    )
+    mean, _, axis = grid_mod.evaluate_grid(model, 56, 1.2, chunk=8192)
+    verts, faces = marching.marching_tetrahedra(np.asarray(mean), np.asarray(axis))
+    assert len(verts) > 2000
+    w = np.asarray(frame.to_world(jnp.asarray(verts)))
+    sd = synthetic.sdf_torus(w, R=1.0, r=0.35)
+    assert np.abs(sd).mean() < 0.03
+    # Genus check by proxy: no surface verts in the hole's center column.
+    col = np.linalg.norm(w[:, :2], axis=1)
+    deep_hole = (col < 0.3) & (np.abs(w[:, 2]) < 0.2)
+    assert deep_hole.sum() == 0
+
+
+def test_duplicate_points_robustness(rng):
+    """Exactly duplicated points make K singular at tiny noise; the
+    auto-jitter ladder must still produce a usable fit."""
+    base = gpis.fibonacci_sphere(80, radius=1.0)
+    pts = np.concatenate([base, base[:40]])  # 40 exact duplicates
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.7, noise_surface=1e-8,
+                      n_external=16, block=32)
+    ts = gpis.build_training_set(pts, cfg)
+    params = kf.kernel_params(cfg.lengthscale, cfg.signal_variance)
+    model = gpr.fit(cfg.kernel, ts.x, ts.y, ts.noise, params,
+                    block=32, touch_capacity=0)
+    mean, var = gpr.predict(model, jnp.zeros((1, 3)))
+    assert np.isfinite(float(mean[0])) and float(mean[0]) < -0.5
