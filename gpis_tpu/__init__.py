@@ -23,15 +23,39 @@ __all__ = [
     "MeshConfig",
     "load_config",
     "ObjectModelSession",
+    "fit",
+    "predict",
+    "update",
+    "fit_with_normals",
+    "fit_sharded",
+    "kernel_params",
+    "register_kernel",
+    "build_training_set",
+    "load_cloud",
 ]
 __version__ = "0.1.0"
 
 
-def __getattr__(name):
-    # Lazy import: keep `import gpis_tpu` cheap and jax-import-order safe
-    # (tests must set platform env vars before jax initializes).
-    if name == "ObjectModelSession":
-        from gpis_tpu.api.session import ObjectModelSession
+_LAZY = {
+    "ObjectModelSession": ("gpis_tpu.api.session", "ObjectModelSession"),
+    "fit": ("gpis_tpu.gp.regression", "fit"),
+    "predict": ("gpis_tpu.gp.regression", "predict"),
+    "update": ("gpis_tpu.gp.regression", "update"),
+    "fit_with_normals": ("gpis_tpu.gp.derivative", "fit_with_normals"),
+    "fit_sharded": ("gpis_tpu.gp.sharded_model", "fit_sharded"),
+    "kernel_params": ("gpis_tpu.kernels.functions", "kernel_params"),
+    "register_kernel": ("gpis_tpu.kernels.functions", "register_kernel"),
+    "build_training_set": ("gpis_tpu.data.gpis", "build_training_set"),
+    "load_cloud": ("gpis_tpu.data.io", "load_cloud"),
+}
 
-        return ObjectModelSession
+
+def __getattr__(name):
+    # Lazy imports: keep `import gpis_tpu` cheap and jax-import-order safe
+    # (tests must set platform config before jax initializes a backend).
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
     raise AttributeError(name)

@@ -64,7 +64,7 @@ def make_server(session: ObjectModelSession, host: str = "127.0.0.1", port: int 
                         self._send(200, {"done": session.is_done()})
                     elif self.path == "/stats":
                         self._send(200, dict(session.stats))
-                    elif self.path.startswith("/mesh"):
+                    elif self.path == "/mesh" or self.path.startswith("/mesh?"):
                         from urllib.parse import parse_qs, urlparse
 
                         qs = parse_qs(urlparse(self.path).query)
