@@ -89,6 +89,9 @@ def main():
     emit("cholesky", "blocked512", t, tflops=round(flops / t / 1e12, 2))
     t = timeit(lambda: pallas_blocked_cholesky(g, 256), reps)
     emit("cholesky", "pallas256", t, tflops=round(flops / t / 1e12, 2))
+    if jax.default_backend() == "tpu":
+        t = timeit(lambda: lin.blocked_cholesky(g, 512, precision="bf16x3"), reps)
+        emit("cholesky", "blocked512-bf16x3", t, tflops=round(flops / t / 1e12, 2))
     if n < 8192:
         t = timeit(lambda: jnp.linalg.cholesky(g), reps)
         emit("cholesky", "xla", t, tflops=round(flops / t / 1e12, 2))

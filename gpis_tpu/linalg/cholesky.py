@@ -63,7 +63,10 @@ def blocked_cholesky(a, block: int = 256, *, precision=None):
 
     precision: matmul precision for the trailing updates; defaults to
     HIGHEST (full f32 on TPU — bf16-rounded updates can push an
-    ill-conditioned trailing block indefinite).
+    ill-conditioned trailing block indefinite).  The string "bf16x3"
+    selects the manual 3-pass split (linalg.matmul) — ~16-bit mantissa at
+    full MXU speed, enough when the jitter ladder keeps K well clear of
+    singular.
     """
     precision = precision or lax.Precision.HIGHEST
     n = a.shape[0]
@@ -83,7 +86,12 @@ def blocked_cholesky(a, block: int = 256, *, precision=None):
         mask = (col_idx < j0).astype(dt)[None, :]  # (1, n)
         l_done = l * mask  # (n, n) with only finished columns
         l_row = lax.dynamic_slice(l_done, (j0, 0), (block, n))  # (B, n)
-        a_panel = a_panel - jnp.dot(l_done, l_row.T, precision=precision)
+        if precision == "bf16x3":
+            from gpis_tpu.linalg.matmul import matmul_bf16x3
+
+            a_panel = a_panel - matmul_bf16x3(l_done, l_row.T)
+        else:
+            a_panel = a_panel - jnp.dot(l_done, l_row.T, precision=precision)
         # Diagonal block potrf.
         d = lax.dynamic_slice(a_panel, (j0, 0), (block, block))
         ld = jnp.linalg.cholesky(d)

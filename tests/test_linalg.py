@@ -138,3 +138,14 @@ def test_panel_update_pallas_matches_masked(rng):
     want = a_panel - l @ l_row.T
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_blocked_cholesky_bf16x3(rng):
+    """3-pass bf16 trailing updates keep the factor usable (reconstruction
+    at ~1e-4 relative) — the speed/precision middle ground for TPU."""
+    n = 256
+    a = jnp.asarray(np.asarray(_spd(rng, n), np.float32))
+    l = lin.blocked_cholesky(a, block=64, precision="bf16x3")
+    rec = np.asarray(l, np.float64) @ np.asarray(l, np.float64).T
+    rel = np.abs(rec - np.asarray(a, np.float64)).max() / np.abs(np.asarray(a)).max()
+    assert rel < 5e-4, rel
