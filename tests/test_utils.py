@@ -84,3 +84,26 @@ def test_session_voxel_with_normals():
     assert sess.training.n_surface < 300  # actually downsampled
     mean, _ = sess.query(np.array([[0.0, 0.0, 0.0], [0.5, 0.0, 0.0]]))
     assert mean[0] < -0.5 and abs(mean[1]) < 0.05
+
+
+def test_debug_nans_clean_path():
+    """SURVEY.md §6 sanitizer analogue: a clean fit/predict runs NaN-free
+    under jax_debug_nans (the numerical race detector)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpis_tpu.data import gpis as gpis_mod
+    from gpis_tpu.gp import regression as gpr
+    from gpis_tpu.kernels import functions as kf
+
+    jax.config.update("jax_debug_nans", True)
+    try:
+        pts = jnp.asarray(gpis_mod.fibonacci_sphere(60, 1.0))
+        params = kf.kernel_params(0.8, 1.0)
+        m = gpr.fit("rbf", pts, jnp.zeros(60), 1e-4, params,
+                    block=32, touch_capacity=32)
+        mean, var = gpr.predict(m, pts[:10])
+        m2 = gpr.update(m, pts[:3] * 1.01, jnp.zeros(3), 1e-5)
+        gpr.predict(m2, pts[:5])
+    finally:
+        jax.config.update("jax_debug_nans", False)
