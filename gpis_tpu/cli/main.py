@@ -66,6 +66,8 @@ def main(argv=None):
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--normals", action="store_true",
                    help="use surface normals from the cloud file as derivative observations")
+    p.add_argument("--profile", metavar="DIR",
+                   help="write a jax.profiler trace of the fit to DIR (Perfetto/XProf)")
     _add_model_args(p)
 
     p = sub.add_parser("mesh", help="extract isosurface mesh from a model")
@@ -116,15 +118,19 @@ def main(argv=None):
     from gpis_tpu.data.io import load_cloud
 
     if args.cmd == "fit":
+        from gpis_tpu.utils.profiling import trace
+
         model_cfg, explore_cfg, mesh_cfg = _config_from_args(args)
         pts, nrm = load_cloud(args.cloud)
         if args.normals and nrm is None:
             raise SystemExit(f"--normals given but {args.cloud} has no normals")
-        sess = ObjectModelSession(model_cfg, explore_cfg, mesh_cfg).start(
-            pts, normals=nrm if args.normals else None
-        )
+        with trace(args.profile):
+            sess = ObjectModelSession(model_cfg, explore_cfg, mesh_cfg).start(
+                pts, normals=nrm if args.normals else None
+            )
         sess.save(args.output)
-        print(f"model saved to {args.output} (capacity {sess.model.capacity})")
+        print(f"model saved to {args.output} (capacity {sess.model.capacity})"
+              + (f"; trace -> {args.profile}" if args.profile else ""))
 
     elif args.cmd == "mesh":
         sess = _load_session(args.model)
