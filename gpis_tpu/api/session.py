@@ -99,10 +99,20 @@ class ObjectModelSession:
             noise_g = jnp.full((c,), cfg.pad_noise, ts.x.dtype).at[:n_s].set(
                 jnp.asarray(cfg.noise_surface * 10.0, ts.x.dtype)
             )
-            self.model = gpd.fit_with_normals(
-                cfg.kernel, ts.x, ts.y, nrm_full, ts.noise, noise_g, params,
-                block=cfg.block, pad_noise=cfg.pad_noise,
-            )
+            if self.mesh_config is not None and self.mesh_config.n_devices > 1:
+                # Config 2 x config 5: distributed joint fit.
+                from gpis_tpu.gp import sharded_joint as gsj
+
+                self.model = gsj.fit_sharded_joint(
+                    cfg.kernel, ts.x, ts.y, nrm_full, ts.noise, noise_g,
+                    params, n_devices=self.mesh_config.n_devices,
+                    block=self.mesh_config.block, pad_noise=cfg.pad_noise,
+                )
+            else:
+                self.model = gpd.fit_with_normals(
+                    cfg.kernel, ts.x, ts.y, nrm_full, ts.noise, noise_g, params,
+                    block=cfg.block, pad_noise=cfg.pad_noise,
+                )
         elif self.mesh_config is not None and self.mesh_config.n_devices > 1:
             # Distributed fit (config 5): the cloud is too big for one HBM,
             # or the user asked for the mesh explicitly.
@@ -211,6 +221,11 @@ class ObjectModelSession:
         low touch noise) and refit incrementally."""
         self._require_model()
         if hasattr(self.model, "mesh"):
+            if getattr(self.model, "normals", None) is not None:
+                raise NotImplementedError(
+                    "incremental update on the sharded joint (normals) model "
+                    "is not implemented yet; refit with start()"
+                )
             pts = self.frame.to_normalized(
                 jnp.asarray(np.asarray(touch_points_world, self.config.dtype))
             )

@@ -136,12 +136,12 @@ def predict(model: GPModel, q, *, precision=jax.lax.Precision.HIGHEST):
 
     HIGHEST matmul precision by default: on TPU the default rounds f32
     operands to bf16, which costs ~3 digits on the posterior."""
+    if hasattr(model, "mesh"):  # sharded models (value-only or joint)
+        return model.predict(q)
     if hasattr(model, "normals"):  # DerivGPModel: joint value+gradient system
         from gpis_tpu.gp import derivative as gpd
 
         return gpd.predict(model, q)
-    if hasattr(model, "mesh"):  # ShardedGPModel: distributed query paths
-        return model.predict(q)
     kq = kg.cross_cov(model.kernel, q, model.x, model.params)  # (M, C)
     mean = _mm(kq, model.alpha, precision=precision)
     if model.linv is not None:
@@ -178,7 +178,8 @@ def predict_mean(model: GPModel, q):
     """Posterior mean only — the cheap path used by Newton projection
     (reference §4.3), where `jax.grad` of this function supplies the
     posterior gradient the reference computed from kernel derivatives."""
-    if hasattr(model, "normals"):  # DerivGPModel
+    if hasattr(model, "normals") and model.normals is not None:
+        # Joint system (single-chip or sharded: x/alpha replicated either way).
         from gpis_tpu.kernels import derivative as kd
 
         kq = kd.cross_cov_value(model.kernel, q, model.x, model.params)

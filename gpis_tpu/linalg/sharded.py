@@ -340,7 +340,7 @@ def sharded_alpha_from_linv(w, y, mesh, *, axis: str = "row"):
 
 
 def sharded_predict_linv(name: str, q, x, params, alpha, w, mesh, *, axis: str = "row",
-                         precision=lax.Precision.HIGHEST):
+                         precision=lax.Precision.HIGHEST, cross_fn=None):
     """Posterior mean + variance with the precomputed sharded W = L^{-1}:
     entirely local GEMMs + one psum per query shard — the speed-of-light
     distributed variance path."""
@@ -348,9 +348,10 @@ def sharded_predict_linv(name: str, q, x, params, alpha, w, mesh, *, axis: str =
     p = mesh.shape[axis]
     if m % p:
         raise ValueError(f"query count {m} not divisible by mesh size {p}")
+    cross = cross_fn or kg.cross_cov
 
     def body(q_loc, x_full, alpha_full, w_loc):
-        kq = kg.cross_cov(name, q_loc, x_full, params)  # (M/P, C)
+        kq = cross(name, q_loc, x_full, params)  # (M/P, C) or (M/P, 4C)
         mean = jnp.dot(kq, alpha_full, precision=precision)
         # ||W kq^T||^2 pairs every W row band with every query shard, so the
         # query block rides the ring (M/P x 3 floats per hop) accumulating
@@ -360,8 +361,8 @@ def sharded_predict_linv(name: str, q, x, params, alpha, w, mesh, *, axis: str =
 
         def ring_step(s, carry):
             qv, quadv = carry
-            kqv = kg.cross_cov(name, qv, x_full, params)
-            v = jnp.dot(w_loc, kqv.T, precision=precision)  # (C/P, M/P)
+            kqv = cross(name, qv, x_full, params)
+            v = jnp.dot(w_loc, kqv.T, precision=precision)  # (rows/P, M/P)
             quadv = quadv + jnp.sum(v * v, axis=0)
             qv = lax.ppermute(qv, axis, perm)
             quadv = lax.ppermute(quadv, axis, perm)

@@ -297,3 +297,29 @@ def test_sharded_hyperopt_subsample():
     assert hasattr(sess.model, "mesh")  # still sharded after refit
     mean, _ = sess.query(np.array([[0.0, 0.0, 0.0]]))
     assert mean[0] < -0.5
+
+
+def test_session_sharded_with_normals():
+    import jax as _jax
+
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from gpis_tpu.config import MeshConfig
+
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.8, noise_surface=1e-5,
+                      n_external=16, block=64)
+    sess = ObjectModelSession(cfg, mesh=MeshConfig(n_devices=8, block=64))
+    pts = gpis.fibonacci_sphere(100, radius=0.5) + np.array([0.3, 0.0, 0.0])
+    nrm = (pts - np.array([0.3, 0.0, 0.0])) / 0.5
+    sess.start(pts, normals=nrm)
+    assert hasattr(sess.model, "mesh") and sess.model.normals is not None
+    mean, var = sess.query(np.array([[0.3, 0.0, 0.0], [0.8, 0.0, 0.0]]))
+    assert mean[0] < -0.5 and abs(mean[1]) < 0.05
+    # Matches the single-chip joint session.
+    ref = ObjectModelSession(cfg).start(pts, normals=nrm)
+    m2, v2 = ref.query(np.array([[0.3, 0.0, 0.0], [0.8, 0.0, 0.0]]))
+    # f32 session dtype + different capacity padding: ~1e-4-level agreement.
+    np.testing.assert_allclose(mean, m2, atol=5e-4)
+    np.testing.assert_allclose(var, v2, atol=5e-4)
+    with pytest.raises(NotImplementedError):
+        sess.update(np.array([[0.8, 0.0, 0.0]]))

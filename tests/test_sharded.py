@@ -175,3 +175,34 @@ def test_sharded_cholesky_pallas_panels(mesh):
     l1 = sh.sharded_cholesky(a, mesh, block=256)
     l2 = sh.sharded_cholesky(a, mesh, block=256, use_pallas=True)
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_joint_matches_dense(mesh):
+    """Config 2 x config 5: band-assembled joint Gram == dense assembly,
+    and the full sharded joint fit matches the single-device joint model."""
+    from gpis_tpu.gp import derivative as gpd
+    from gpis_tpu.gp import sharded_joint as gsj
+    from gpis_tpu.kernels import derivative as kd
+
+    rng = np.random.default_rng(13)
+    c = 256
+    x = jnp.asarray(rng.normal(size=(c, 3)))
+    x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+    nrm = np.asarray(x)
+    params = kf.kernel_params(0.8, 1.0)
+    nf = jnp.asarray(rng.uniform(1e-4, 1e-3, size=c))
+    ng = jnp.asarray(rng.uniform(1e-4, 1e-3, size=c))
+
+    a_sh = gsj.sharded_joint_gram("rbf", x, params, nf, ng, mesh)
+    a_dense = kd.joint_gram_reference("rbf", x, params, noise_f=nf, noise_g=ng)
+    np.testing.assert_allclose(np.asarray(a_sh), np.asarray(a_dense), atol=1e-10)
+
+    m = gsj.fit_sharded_joint("rbf", x, jnp.zeros(c), jnp.asarray(nrm),
+                              nf, ng, params, mesh=mesh, block=64)
+    ref = gpd.fit_with_normals("rbf", x, jnp.zeros(c), jnp.asarray(nrm),
+                               nf, ng, params, block=c)
+    q = jnp.asarray(rng.normal(size=(64, 3)))
+    mean_s, var_s = m.predict(q)
+    mean_r, var_r = gpd.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_r), atol=1e-6)
