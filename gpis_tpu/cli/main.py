@@ -113,6 +113,14 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
 
+    # Friendly errors for missing inputs (no tracebacks at the CLI surface).
+    import os
+
+    for attr in ("cloud", "model", "touches"):
+        path = getattr(args, attr, None)
+        if path and not os.path.exists(path):
+            raise SystemExit(f"error: {attr} file not found: {path}")
+
     # Imports deferred past argparse so `gpis -h` is instant.
     from gpis_tpu.api.session import ObjectModelSession
     from gpis_tpu.data.io import load_cloud
