@@ -232,6 +232,20 @@ def update(model: GPModel, new_x, new_y, new_noise) -> GPModel:
     chol = model.chol.at[n0:, :n0].set(l21).at[n0:, n0:].set(l22)
 
     alpha = lin.cho_solve(chol, y)
+    # Carry the fast-query factor through the update when present:
+    # W_new = [[W11, 0], [-L22^{-1} L21 W11, L22^{-1}]] — O(T C^2) like the
+    # bordering itself, so touches keep the GEMM variance path warm.
+    linv = None
+    if model.linv is not None:
+        w11 = model.linv[:n0, :n0]
+        w21 = -lax.linalg.triangular_solve(
+            l22, l21 @ w11, left_side=True, lower=True
+        )
+        w22 = lax.linalg.triangular_solve(
+            l22, jnp.eye(t, dtype=dt), left_side=True, lower=True
+        )
+        linv = (model.linv.at[n0:, :n0].set(w21).at[n0:, n0:].set(w22)
+                .at[:n0, n0:].set(0.0))
     return GPModel(
         x=x,
         y=y,
@@ -242,6 +256,7 @@ def update(model: GPModel, new_x, new_y, new_noise) -> GPModel:
         n_touch=model.n_touch + k_new,
         kernel=model.kernel,
         n0=n0,
+        linv=linv,
     )
 
 

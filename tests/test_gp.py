@@ -247,3 +247,23 @@ def test_random_parity_sweep(rng):
                                    err_msg=f"trial {trial} {name} ls={ls:.2f}")
         np.testing.assert_allclose(np.asarray(var), ovar, atol=1e-6,
                                    err_msg=f"trial {trial} {name}")
+
+
+def test_update_carries_linv(rng):
+    """Touch updates keep W = L^{-1} warm and exact."""
+    x, y, noise, params, _ = _fixture(rng, n=60)
+    m = gpr.with_linv(gpr.fit("rbf", x, y, noise, params, block=64,
+                              touch_capacity=64), block=64)
+    m2 = gpr.update(m, jnp.asarray(rng.normal(size=(5, 3))), jnp.zeros(5), 1e-6)
+    assert m2.linv is not None
+    np.testing.assert_allclose(
+        np.asarray(m2.linv @ m2.chol), np.eye(m2.capacity), atol=1e-8
+    )
+    # And the posterior through the carried W matches a fresh solve path.
+    q = jnp.asarray(rng.normal(size=(12, 3)))
+    import dataclasses as _dc
+    m2_solve = _dc.replace(m2, linv=None)
+    mean_w, var_w = gpr.predict(m2, q)
+    mean_s, var_s = gpr.predict(m2_solve, q)
+    np.testing.assert_allclose(np.asarray(mean_w), np.asarray(mean_s), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_w), np.asarray(var_s), atol=1e-8)
