@@ -49,6 +49,11 @@ class GPModel:
     # --- metadata (static, part of the jit cache key) ---
     kernel: str = dataclasses.field(metadata=dict(static=True))
     n0: int = dataclasses.field(metadata=dict(static=True))  # initial-point boundary
+    # Observation variance assigned to padding rows at fit time.  Stored so
+    # reset_touches can restore cleared slots to *inert* padding exactly —
+    # inferring it from max(noise) is wrong once every slot holds a real
+    # touch observation.
+    pad_noise: float = dataclasses.field(metadata=dict(static=True), default=1e10)
     # Optional precomputed (K + diag(noise))^{-1} (C, C): turns the variance
     # path from a triangular solve into two pure GEMMs — the right trade for
     # dense-grid queries (BASELINE config 4). None = use the solve path.

@@ -96,7 +96,8 @@ def fit(
     jitter = 4.0 * eps * capacity * abs(k0)
     extra = 0.0
     for attempt in range(max_jitter_retries + 1):
-        model = fit_padded(kernel, xp, yp, np_ + extra, params, n0=n0, chol_impl=chol_impl)
+        model = fit_padded(kernel, xp, yp, np_ + extra, params, n0=n0,
+                           chol_impl=chol_impl, pad_noise=pad_noise)
         if not bool(jnp.isnan(jnp.diagonal(model.chol)).any()):
             return model
         extra = jitter * (10.0**attempt)
@@ -106,7 +107,8 @@ def fit(
     )
 
 
-def fit_padded(kernel, xp, yp, noisep, params, *, n0, chol_impl=lin.cholesky) -> GPModel:
+def fit_padded(kernel, xp, yp, noisep, params, *, n0, chol_impl=lin.cholesky,
+               pad_noise: float = 1e10) -> GPModel:
     """Jit-friendly fit on already-padded capacity-C arrays."""
     params = {k: jnp.asarray(v, xp.dtype) for k, v in params.items()}
     k = kg.gram(kernel, xp, params, noise=noisep)
@@ -122,6 +124,7 @@ def fit_padded(kernel, xp, yp, noisep, params, *, n0, chol_impl=lin.cholesky) ->
         n_touch=jnp.zeros((), jnp.int32),
         kernel=kernel,
         n0=n0,
+        pad_noise=pad_noise,
     )
 
 
@@ -197,8 +200,12 @@ def update(model: GPModel, new_x, new_y, new_noise) -> GPModel:
         L21 = (L11^{-1} K12)^T ,   L22 = chol(K22 - L21 L21^T)
 
     The leading factor L11 (rows [0, n0)) is untouched because rows [0, n0)
-    of K are untouched.  new_x may carry fewer points than remaining slots;
-    overflow beyond capacity raises at trace time.
+    of K are untouched.  new_x may carry fewer points than remaining slots.
+    Overflow beyond touch capacity raises when the occupancy is concrete
+    (the host path); under jit the occupancy is traced, so the returned
+    model is NaN-poisoned instead — downstream predict() surfaces it and
+    fit()'s NaN check catches it, rather than silently overwriting earlier
+    touch rows via dynamic_update_slice clamping.
     """
     c = model.capacity
     n0 = model.n0
@@ -207,6 +214,22 @@ def update(model: GPModel, new_x, new_y, new_noise) -> GPModel:
     if k_new > t:
         raise ValueError(f"touch batch {k_new} exceeds touch capacity {t}")
     dt = model.dtype
+    new_y = jnp.broadcast_to(jnp.asarray(new_y, dt), (k_new,))
+
+    total = model.n_touch + k_new
+    try:
+        concrete_total = int(total)
+    except jax.errors.ConcretizationTypeError:
+        concrete_total = None
+    if concrete_total is not None and concrete_total > t:
+        raise ValueError(
+            f"cumulative touches {concrete_total} exceed touch capacity {t}; "
+            f"refit with a larger touch_capacity (session.start does this)"
+        )
+    # Traced-occupancy guard: poison y if this batch would overflow, so the
+    # corruption is loud (NaN posterior) instead of silent.
+    overflow_poison = jnp.where(total <= t, 0.0, jnp.nan).astype(dt)
+    new_y = new_y + overflow_poison
 
     # Dtype-aware noise floor (same rationale as fit's auto-jitter: in f32 a
     # touch noise of 1e-6 can make the trailing block indefinite).
@@ -256,6 +279,7 @@ def update(model: GPModel, new_x, new_y, new_noise) -> GPModel:
         n_touch=model.n_touch + k_new,
         kernel=model.kernel,
         n0=n0,
+        pad_noise=model.pad_noise,
         linv=linv,
     )
 
@@ -266,11 +290,15 @@ def reset_touches(model: GPModel) -> GPModel:
     dt = model.dtype
     x = model.x.at[n0:].set(0.0)
     y = model.y.at[n0:].set(0.0)
-    noise = model.noise.at[n0:].set(jnp.asarray(jnp.max(model.noise), dt))
+    # Restore the fit-time pad_noise constant — NOT max(noise): once every
+    # slot holds a real touch observation, max(noise) is a real sigma^2 and
+    # the cleared slots would become strong f(0)=0 observations at the
+    # origin instead of inert padding.
+    noise = model.noise.at[n0:].set(jnp.asarray(model.pad_noise, dt))
     m = GPModel(
         x=x, y=y, noise=noise, params=model.params, chol=model.chol,
         alpha=model.alpha, n_touch=jnp.zeros((), jnp.int32),
-        kernel=model.kernel, n0=n0,
+        kernel=model.kernel, n0=n0, pad_noise=model.pad_noise,
     )
     return update(m, jnp.zeros((0, 3), dt), jnp.zeros((0,), dt), jnp.zeros((0,), dt))
 

@@ -35,6 +35,8 @@ def save_model(path: str, model, *, factor: bool = True) -> None:
         "has_factor": bool(factor),
         "joint": joint,
     }
+    if not joint:
+        meta["pad_noise"] = float(model.pad_noise)
     arrays = {
         "x": np.asarray(model.x),
         "y": np.asarray(model.y),
@@ -151,4 +153,5 @@ def load_model(path: str):
         n_touch=jnp.asarray(d["n_touch"]),
         kernel=meta["kernel"],
         n0=int(meta["n0"]),
+        pad_noise=float(meta.get("pad_noise", 1e10)),
     )

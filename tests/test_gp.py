@@ -267,3 +267,50 @@ def test_update_carries_linv(rng):
     mean_s, var_s = gpr.predict(m2_solve, q)
     np.testing.assert_allclose(np.asarray(mean_w), np.asarray(mean_s), atol=1e-9)
     np.testing.assert_allclose(np.asarray(var_w), np.asarray(var_s), atol=1e-8)
+
+
+def test_update_cumulative_overflow_raises(rng):
+    """Touch occupancy past capacity must raise on the host path (ADVICE r1:
+    dynamic_update_slice clamping silently overwrote earlier touch rows)."""
+    x, y, noise, params, _ = _fixture(rng, n=40)
+    model = gpr.fit("rbf", x, y, noise, params, block=8, touch_capacity=8)
+    t = model.capacity - model.n0
+    m1 = gpr.update(model, jnp.asarray(rng.normal(size=(6, 3))), jnp.zeros(6), 1e-6)
+    assert int(m1.n_touch) == 6
+    with pytest.raises(ValueError, match="cumulative"):
+        gpr.update(m1, jnp.asarray(rng.normal(size=(t - 3, 3))),
+                   jnp.zeros(t - 3), 1e-6)
+    # Under jit the occupancy is traced: overflow must be loud (NaN), not a
+    # silent overwrite.
+    upd = jax.jit(gpr.update)
+    m2 = upd(m1, jnp.asarray(rng.normal(size=(6, 3))), jnp.zeros(6), 1e-6)
+    q = jnp.asarray(rng.normal(size=(4, 3)))
+    mean, _ = gpr.predict(m2, q)
+    assert np.isnan(np.asarray(mean)).all()
+
+
+def test_update_scalar_target_broadcasts(rng):
+    """update(model, pts, 0.0, 1e-6) — the documented scalar-y form."""
+    x, y, noise, params, _ = _fixture(rng, n=40)
+    model = gpr.fit("rbf", x, y, noise, params, block=32, touch_capacity=32)
+    tx = jnp.asarray(rng.normal(size=(3, 3)) * 0.9)
+    m_scalar = gpr.update(model, tx, 0.0, 1e-6)
+    m_vec = gpr.update(model, tx, jnp.zeros(3), 1e-6)
+    np.testing.assert_array_equal(np.asarray(m_scalar.y), np.asarray(m_vec.y))
+
+
+def test_reset_touches_full_slots(rng):
+    """reset_touches must restore inert padding even when every slot was
+    occupied (ADVICE r1: max(noise) inference turned cleared slots into
+    strong f(0)=0 observations)."""
+    x, y, noise, params, _ = _fixture(rng, n=40)
+    m0 = gpr.fit("rbf", x, y, noise, params, block=8, touch_capacity=8)
+    t = m0.capacity - m0.n0
+    q = jnp.asarray(rng.normal(size=(20, 3)))
+    mean0, var0 = gpr.predict(m0, q)
+    m1 = gpr.update(m0, jnp.asarray(rng.normal(size=(t, 3)) * 0.9),
+                    jnp.zeros(t), 1e-6)  # fill EVERY slot
+    m2 = gpr.reset_touches(m1)
+    mean2, var2 = gpr.predict(m2, q)
+    np.testing.assert_allclose(np.asarray(mean2), np.asarray(mean0), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var2), np.asarray(var0), atol=1e-8)
