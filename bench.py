@@ -99,13 +99,31 @@ def main():
     noisep = jnp.pad(noisep, (0, c - n), constant_values=1e10)
     log(f"capacity C={c}")
 
-    # Separate programs: one jit holding gram+chol+solves+inverse together
-    # peaks at ~33 GB of HLO temps on a 16 GB chip; split, XLA frees each
-    # program's temps before the next starts.  The factorization routes to
-    # blocked_cholesky (lin.cholesky dispatch) and the variance factor is
-    # W = L^{-1} via the blocked TRSM — both memory-bounded.
-    fit_fn = jax.jit(lambda x, y, nz: gpr.fit_padded("rbf", x, y, nz, params, n0=c))
-    linv_fn = jax.jit(lambda m: gpr.with_linv(m, block=512))
+    # Staged programs, one jit per pipeline stage: (a) one jit holding
+    # gram+chol+solves+inverse together peaks at ~33 GB of HLO temps on a
+    # 16 GB chip, and (b) the remote Mosaic compile of a single module
+    # containing several fori_loop'ed pallas_calls has been observed to hang
+    # for minutes, while the per-stage modules compile in seconds.  Each
+    # stage routes to the Pallas implementations via the library dispatch
+    # (pallas_blocked_cholesky / pallas_blocked_linv / fused query).
+    from gpis_tpu.gp.model import GPModel as _GPModel
+    from gpis_tpu.kernels import gram as kg_mod
+    from gpis_tpu.linalg import cholesky as lin_mod
+
+    gram_fn = jax.jit(lambda x, nz: kg_mod.gram("rbf", x, params, noise=nz))
+    chol_fn = jax.jit(lin_mod.cholesky)
+    alpha_fn = jax.jit(lin_mod.cho_solve)
+
+    def fit_fn(x, y, nz):
+        k = gram_fn(x, nz)
+        l = chol_fn(k)
+        alpha = alpha_fn(l, y)
+        del k
+        return _GPModel(x=x, y=y, noise=nz, params=params, chol=l,
+                        alpha=alpha, n_touch=jnp.zeros((), jnp.int32),
+                        kernel="rbf", n0=c, pad_noise=1e10)
+
+    linv_fn = lambda m: gpr.with_linv(m, block=512)
     coords, axis = grid_mod.make_grid(res, 1.5, dtype=dtype)
     query_fn = jax.jit(
         lambda m, q: gpr.predict(m, q)
@@ -129,16 +147,22 @@ def main():
     # the ladder lands on.
     log("compiling...")
     t0 = time.perf_counter()
+    model = None
     for _ in range(4):
-        model = linv_fn(fit_fn(xp, yp, noisep))
+        # NaN-check the factor BEFORE forming W, and release the previous
+        # attempt first: at 32k each of {K+L, L+W} is ~8.6 GB — holding two
+        # attempts at once exhausts the 16 GB HBM.
+        del model
+        model = fit_fn(xp, yp, noisep)
         if not bool(jnp.isnan(jnp.diagonal(model.chol)).any()):
             break
         log("NaN factor; escalating noise x10")
         noisep = jnp.where(noisep < 1.0, noisep * 10.0, noisep)
-    jax.block_until_ready(model.chol)
+    model = linv_fn(model)
+    jax.block_until_ready(model.linv)
     mean, var = run_query(model)
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
-    del model
+    del model, mean, var
 
     # Timed round (steady state).
     t0 = time.perf_counter()
@@ -160,7 +184,7 @@ def main():
     ok = np.isfinite(total) and nan_frac == 0.0 and rmse < 0.02
 
     result = {
-        "metric": "gpis fit+64^3 grid query wall-clock, N=16k single chip "
+        "metric": f"gpis fit+64^3 grid query wall-clock, N={c} single chip "
                   "(speedup vs measured CPU oracle at N=10k)",
         "value": round(total, 3),
         "unit": "s",

@@ -3,13 +3,18 @@
 Measures, on the real chip, each stage of the flagship pipeline at a given
 N with each available implementation, emitting JSON lines per measurement:
 
-    python bench/run_tpu.py [N=16384] [--quick]
+    python bench/run_tpu.py [N=16384] [--quick] [--stages gram,chol,linv,query]
 
 Stages x variants:
-  gram      : pallas | jnp-reference
-  cholesky  : blocked(512) | pallas-blocked(256) | xla (skipped for N>=8k: OOM)
-  linv      : blocked-trsm(512)
-  query 8k  : solve | kinv-GEMM | linv-GEMM, each at DEFAULT | HIGHEST | bf16x3
+  gram      : pallas | jnp-reference (small N only)
+  cholesky  : pallas(256) | blocked(512) | xla (small N only: OOM)
+  linv      : pallas(256) | blocked-trsm(512)
+  query 8k  : linv-GEMM at DEFAULT | HIGHEST | bf16x3; fused pallas; solve
+
+All timed callables take their operands as ARGUMENTS of a jitted function —
+never as closure captures, which jit would embed as constants and XLA would
+then constant-fold on the host (a 4.4-TFLOP GEMM folded single-threaded:
+the r2 bench stall).
 
 Timing forces real execution by pulling one output element to the host
 (block_until_ready alone under-reports on the axon backend).
@@ -34,12 +39,12 @@ def sync(r):
             np.asarray(x.ravel()[0:1])
 
 
-def timeit(fn, reps=3):
-    r = fn()
+def timeit(fn, *args, reps=3):
+    r = fn(*args)
     sync(r)  # compile
     t0 = time.perf_counter()
     for _ in range(reps):
-        r = fn()
+        r = fn(*args)
     sync(r)
     return (time.perf_counter() - t0) / reps
 
@@ -50,6 +55,8 @@ def emit(stage, variant, seconds, **extra):
 
 
 def main():
+    import functools
+
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -59,10 +66,17 @@ def main():
     from gpis_tpu.kernels import pallas_gram as pg
     from gpis_tpu.linalg import cholesky as lin
     from gpis_tpu.linalg.matmul import matmul_bf16x3
-    from gpis_tpu.linalg.pallas_chol import pallas_blocked_cholesky
+    from gpis_tpu.linalg.pallas_chol import (
+        pallas_blocked_cholesky,
+        pallas_blocked_linv,
+    )
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 16384
     quick = "--quick" in sys.argv
+    stages = {"gram", "chol", "linv", "query"}
+    for i, a in enumerate(sys.argv):
+        if a == "--stages" and i + 1 < len(sys.argv):
+            stages = set(sys.argv[i + 1].split(","))
     reps = 1 if quick else 3
     rng = np.random.default_rng(0)
     dt = jnp.float32
@@ -72,64 +86,79 @@ def main():
     noise = jnp.full((n,), 1e-3, dt)
     params = {k: v.astype(dt) for k, v in kf.kernel_params(0.4, 1.0).items()}
     print(json.dumps({"backend": jax.default_backend(), "n": n}), flush=True)
+    on_tpu = jax.default_backend() == "tpu"
 
     # --- gram ---
-    t = timeit(lambda: pg.gram_pallas("rbf", x, params, noise), reps)
-    emit("gram", "pallas", t, gb_s=round(n * n * 4 / t / 1e9, 1))
-    if n <= 8192:
-        jfn = jax.jit(lambda: kg.gram_reference("rbf", x, params, noise=noise))
-        t = timeit(jfn, reps)
-        emit("gram", "jnp", t, gb_s=round(n * n * 4 / t / 1e9, 1))
+    if "gram" in stages:
+        t = timeit(pg.gram_pallas, "rbf", x, params, noise, reps=reps)
+        emit("gram", "pallas", t, gb_s=round(n * n * 4 / t / 1e9, 1))
+        if n <= 8192:
+            jfn = jax.jit(lambda xx, nz: kg.gram_reference("rbf", xx, params, noise=nz))
+            t = timeit(jfn, x, noise, reps=reps)
+            emit("gram", "jnp", t, gb_s=round(n * n * 4 / t / 1e9, 1))
 
     g = pg.gram_pallas("rbf", x, params, noise)
 
     # --- cholesky ---
     flops = n**3 / 3
-    t = timeit(lambda: lin.blocked_cholesky(g, 512), reps)
-    emit("cholesky", "blocked512", t, tflops=round(flops / t / 1e12, 2))
-    t = timeit(lambda: pallas_blocked_cholesky(g, 256), reps)
-    emit("cholesky", "pallas256", t, tflops=round(flops / t / 1e12, 2))
-    if jax.default_backend() == "tpu":
-        t = timeit(lambda: lin.blocked_cholesky(g, 512, precision="bf16x3"), reps)
-        emit("cholesky", "blocked512-bf16x3", t, tflops=round(flops / t / 1e12, 2))
-    if n < 8192:
-        t = timeit(lambda: jnp.linalg.cholesky(g), reps)
-        emit("cholesky", "xla", t, tflops=round(flops / t / 1e12, 2))
+    if "chol" in stages:
+        t = timeit(pallas_blocked_cholesky, g, 256, reps=reps)
+        emit("cholesky", "pallas256", t, tflops=round(flops / t / 1e12, 2))
+        if n <= 16384:
+            t = timeit(functools.partial(lin.blocked_cholesky, block=512), g,
+                       reps=1)
+            emit("cholesky", "blocked512", t, tflops=round(flops / t / 1e12, 2))
+        if n < 8192:
+            t = timeit(jnp.linalg.cholesky, g, reps=reps)
+            emit("cholesky", "xla", t, tflops=round(flops / t / 1e12, 2))
 
-    l = lin.blocked_cholesky(g, 512)
+    l = pallas_blocked_cholesky(g, 256)
 
     # --- linv ---
-    t = timeit(lambda: lin.blocked_linv(l, 512), reps)
-    emit("linv", "blocked512", t, tflops=round(n**3 / 2 / t / 1e12, 2))
-    w = lin.blocked_linv(l, 512)
+    if "linv" in stages:
+        t = timeit(pallas_blocked_linv, l, 256, reps=reps)
+        emit("linv", "pallas256", t, tflops=round(n**3 / 2 / t / 1e12, 2))
+        if n <= 16384:
+            t = timeit(functools.partial(lin.blocked_linv, block=512), l, reps=1)
+            emit("linv", "blocked512", t, tflops=round(n**3 / 2 / t / 1e12, 2))
+    w = pallas_blocked_linv(l, 256)
 
     # --- query variants (8192 queries) ---
-    q = jnp.asarray(rng.normal(size=(8192, 3)), dt)
-    kq = pg.cross_cov_pallas("rbf", q, x, params)
-    qflops = 2 * 8192 * n * n
+    if "query" in stages:
+        q = jnp.asarray(rng.normal(size=(8192, 3)), dt)
+        kq = pg.cross_cov_pallas("rbf", q, x, params)
+        qflops = 2 * 8192 * n * n
 
-    for label, prec in [("default", lax.Precision.DEFAULT),
-                        ("highest", lax.Precision.HIGHEST)]:
-        fn = jax.jit(lambda kq=kq, p=prec: jnp.dot(w, kq.T, precision=p))
-        t = timeit(fn, reps)
-        emit("query_gemm", f"linv-{label}", t, tflops=round(qflops / t / 1e12, 2))
-    if jax.default_backend() == "tpu":  # CPU emulates bf16 at glacial speed
-        fn = jax.jit(lambda: matmul_bf16x3(w, kq.T))
-        t = timeit(fn, reps)
-        emit("query_gemm", "linv-bf16x3", t, tflops=round(3 * qflops / t / 1e12, 2))
+        for label, prec in [("default", lax.Precision.DEFAULT),
+                            ("highest", lax.Precision.HIGHEST)]:
+            fn = jax.jit(functools.partial(
+                lambda ww, kk, p: jnp.dot(ww, kk.T, precision=p), p=prec))
+            t = timeit(fn, w, kq, reps=reps)
+            emit("query_gemm", f"linv-{label}", t,
+                 tflops=round(qflops / t / 1e12, 2))
+        if on_tpu:  # CPU emulates bf16 at glacial speed
+            fn = jax.jit(lambda ww, kk: matmul_bf16x3(ww, kk.T))
+            t = timeit(fn, w, kq, reps=reps)
+            emit("query_gemm", "linv-bf16x3", t,
+                 tflops=round(3 * qflops / t / 1e12, 2))
 
-    # fused streaming kernel (assembly + mean + quad in one pass)
-    from gpis_tpu.kernels.pallas_query import fused_query_pallas
+        # fused streaming kernel (assembly + mean + quad in one pass)
+        from gpis_tpu.kernels.pallas_query import fused_query_pallas
 
-    alpha = jnp.zeros((n,), dt)
-    fn = jax.jit(lambda: fused_query_pallas("rbf", q, x, params, alpha, w))
-    t = timeit(fn, reps)
-    emit("query_fused", "pallas", t, tflops=round(qflops / t / 1e12, 2))
+        alpha = jnp.zeros((n,), dt)
+        t = timeit(functools.partial(fused_query_pallas, "rbf"),
+                   q, x, params, alpha, w, reps=reps)
+        emit("query_fused", "pallas", t, tflops=round(qflops / t / 1e12, 2))
 
-    # solve-path variance for reference (small rep count: can be slow)
-    fn = jax.jit(lambda: lax.linalg.triangular_solve(l, kq.T, left_side=True, lower=True))
-    t = timeit(fn, 1)
-    emit("query_var", "triangular-solve", t, tflops=round(qflops / 2 / t / 1e12, 2))
+        # solve-path variance for reference (small N only: XLA's
+        # triangular-solve expansion keeps ~2N^2 f32 temps live and OOMs a
+        # 16 GB chip at n=16k with 8k RHS)
+        if n < 8192:
+            fn = jax.jit(lambda ll, kk: lax.linalg.triangular_solve(
+                ll, kk.T, left_side=True, lower=True))
+            t = timeit(fn, l, kq, reps=1)
+            emit("query_var", "triangular-solve", t,
+                 tflops=round(qflops / 2 / t / 1e12, 2))
 
 
 if __name__ == "__main__":

@@ -28,6 +28,8 @@ __all__ = [
     "update",
     "fit_with_normals",
     "fit_sharded",
+    "fit_sharded_joint",
+    "optimize_sharded",
     "kernel_params",
     "register_kernel",
     "build_training_set",
@@ -43,6 +45,8 @@ _LAZY = {
     "update": ("gpis_tpu.gp.regression", "update"),
     "fit_with_normals": ("gpis_tpu.gp.derivative", "fit_with_normals"),
     "fit_sharded": ("gpis_tpu.gp.sharded_model", "fit_sharded"),
+    "fit_sharded_joint": ("gpis_tpu.gp.sharded_joint", "fit_sharded_joint"),
+    "optimize_sharded": ("gpis_tpu.gp.sharded_hyperopt", "optimize_sharded"),
     "kernel_params": ("gpis_tpu.kernels.functions", "kernel_params"),
     "register_kernel": ("gpis_tpu.kernels.functions", "register_kernel"),
     "build_training_set": ("gpis_tpu.data.gpis", "build_training_set"),

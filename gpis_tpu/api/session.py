@@ -107,6 +107,7 @@ class ObjectModelSession:
                     cfg.kernel, ts.x, ts.y, nrm_full, ts.noise, noise_g,
                     params, n_devices=self.mesh_config.n_devices,
                     block=self.mesh_config.block, pad_noise=cfg.pad_noise,
+                    touch_capacity=cfg.touch_capacity,
                 )
             else:
                 self.model = gpd.fit_with_normals(
@@ -221,11 +222,9 @@ class ObjectModelSession:
         low touch noise) and refit incrementally."""
         self._require_model()
         if hasattr(self.model, "mesh"):
-            if getattr(self.model, "normals", None) is not None:
-                raise NotImplementedError(
-                    "incremental update on the sharded joint (normals) model "
-                    "is not implemented yet; refit with start()"
-                )
+            # Both sharded models (value-only and joint) implement the
+            # tail-band bordering update; touch points land in preallocated
+            # last-band slots, never a full refactor.
             pts = self.frame.to_normalized(
                 jnp.asarray(np.asarray(touch_points_world, self.config.dtype))
             )
@@ -306,12 +305,64 @@ class ObjectModelSession:
         Dispatches to the joint objective when the model carries normals."""
         self._require_model()
         m = self.model
+        if hasattr(m, "mesh") and getattr(m, "normals", None) is not None:
+            # Sharded joint model: optimize the joint MLL on a single-chip
+            # core-point subsample, then refit the sharded joint system.
+            from gpis_tpu.gp import sharded_joint as gsj
+
+            sub = int(kw.pop("subsample", 1024))
+            n = m.n_real
+            step = max(1, n // sub)
+            kw.pop("method", None)
+            kw.pop("learn_noise", None)
+            kw.pop("learn_signal", None)
+            res = ho.optimize_joint(
+                m.kernel, m.x[:n:step], m.y[:n:step], m.normals[:n:step],
+                m.noise_f[:n:step], m.noise_g[:n:step], m.params,
+                n_real=m.x[:n:step].shape[0], **kw,
+            )
+            self.model = gsj.fit_sharded_joint(
+                m.kernel, m.x[:n], m.y[:n], m.normals[:n], m.noise_f[:n],
+                m.noise_g[:n], res.params, mesh=m.mesh, block=m.block,
+                touch_capacity=self.config.touch_capacity,
+                pad_noise=m.pad_noise,
+            )
+            log.info("hyperopt(sharded joint, %d-pt subsample): mll=%.4f ls=%.4f",
+                     m.x[:n:step].shape[0], res.mll,
+                     float(res.params["lengthscale"]))
+            return res
+        if hasattr(m, "mesh") and kw.pop("method", "subsample") == "distributed":
+            # True distributed hyperopt: exact MLL gradients over the mesh
+            # (gp.sharded_hyperopt, gradient identities — no AD through
+            # collectives).  Each step costs one sharded fit; the default
+            # subsample method is cheaper when a few thousand points pin
+            # the hyperparameters.
+            from gpis_tpu.gp import sharded_hyperopt as sho
+            from gpis_tpu.gp import sharded_model as gsm
+
+            res_d = sho.optimize_sharded(
+                m.kernel, m.x, m.y, m.noise, m.params, m.mesh,
+                block=m.block, n_real=m.n_real, **kw,
+            )
+            scale = float(res_d["noise_scale"])
+            n = m.n_real
+            self.model = gsm.fit_sharded(
+                m.kernel, m.x[:n], m.y[:n], m.noise[:n] * scale,
+                res_d["params"], mesh=m.mesh, block=m.block,
+                touch_capacity=self.config.touch_capacity,
+                pad_noise=self.config.pad_noise,
+            )
+            log.info("hyperopt(distributed): mll=%.4f ls=%.4f noise x%.3f",
+                     res_d["mll"], float(res_d["params"]["lengthscale"]), scale)
+            return ho.HyperoptResult(
+                params=res_d["params"], noise=m.noise[:n] * scale,
+                noise_scale=res_d["noise_scale"], history=res_d["history"],
+                mll=res_d["mll"],
+            )
         if hasattr(m, "mesh"):
             # Sharded model: optimize the MLL on a single-chip subsample
             # (hyperparameters are global; a few thousand points pin them),
             # then refit the full sharded model with the optimum.
-            import jax.numpy as _jnp
-
             sub = int(kw.pop("subsample", 2048))
             n = m.n_real
             step = max(1, n // sub)
@@ -327,7 +378,10 @@ class ObjectModelSession:
             )
             from gpis_tpu.gp import sharded_model as gsm
 
-            noise_scale = res.noise[0] / sub_model.noise[0]
+            # The optimizer learns one multiplicative noise scale for all
+            # real rows; apply that scalar (NOT a row-0 ratio, which would
+            # mis-scale mixed-noise clouds — ADVICE r1).
+            noise_scale = float(res.noise_scale)
             self.model = gsm.fit_sharded(
                 m.kernel, m.x[:n], m.y[:n], m.noise[:n] * noise_scale,
                 res.params, mesh=m.mesh, block=m.block,
@@ -340,14 +394,13 @@ class ObjectModelSession:
         if hasattr(m, "normals"):
             from gpis_tpu.gp import derivative as gpd
 
-            kw.pop("learn_noise", None)
             kw.pop("learn_signal", None)
             res = ho.optimize_joint(
                 m.kernel, m.x, m.y, m.normals, m.noise_f, m.noise_g,
                 m.params, n_real=m.n0, **kw,
             )
             self.model = gpd.fit_with_normals(
-                m.kernel, m.x, m.y, m.normals, m.noise_f, m.noise_g,
+                m.kernel, m.x, m.y, m.normals, res.noise, m.noise_g,
                 res.params, block=self.config.block,
                 pad_noise=self.config.pad_noise,
             )

@@ -108,33 +108,43 @@ def next_best_path(
         covered = (d < 0.8 * radii[None, :]).any(axis=1)
         score = np.where(covered, -np.inf, var)
 
+        def owner(idx):
+            # Map flat candidate index back to its frontier chart.
+            acc = 0
+            for c, blk in zip(frontier, cand_blocks):
+                if idx < acc + len(blk):
+                    return c
+                acc += len(blk)
+            return frontier[-1]
+
         if cfg.strategy == "single_path":
             # Only the newest chart expands; its block is the last one.
             lo = len(cands) - cfg.n_disc_samples
-            blk = score[lo:]
-            if not np.isfinite(blk).any():
-                break
-            pick = lo + int(np.argmax(blk))
-            parent = frontier[-1]
-        else:  # multi_branch
-            if not np.isfinite(score).any():
-                break
-            pick = int(np.argmax(score))
-            # Map flat index back to its frontier chart.
-            acc, parent = 0, frontier[0]
-            for c, blk in zip(frontier, cand_blocks):
-                if pick < acc + len(blk):
-                    parent = c
-                    break
-                acc += len(blk)
+            score = np.where(np.arange(len(score)) >= lo, score, -np.inf)
+        if not np.isfinite(score).any():
+            break
 
-        target, ok = projection.project_point(model, jnp.asarray(cands[pick], model.dtype))
-        if not bool(ok):
-            # Projection failed (rare: flat gradient) — drop this candidate's
-            # chart from the frontier and continue.
+        # Try candidates best-first: a failed projection (rare: flat
+        # gradient) must not orphan good candidates on the same disc, so
+        # fall through to the next-best candidate instead of dropping the
+        # whole chart (ADVICE r1).
+        order = np.argsort(-score)
+        target, parent = None, None
+        for cand_idx in order[:8]:
+            if not np.isfinite(score[cand_idx]):
+                break
+            t, ok = projection.project_point(
+                model, jnp.asarray(cands[int(cand_idx)], model.dtype)
+            )
+            if bool(ok):
+                target, parent = t, owner(int(cand_idx))
+                break
+        if target is None:
             if cfg.strategy == "single_path":
                 break
-            frontier.remove(parent)
+            # Every retried candidate failed: drop the chart owning the
+            # best-scoring one so the round still makes progress.
+            frontier.remove(owner(int(order[0])))
             continue
 
         new = atlas_mod.make_charts(

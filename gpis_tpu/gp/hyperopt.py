@@ -79,8 +79,6 @@ def optimize(
     else:
         opt = optax.adam(learning_rate)
 
-    vg = jax.jit(jax.value_and_grad(loss))
-
     @jax.jit
     def step(theta, opt_state):
         val, g = jax.value_and_grad(loss)(theta)
@@ -94,16 +92,22 @@ def optimize(
     history = []
     best_theta, best_val = theta, jnp.inf
     for _ in range(steps):
-        theta, opt_state, val = step(theta, opt_state)
+        # `val` is the loss at the *incoming* theta: pair it with that
+        # iterate, not the post-update one (the returned params must be the
+        # ones that achieved the reported best MLL).
+        new_theta, opt_state, val = step(theta, opt_state)
         v = float(val)
         history.append(-v)  # store MLL, not loss
         if v < best_val:
             best_theta, best_val = theta, v
+        theta = new_theta
 
     params, noise = unpack(best_theta)
+    scale = jnp.exp(best_theta.get("log_noise_scale", jnp.zeros((), dt)))
     return HyperoptResult(
         params={k: jnp.asarray(v) for k, v in params.items()},
         noise=noise,
+        noise_scale=scale,
         history=history,
         mll=-float(best_val),
     )
@@ -121,25 +125,33 @@ def optimize_joint(
     n_real: int,
     steps: int = 100,
     learning_rate: float = 0.05,
+    learn_noise: bool = False,
 ) -> HyperoptResult:
     """MLL hyperparameter optimization for the joint (value + normals)
-    system — config 3 applied to the config 2 model.  Lengthscale only
-    (noise scales of two observation families are left fixed; learning them
-    jointly is under-determined on typical scans)."""
+    system — config 3 applied to the config 2 model.  Lengthscale by
+    default; `learn_noise=True` adds one multiplicative scale on the
+    value-observation noise of real rows (the gradient-noise family stays
+    fixed — learning both scales jointly is under-determined on typical
+    scans, where the normal observations pin the gradient scale)."""
     from gpis_tpu.kernels import derivative as kd
     from gpis_tpu.linalg import cholesky as lin_mod
 
     dt = xp.dtype
     yj = kd.joint_targets(yp, normals)
+    real_f = (jnp.arange(xp.shape[0]) < n_real).astype(dt)
     theta0 = {"log_ls": jnp.log(jnp.asarray(init_params["lengthscale"], dt))}
+    if learn_noise:
+        theta0["log_noise_scale"] = jnp.zeros((), dt)
 
     def loss(theta):
         params = {
             "lengthscale": jnp.exp(theta["log_ls"]),
             "signal_variance": jnp.asarray(init_params["signal_variance"], dt),
         }
-        k = kd.joint_gram_reference(kernel, xp, params, noise_f=noise_f, noise_g=noise_g)
-        l = jnp.linalg.cholesky(k)
+        scale = jnp.exp(theta.get("log_noise_scale", jnp.zeros((), dt)))
+        nf = jnp.where(real_f > 0, noise_f * scale, noise_f)
+        k = kd.joint_gram_reference(kernel, xp, params, noise_f=nf, noise_g=noise_g)
+        l = gpr._mll_chol(k.shape[0])(k)
         alpha = lin_mod.cho_solve(l, yj)
         return (
             0.5 * jnp.dot(yj, alpha)
@@ -160,14 +172,17 @@ def optimize_joint(
     history = []
     best_theta, best_val = theta, jnp.inf
     for _ in range(steps):
-        theta, opt_state, val = step(theta, opt_state)
+        new_theta, opt_state, val = step(theta, opt_state)
         v = float(val)
         history.append(-v)
         if v < best_val:
             best_theta, best_val = theta, v
+        theta = new_theta
     params = {
         "lengthscale": jnp.exp(best_theta["log_ls"]),
         "signal_variance": jnp.asarray(init_params["signal_variance"], dt),
     }
-    return HyperoptResult(params=params, noise=noise_f, history=history,
-                          mll=-float(best_val))
+    scale = jnp.exp(best_theta.get("log_noise_scale", jnp.zeros((), dt)))
+    noise_out = jnp.where(real_f > 0, noise_f * scale, noise_f)
+    return HyperoptResult(params=params, noise=noise_out, noise_scale=scale,
+                          history=history, mll=-float(best_val))

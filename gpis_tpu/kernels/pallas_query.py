@@ -31,7 +31,12 @@ from gpis_tpu.kernels.pallas_gram import _coord_split, _interpret
 
 __all__ = ["fused_query_pallas"]
 
-_TQ = 256
+# Large query tile: W is re-streamed from HBM once per query tile, so TQ
+# sets the arithmetic intensity — at TQ=256 the kernel was W-DMA-bound
+# (~1 GB x M/TQ per chunk); TQ=1024 amortizes W 4x and leaves the MXU
+# (lower-triangular tiles only) as the critical path.  VMEM per step:
+# W tile 256 KB + kq 1 MB + v_scr 1 MB + outputs — well under budget.
+_TQ = 1024
 _TI = 256
 _TC = 256
 
@@ -53,11 +58,17 @@ def _kernel(q0, q1, q2, x0, x1, x2, w_ref, alpha_ref, ls_ref, sv_ref,
     def _():
         v_scr[...] = jnp.zeros_like(v_scr)
 
-    v_scr[...] += jax.lax.dot_general(
-        w_ref[...], kq,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(v_scr.dtype)  # (TI, TQ)
+    # W is lower-triangular: tiles with c > i are identically zero (TI ==
+    # TC), so the MXU skips the strict upper half — 2x fewer FLOPs on the
+    # dominant contraction.  kq is still formed every step (VPU, cheap):
+    # the mean accumulation on the i == 0 plane needs every c tile.
+    @pl.when(c <= i)
+    def _():
+        v_scr[...] += jax.lax.dot_general(
+            w_ref[...], kq,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(v_scr.dtype)  # (TI, TQ)
 
     @pl.when(i == 0)
     def _():

@@ -30,41 +30,74 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gpis_tpu.kernels.pallas_gram import _interpret
 
-__all__ = ["panel_update_pallas", "pallas_blocked_cholesky"]
+__all__ = ["panel_update_pallas", "pallas_blocked_cholesky",
+           "row_update_pallas", "pallas_blocked_linv"]
 
 _TN = 256
 _TK = 256
 
 
+def _dot3(a, b, dims):
+    """bf16x3 split-dot with f32 accumulation, in-kernel.
+
+    Mosaic lowers `dot_general` with f32 inputs + preferred f32 to a
+    SINGLE-pass bf16 MXU product (measured: error identical to casting the
+    inputs to bf16 — ~4e-3 relative), which is too coarse for a Cholesky
+    trailing update.  The classic 3-pass split recovers ~2x bf16 mantissa
+    (~16 bits, ~5e-4 worst-case on O(1) data) at 3x the MXU time — still
+    ~8x faster end-to-end than XLA's HIGHEST path.
+
+    In interpret mode (CPU CI) the plain dot IS exact f32/f64 — skip the
+    split there so the 1e-6 oracle-parity tests see exact arithmetic."""
+    if _interpret():
+        return jax.lax.dot_general(a, b, dimension_numbers=dims)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(a.dtype)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(b.dtype)).astype(jnp.bfloat16)
+
+    def d(u, v):
+        return jax.lax.dot_general(
+            u, v, dimension_numbers=dims, preferred_element_type=jnp.float32
+        )
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
 def _panel_kernel(j0_ref, l_ref, lrow_ref, apanel_ref, out_ref):
+    i = pl.program_id(0)
     k = pl.program_id(1)
     j0 = j0_ref[0]
+    row0 = j0_ref[1]
 
     @pl.when(k == 0)
     def _():
         out_ref[...] = apanel_ref[...]
 
-    @pl.when(k * _TK < j0)
+    # Row tiles whose global rows all sit strictly above the panel
+    # (row0 + (i+1)*TN <= j0) are discarded by the caller's row mask —
+    # skip their update entirely (the strict upper half: 2x fewer FLOPs).
+    @pl.when((k * _TK < j0) & (row0 + (i + 1) * _TN > j0))
     def _():
         cols = k * _TK + jax.lax.broadcasted_iota(jnp.int32, l_ref.shape, 1)
         mask = (cols < j0).astype(l_ref.dtype)
         lt = l_ref[...] * mask
         lr = lrow_ref[...] * mask
-        out_ref[...] -= jax.lax.dot_general(
-            lt, lr,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        out_ref[...] -= _dot3(
+            lt, lr, (((1,), (1,)), ((), ()))
         ).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
-def panel_update_pallas(l, l_row, a_panel, j0, *, block: int):
+def panel_update_pallas(l, l_row, a_panel, j0, *, block: int, row0=0):
     """A_panel - L[:, :j0] @ L_row[:, :j0]^T with k-tile skipping.
 
     l: (nr, nc) current factor rows (nr == nc single-chip; nr = local band
     in the sharded case); l_row: (block, nc) rows [j0, j0+B) of l (already
     broadcast in the sharded case); a_panel: (nr, block); j0: traced scalar
-    — the contraction runs over columns < j0."""
+    — the contraction runs over columns < j0.  row0 is the global row index
+    of l's first row (device-band offset in the sharded case): output row
+    tiles entirely above j0 are discarded by the caller and skipped here."""
     nr, nc = l.shape
     if nr % _TN or nc % _TK or block > _TN:
         # Shapes outside the tiling contract: fall back to the masked matmul.
@@ -85,12 +118,104 @@ def panel_update_pallas(l, l_row, a_panel, j0, *, block: int):
             (_TN, block), lambda i, k, j: (i, 0), memory_space=pltpu.VMEM
         ),
     )
+    scalars = jnp.stack([jnp.asarray(j0, jnp.int32), jnp.asarray(row0, jnp.int32)])
     return pl.pallas_call(
         _panel_kernel,
         out_shape=jax.ShapeDtypeStruct((nr, block), a_panel.dtype),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(jnp.asarray([j0], jnp.int32), l, l_row, a_panel)
+    )(scalars, l, l_row, a_panel)
+
+
+def _row_kernel(j0_ref, lrow_ref, w_ref, out_ref):
+    i = pl.program_id(0)
+    k = pl.program_id(1)
+    j0 = j0_ref[0]
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    # W[:j0] is lower-triangular with zero columns >= j0, so output column
+    # tiles at i*TN >= j0 are identically zero — skip them (2x fewer FLOPs);
+    # the k == 0 zero-init already wrote the correct value.
+    @pl.when((k * _TK < j0) & (i * _TN < j0))
+    def _():
+        cols = k * _TK + jax.lax.broadcasted_iota(jnp.int32, lrow_ref.shape, 1)
+        mask = (cols < j0).astype(lrow_ref.dtype)
+        lt = lrow_ref[...] * mask
+        out_ref[...] += _dot3(
+            lt, w_ref[...], (((1,), (0,)), ((), ()))
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def row_update_pallas(w, l_row, j0, *, block: int):
+    """L_row[:, :j0] @ W[:j0, :] with k-tile skipping — the left-looking
+    TRSM's row update (see `pallas_blocked_linv`).
+
+    w: (n, n) current inverse factor (rows < j0 finished and LOWER
+    TRIANGULAR — the kernel skips output tiles at columns >= j0, which are
+    zero only under that structure); l_row: (block, n) rows [j0, j0+B) of
+    L; j0: traced scalar."""
+    n = w.shape[0]
+    if n % _TN or n % _TK or block % 128:
+        cols = jnp.arange(n) < j0
+        lr = l_row * cols[None, :].astype(l_row.dtype)
+        w_done = w * cols[:, None].astype(w.dtype)
+        return jnp.dot(lr, w_done, precision=lax.Precision.HIGHEST)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // _TN, n // _TK),
+        in_specs=[
+            pl.BlockSpec((block, _TK), lambda i, k, j: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TK, _TN), lambda i, k, j: (k, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block, _TN), lambda i, k, j: (0, i), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _row_kernel,
+        out_shape=jax.ShapeDtypeStruct((block, n), w.dtype),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(jnp.asarray([j0], jnp.int32), l_row, w)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def pallas_blocked_linv(l, block: int = 256):
+    """W = L^{-1} by a LEFT-looking blocked TRSM whose row updates run as
+    the Pallas k-tile-skipping kernel:
+
+        for block row j:  W[j, :] = Ljj^{-1} (I[j, :] - L[j, :j0] W[:j0, :])
+
+    Left-looking writes only (B, n) per step (vs the right-looking variant's
+    full trailing S), and the GEMM skips k tiles >= j0 — measured ~20x the
+    masked-GEMM `blocked_linv` at 16k on v5e.  W stays lower-triangular
+    because W[:j0, cols >= j0] is identically zero when the accumulator
+    starts at zero."""
+    n = l.shape[0]
+    if n % block:
+        raise ValueError(f"matrix size {n} must be a multiple of block {block}")
+    nb = n // block
+    dt = l.dtype
+    col_idx = jnp.arange(n)
+
+    def body(j, w):
+        j0 = j * block
+        l_row = lax.dynamic_slice(l, (j0, 0), (block, n))
+        upd = row_update_pallas(w, l_row, j0, block=block)
+        rows = j0 + jax.lax.broadcasted_iota(jnp.int32, (block, n), 0)
+        eye_slice = (rows == col_idx[None, :]).astype(dt)
+        ljj = lax.dynamic_slice(l, (j0, j0), (block, block))
+        wj = lax.linalg.triangular_solve(
+            ljj, eye_slice - upd, left_side=True, lower=True
+        )
+        return lax.dynamic_update_slice(w, wj, (j0, 0))
+
+    return lax.fori_loop(0, nb, body, jnp.zeros_like(l))
 
 
 @functools.partial(jax.jit, static_argnames=("block",))

@@ -143,7 +143,8 @@ def sharded_cholesky(a, mesh, *, block: int = 256, axis: str = "row",
             if use_pallas:
                 from gpis_tpu.linalg.pallas_chol import panel_update_pallas
 
-                a_panel = panel_update_pallas(l_loc, row_j, a_panel, j0, block=block)
+                a_panel = panel_update_pallas(l_loc, row_j, a_panel, j0,
+                                              block=block, row0=me * rows_per)
             else:
                 upd = lax.dot_general(
                     l_done, row_j,

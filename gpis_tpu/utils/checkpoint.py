@@ -57,24 +57,33 @@ def save_model(path: str, model, *, factor: bool = True) -> None:
 
 
 def _save_sharded(path: str, model) -> None:
+    joint = getattr(model, "normals", None) is not None
     meta = {
         "format": _FORMAT_VERSION,
         "kernel": model.kernel,
         "n0": model.n0,
         "dtype": str(np.dtype(model.dtype)),
         "sharded": True,
+        "joint": joint,
         "n_devices": int(model.mesh.shape["row"]),
         "block": int(model.block),
         "n_touch": int(model.n_touch),
         "n_real": int(model.n_real),
     }
-    np.savez_compressed(
-        path, meta=json.dumps(meta),
-        x=np.asarray(model.x), y=np.asarray(model.y), noise=np.asarray(model.noise),
+    arrays = dict(
+        x=np.asarray(model.x), y=np.asarray(model.y),
         l=np.asarray(model.l), w=np.asarray(model.w), alpha=np.asarray(model.alpha),
         param_lengthscale=np.asarray(model.params["lengthscale"]),
         param_signal_variance=np.asarray(model.params["signal_variance"]),
     )
+    if joint:
+        meta["pad_noise"] = float(model.pad_noise)
+        arrays["normals"] = np.asarray(model.normals)
+        arrays["noise_f"] = np.asarray(model.noise_f)
+        arrays["noise_g"] = np.asarray(model.noise_g)
+    else:
+        arrays["noise"] = np.asarray(model.noise)
+    np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
 
 def _load_sharded(d, meta):
@@ -94,6 +103,20 @@ def _load_sharded(d, meta):
         "lengthscale": jnp.asarray(d["param_lengthscale"]),
         "signal_variance": jnp.asarray(d["param_signal_variance"]),
     }
+    if meta.get("joint"):
+        from gpis_tpu.gp.sharded_joint import ShardedJointModel
+
+        return ShardedJointModel(
+            kernel=meta["kernel"], x=jnp.asarray(d["x"]), params=params,
+            l=jax.device_put(jnp.asarray(d["l"]), rs),
+            w=jax.device_put(jnp.asarray(d["w"]), rs),
+            alpha=jnp.asarray(d["alpha"]),
+            mesh=mesh, block=meta["block"], n0=int(meta["n0"]),
+            normals=jnp.asarray(d["normals"]), y=jnp.asarray(d["y"]),
+            noise_f=jnp.asarray(d["noise_f"]), noise_g=jnp.asarray(d["noise_g"]),
+            n_touch=int(meta.get("n_touch", 0)), n_real=int(meta.get("n_real", 0)),
+            pad_noise=float(meta.get("pad_noise", 1e10)),
+        )
     return ShardedGPModel(
         kernel=meta["kernel"], x=jnp.asarray(d["x"]), y=jnp.asarray(d["y"]),
         noise=jnp.asarray(d["noise"]),

@@ -12,14 +12,21 @@ import os
 # JAX_PLATFORMS=axon snapshotted, so plain env vars are too late here; the
 # config must be updated through jax.config instead (XLA_FLAGS is still
 # honored lazily at backend init).
+#
+# GPIS_TEST_PLATFORM=tpu switches the suite onto the real chip (no virtual
+# devices, no x64 — TPUs have none) for the `-m tpu` compiled-Pallas smoke
+# tier; everything else then skips via the device-count guards.
+_tpu_tier = os.environ.get("GPIS_TEST_PLATFORM", "") == "tpu"
+
 _flags = os.environ.get("XLA_FLAGS", "")
-if "--xla_force_host_platform_device_count" not in _flags:
+if not _tpu_tier and "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not _tpu_tier:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -39,6 +39,7 @@ def test_config1_rbf_sphere_fit():
     assert np.abs(crossings - 1.0).max() < 0.01
 
 
+@pytest.mark.slow
 def test_config2_thin_plate_normals_scan():
     """Config 2: thin-plate kernel + derivative observations on a scanned
     object (ellipsoid partial scan stands in for the real scan fixture)."""
@@ -77,6 +78,7 @@ def test_config3_hyperopt_recovers_lengthscale():
     assert 0.3 < float(res.params["lengthscale"]) < 0.9
 
 
+@pytest.mark.slow
 def test_config4_dense_grid_isosurface():
     """Config 4: dense grid posterior mean+variance + isosurface extraction."""
     pts = gpis.fibonacci_sphere(800, radius=1.0)
@@ -97,6 +99,7 @@ def test_config4_dense_grid_isosurface():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+@pytest.mark.slow
 def test_config5_sharded_fit_query():
     """Config 5 (CI scale): row-block-sharded Gram + ICI-distributed blocked
     Cholesky + sharded query on the 8-device mesh, vs single-device."""
@@ -124,6 +127,7 @@ def test_config5_sharded_fit_query():
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_torus_reconstruction():
     """Genus-1 object. The reference's centroid-internal-point labeling
     breaks here (the centroid sits in the torus HOLE — outside the solid),

@@ -47,6 +47,7 @@ def test_disc_samples_on_boundary(partial_model):
 
 
 @pytest.mark.parametrize("strategy", ["single_path", "multi_branch"])
+@pytest.mark.slow
 def test_next_best_path_seeks_unseen_region(partial_model, strategy):
     ecfg = ExploreConfig(
         variance_threshold=0.3, max_charts=40, n_disc_samples=16, strategy=strategy

@@ -56,6 +56,7 @@ def test_optimize_lbfgs(rng):
     assert res.mll >= mll0
 
 
+@pytest.mark.slow
 def test_optimize_joint_recovers_lengthscale():
     """Joint-system MLL (config 3 on config 2's model) through the session."""
     from gpis_tpu.api.session import ObjectModelSession

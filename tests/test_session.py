@@ -46,6 +46,7 @@ def test_empty_cloud_raises(session):
         session.query(np.zeros((1, 3)))
 
 
+@pytest.mark.slow
 def test_update_loop_reduces_uncertainty():
     cfg = ModelConfig(kernel="rbf", lengthscale=0.7, noise_surface=1e-5,
                       n_external=32, touch_capacity=128, block=64)
@@ -126,6 +127,7 @@ def test_http_service(session):
         srv.shutdown()
 
 
+@pytest.mark.slow
 def test_session_with_normals():
     """Config 2 through the session: normals tighten the model with few
     points, and the whole explore/update loop still works."""
@@ -152,6 +154,7 @@ def test_session_with_normals():
     sess.update(np.array([[1.0, 0.5, 0.0]]))  # second batch
 
 
+@pytest.mark.slow
 def test_session_sharded_mesh():
     """Config 5 through the session API on the 8-device virtual mesh."""
     import jax as _jax
@@ -225,6 +228,7 @@ def test_service_extended_endpoints(tmp_path):
         srv.shutdown()
 
 
+@pytest.mark.slow
 def test_export_exploration(tmp_path):
     """Chart + path HTML export from a partial scan."""
     cfg = ModelConfig(kernel="rbf", lengthscale=0.7, noise_surface=1e-5,
@@ -240,6 +244,7 @@ def test_export_exploration(tmp_path):
     assert '"center"' in html  # chart payload made it into the viewer
 
 
+@pytest.mark.slow
 def test_sharded_checkpoint_roundtrip(tmp_path):
     import jax as _jax
 
@@ -280,6 +285,7 @@ def test_session_all_kernels_e2e(kernel, ls):
     assert int(sess.model.n_touch) == 1
 
 
+@pytest.mark.slow
 def test_sharded_hyperopt_subsample():
     import jax as _jax
 
@@ -299,6 +305,7 @@ def test_sharded_hyperopt_subsample():
     assert mean[0] < -0.5
 
 
+@pytest.mark.slow
 def test_session_sharded_with_normals():
     import jax as _jax
 
@@ -321,5 +328,34 @@ def test_session_sharded_with_normals():
     # f32 session dtype + different capacity padding: ~1e-4-level agreement.
     np.testing.assert_allclose(mean, m2, atol=5e-4)
     np.testing.assert_allclose(var, v2, atol=5e-4)
-    with pytest.raises(NotImplementedError):
-        sess.update(np.array([[0.8, 0.0, 0.0]]))
+    # Incremental tactile update on the sharded joint model (tail-band
+    # bordering): variance at the touched point must drop.
+    touch = np.array([[0.8, 0.0, 0.0]])
+    _, var_before = sess.query(touch)
+    sess.update(touch)
+    assert sess.model.n_touch == 1
+    _, var_after = sess.query(touch)
+    assert float(var_after[0]) < float(var_before[0])
+
+
+@pytest.mark.slow
+def test_session_distributed_hyperopt():
+    """method="distributed" runs the exact mesh-wide MLL ascent and refits."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from gpis_tpu.config import MeshConfig
+
+    cfg = ModelConfig(kernel="rbf", lengthscale=1.2, noise_surface=1e-4,
+                      n_external=32, n_internal=1, touch_capacity=0)
+    sess = ObjectModelSession(cfg, mesh=MeshConfig(n_devices=8, block=32))
+    pts = gpis.fibonacci_sphere(220, radius=0.5)
+    sess.start(pts)
+    res = sess.optimize_hyperparameters(method="distributed", steps=8,
+                                        learning_rate=0.15)
+    assert res.history[-1] >= res.history[0]  # MLL ascends
+    assert hasattr(sess.model, "mesh")
+    # The refit model still answers queries sanely.
+    mean, _ = sess.query(np.array([[0.0, 0.0, 0.0], [0.5, 0.0, 0.0]]))
+    assert mean[0] < -0.5 and abs(mean[1]) < 0.05

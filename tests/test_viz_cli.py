@@ -58,6 +58,7 @@ def test_config_bad_kernel():
 
 
 @pytest.mark.e2e
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path, capsys):
     os.chdir(tmp_path)
     pts = gpis.fibonacci_sphere(150, radius=0.5) + np.array([1.0, 0.0, 0.0])
