@@ -111,19 +111,49 @@ def main():
     from gpis_tpu.linalg import cholesky as lin_mod
 
     gram_fn = jax.jit(lambda x, nz: kg_mod.gram("rbf", x, params, noise=nz))
-    chol_fn = jax.jit(lin_mod.cholesky)
+    # Donate K into the in-place factorization (the carry starts as A and
+    # becomes L) and L into the in-place TRSM (W overwrites L): peak HBM is
+    # ONE C x C matrix, which is what admits C ~ 50k on a 16 GB chip.
+    chol_fn = jax.jit(lin_mod.cholesky, donate_argnums=(0,))
     alpha_fn = jax.jit(lin_mod.cho_solve)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and c % 256 == 0:
+        from gpis_tpu.linalg.pallas_chol import pallas_blocked_linv
 
-    def fit_fn(x, y, nz):
+        linv_ip = jax.jit(
+            lambda l: pallas_blocked_linv(l, 256, inplace=True),
+            donate_argnums=(0,),
+        )
+    else:
+        linv_ip = None
+
+    # alpha via W: w.T @ (w @ y) — O(C^2), avoids XLA's triangular-solve
+    # lowering, which materializes a full-matrix temp (the 49k OOM).
+    alpha_w_fn = jax.jit(lambda w, y: jnp.dot(
+        w.T, jnp.dot(w, y, precision=jax.lax.Precision.HIGHEST),
+        precision=jax.lax.Precision.HIGHEST))
+
+    def fit_model(x, y, nz, check_nan=False):
+        """gram -> in-place chol -> (NaN gate) -> in-place W -> alpha.
+        Returns None when check_nan finds a NaN factor (ladder escalates).
+        Peak HBM: one C x C matrix."""
         k = gram_fn(x, nz)
         l = chol_fn(k)
-        alpha = alpha_fn(l, y)
         del k
-        return _GPModel(x=x, y=y, noise=nz, params=params, chol=l,
+        if check_nan and bool(jnp.isnan(jnp.diagonal(l)).any()):
+            return None
+        if linv_ip is None:
+            alpha = alpha_fn(l, y)
+            m = _GPModel(x=x, y=y, noise=nz, params=params, chol=l,
+                         alpha=alpha, n_touch=jnp.zeros((), jnp.int32),
+                         kernel="rbf", n0=c, pad_noise=1e10)
+            return gpr.with_linv(m, block=512)
+        w = linv_ip(l)  # W overwrites L; queries go through linv only
+        del l
+        alpha = alpha_w_fn(w, y)
+        return _GPModel(x=x, y=y, noise=nz, params=params, chol=w,
                         alpha=alpha, n_touch=jnp.zeros((), jnp.int32),
-                        kernel="rbf", n0=c, pad_noise=1e10)
-
-    linv_fn = lambda m: gpr.with_linv(m, block=512)
+                        kernel="rbf", n0=c, pad_noise=1e10, linv=w)
     coords, axis = grid_mod.make_grid(res, 1.5, dtype=dtype)
     query_fn = jax.jit(
         lambda m, q: gpr.predict(m, q)
@@ -149,16 +179,12 @@ def main():
     t0 = time.perf_counter()
     model = None
     for _ in range(4):
-        # NaN-check the factor BEFORE forming W, and release the previous
-        # attempt first: at 32k each of {K+L, L+W} is ~8.6 GB — holding two
-        # attempts at once exhausts the 16 GB HBM.
-        del model
-        model = fit_fn(xp, yp, noisep)
-        if not bool(jnp.isnan(jnp.diagonal(model.chol)).any()):
+        del model  # release before refitting: only one attempt fits HBM
+        model = fit_model(xp, yp, noisep, check_nan=True)
+        if model is not None:
             break
         log("NaN factor; escalating noise x10")
         noisep = jnp.where(noisep < 1.0, noisep * 10.0, noisep)
-    model = linv_fn(model)
     jax.block_until_ready(model.linv)
     mean, var = run_query(model)
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
@@ -166,7 +192,7 @@ def main():
 
     # Timed round (steady state).
     t0 = time.perf_counter()
-    model = linv_fn(fit_fn(xp, yp, noisep))
+    model = fit_model(xp, yp, noisep)
     jax.block_until_ready(model.linv)
     t_fit = time.perf_counter() - t0
 

@@ -24,6 +24,7 @@ __all__ = [
     "load_config",
     "ObjectModelSession",
     "fit",
+    "fit_inference",
     "predict",
     "update",
     "fit_with_normals",
@@ -41,6 +42,7 @@ __version__ = "0.1.0"
 _LAZY = {
     "ObjectModelSession": ("gpis_tpu.api.session", "ObjectModelSession"),
     "fit": ("gpis_tpu.gp.regression", "fit"),
+    "fit_inference": ("gpis_tpu.gp.regression", "fit_inference"),
     "predict": ("gpis_tpu.gp.regression", "predict"),
     "update": ("gpis_tpu.gp.regression", "update"),
     "fit_with_normals": ("gpis_tpu.gp.derivative", "fit_with_normals"),

@@ -95,6 +95,11 @@ def main(argv=None):
     p.add_argument("cloud")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--steps", type=int, default=150)
+    p.add_argument("--method", choices=["subsample", "distributed"],
+                   default="subsample",
+                   help="sharded models only: 'distributed' runs the exact "
+                        "mesh-wide MLL ascent (gp.sharded_hyperopt) instead "
+                        "of the single-chip subsample")
     _add_model_args(p)
 
     p = sub.add_parser("explore-viz", help="export mesh+charts+path HTML viewer")
@@ -189,7 +194,10 @@ def main(argv=None):
         model_cfg, explore_cfg, mesh_cfg = _config_from_args(args)
         pts, _ = load_cloud(args.cloud)
         sess = ObjectModelSession(model_cfg, explore_cfg, mesh_cfg).start(pts)
-        res = sess.optimize_hyperparameters(steps=args.steps)
+        kw = {"steps": args.steps}
+        if hasattr(sess.model, "mesh") and args.method == "distributed":
+            kw["method"] = "distributed"
+        res = sess.optimize_hyperparameters(**kw)
         sess.save(args.output)
         print(f"mll={res.mll:.4f} lengthscale={float(res.params['lengthscale']):.4f} "
               f"-> {args.output}")

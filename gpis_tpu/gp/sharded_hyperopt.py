@@ -139,7 +139,8 @@ def sharded_mll_and_grad(kernel, xp, yp, noisep, params, mesh, *,
     noise_eff = jnp.where(real > 0, noisep * scale, noisep)
 
     a = sh.sharded_gram(kernel, xp, params, noise_eff, mesh)
-    l = sh.sharded_cholesky(a, mesh, block=block)
+    use_pallas = jax.default_backend() == "tpu"
+    l = sh.sharded_cholesky(a, mesh, block=block, use_pallas=use_pallas)
     w = sh.sharded_linv(l, mesh, block=block)
     alpha = sh.sharded_alpha_from_linv(w, yp, mesh)
 

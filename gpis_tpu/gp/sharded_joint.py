@@ -347,10 +347,11 @@ def fit_sharded_joint(
 
     eps = float(jnp.finfo(dtype).eps)
     jitter0 = 4.0 * eps * j_tot * abs(float(kf.k_diag0(kernel, params)))
+    use_pallas = jax.default_backend() == "tpu"
     for extra in (0.0, jitter0, jitter0 * 100.0, jitter0 * 1e4):
         a = sharded_joint_gram(kernel, xp, params, nf + extra, ng + extra,
                                mesh, c=c)
-        l = sh.sharded_cholesky(a, mesh, block=block)
+        l = sh.sharded_cholesky(a, mesh, block=block, use_pallas=use_pallas)
         if not bool(jnp.isnan(jnp.diagonal(l)).any()):
             break
     else:

@@ -139,10 +139,13 @@ def fit_sharded(
 
     # Same ladder as gpr.fit: jitter-free first (bit-parity with the
     # single-chip fit when conditioning allows), escalate on NaN.
+    # On TPU the panel updates run through the k-tile-skipping Pallas
+    # kernel (the masked-GEMM HIGHEST path measured ~0.4 TFLOP/s there).
+    use_pallas = jax.default_backend() == "tpu"
     l = None
     for extra in (0.0, jitter, jitter * 100.0, jitter * 1e4):
         a = sh.sharded_gram(kernel, xp, params, np_ + extra, mesh)
-        l = sh.sharded_cholesky(a, mesh, block=block)
+        l = sh.sharded_cholesky(a, mesh, block=block, use_pallas=use_pallas)
         if not bool(jnp.isnan(jnp.diagonal(l)).any()):
             np_ = np_ + extra
             break

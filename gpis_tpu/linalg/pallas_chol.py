@@ -184,18 +184,24 @@ def row_update_pallas(w, l_row, j0, *, block: int):
     )(jnp.asarray([j0], jnp.int32), l_row, w)
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def pallas_blocked_linv(l, block: int = 256):
+@functools.partial(jax.jit, static_argnames=("block", "inplace"))
+def pallas_blocked_linv(l, block: int = 256, *, inplace: bool = False):
     """W = L^{-1} by a LEFT-looking blocked TRSM whose row updates run as
     the Pallas k-tile-skipping kernel:
 
         for block row j:  W[j, :] = Ljj^{-1} (I[j, :] - L[j, :j0] W[:j0, :])
 
     Left-looking writes only (B, n) per step (vs the right-looking variant's
-    full trailing S), and the GEMM skips k tiles >= j0 — measured ~20x the
+    full trailing S), and the GEMM skips k tiles >= j0 — measured ~27x the
     masked-GEMM `blocked_linv` at 16k on v5e.  W stays lower-triangular
     because W[:j0, cols >= j0] is identically zero when the accumulator
-    starts at zero."""
+    starts at zero.
+
+    inplace=True overwrites L with W row band by row band (step j reads
+    L's row panel j and the already-finished W rows < j0, both of which
+    live in the same carry) — peak memory one matrix instead of two, the
+    enabler for ~48k-point single-chip fits.  Donate the input at the
+    caller's jit boundary to elide the initial copy.  The caller loses L."""
     n = l.shape[0]
     if n % block:
         raise ValueError(f"matrix size {n} must be a multiple of block {block}")
@@ -203,7 +209,7 @@ def pallas_blocked_linv(l, block: int = 256):
     dt = l.dtype
     col_idx = jnp.arange(n)
 
-    def body(j, w):
+    def body_two_buffer(j, w):
         j0 = j * block
         l_row = lax.dynamic_slice(l, (j0, 0), (block, n))
         upd = row_update_pallas(w, l_row, j0, block=block)
@@ -215,13 +221,38 @@ def pallas_blocked_linv(l, block: int = 256):
         )
         return lax.dynamic_update_slice(w, wj, (j0, 0))
 
-    return lax.fori_loop(0, nb, body, jnp.zeros_like(l))
+    def body_inplace(j, m):
+        # m rows < j0 are finished W; rows >= j0 are still L.
+        j0 = j * block
+        l_row = lax.dynamic_slice(m, (j0, 0), (block, n))  # L's row panel j
+        # row_update contracts columns < j0 of l_row against rows < j0 of
+        # m — exactly the finished W rows; the masked-out columns of m's
+        # unfinished region never enter.
+        upd = row_update_pallas(m, l_row, j0, block=block)
+        rows = j0 + jax.lax.broadcasted_iota(jnp.int32, (block, n), 0)
+        eye_slice = (rows == col_idx[None, :]).astype(dt)
+        ljj = lax.dynamic_slice(l_row, (0, j0), (block, block))
+        wj = lax.linalg.triangular_solve(
+            ljj, eye_slice - upd, left_side=True, lower=True
+        )
+        return lax.dynamic_update_slice(m, wj, (j0, 0))
+
+    if inplace:
+        return lax.fori_loop(0, nb, body_inplace, l)
+    return lax.fori_loop(0, nb, body_two_buffer, jnp.zeros_like(l))
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
 def pallas_blocked_cholesky(a, block: int = 256):
     """Left-looking blocked Cholesky whose trailing updates run as the
-    Pallas panel kernel. Drop-in for `blocked_cholesky`."""
+    Pallas panel kernel. Drop-in for `blocked_cholesky`.
+
+    IN-PLACE structure: the loop carry starts as A and is overwritten
+    column panel by column panel — step j reads A's panel j (untouched so
+    far) and the finished L columns < j0 from the same carry (the panel
+    kernel masks contraction columns >= j0, so the not-yet-factored region
+    never leaks in).  Peak memory is ONE matrix; donate the input at the
+    caller's jit boundary to elide the initial copy entirely."""
     n = a.shape[0]
     if n % block:
         raise ValueError(f"matrix size {n} must be a multiple of block {block}")
@@ -229,11 +260,11 @@ def pallas_blocked_cholesky(a, block: int = 256):
     dt = a.dtype
     col_idx = jnp.arange(n)
 
-    def body(j, l):
+    def body(j, m):
         j0 = j * block
-        a_panel = lax.dynamic_slice(a, (0, j0), (n, block))
-        l_row = lax.dynamic_slice(l, (j0, 0), (block, n))
-        a_panel = panel_update_pallas(l, l_row, a_panel, j0, block=block)
+        a_panel = lax.dynamic_slice(m, (0, j0), (n, block))
+        l_row = lax.dynamic_slice(m, (j0, 0), (block, n))
+        a_panel = panel_update_pallas(m, l_row, a_panel, j0, block=block)
         d = lax.dynamic_slice(a_panel, (j0, 0), (block, block))
         ld = jnp.linalg.cholesky(d)
         panel = lax.linalg.triangular_solve(
@@ -242,6 +273,6 @@ def pallas_blocked_cholesky(a, block: int = 256):
         row_mask = (col_idx >= j0)[:, None]
         panel = jnp.where(row_mask, panel, jnp.zeros((), dt))
         panel = lax.dynamic_update_slice(panel, ld, (j0, 0))
-        return lax.dynamic_update_slice(l, panel, (0, j0))
+        return lax.dynamic_update_slice(m, panel, (0, j0))
 
-    return lax.fori_loop(0, nb, body, jnp.zeros_like(a))
+    return lax.fori_loop(0, nb, body, a)

@@ -314,3 +314,22 @@ def test_reset_touches_full_slots(rng):
     mean2, var2 = gpr.predict(m2, q)
     np.testing.assert_allclose(np.asarray(mean2), np.asarray(mean0), atol=1e-8)
     np.testing.assert_allclose(np.asarray(var2), np.asarray(var0), atol=1e-8)
+
+
+def test_fit_inference_matches_fit(rng):
+    """fit_inference (one-matrix-peak query-only path) == fit + with_linv
+    posterior.  On CPU it takes the fallback branch; the TPU branch's
+    kernels are covered by -m tpu and the in-place parity tests."""
+    from gpis_tpu.data import gpis as gpis_mod
+
+    pts = jnp.asarray(gpis_mod.fibonacci_sphere(120, 1.0))
+    params = kf.kernel_params(0.8, 1.0)
+    m1 = gpr.fit("rbf", pts, jnp.zeros(120), 1e-4, params, block=32,
+                 touch_capacity=0)
+    m1 = gpr.with_linv(m1, block=32)
+    m2 = gpr.fit_inference("rbf", pts, jnp.zeros(120), 1e-4, params, block=32)
+    q = jnp.asarray(np.random.default_rng(5).normal(size=(40, 3)))
+    a1, v1 = gpr.predict(m1, q)
+    a2, v2 = gpr.predict(m2, q)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-10)

@@ -210,3 +210,14 @@ def test_mll_blocked_chol_impl_matches_dense(rng):
     v2, g2 = jax.value_and_grad(mll)(ls0, blocked)
     np.testing.assert_allclose(float(v2), float(v1), rtol=1e-10)
     np.testing.assert_allclose(float(g2), float(g1), rtol=1e-8)
+
+
+def test_pallas_blocked_linv_inplace(rng):
+    """In-place TRSM (W overwrites L in the carry) == two-buffer variant."""
+    from gpis_tpu.linalg.pallas_chol import pallas_blocked_linv
+
+    n = 512
+    l = jnp.linalg.cholesky(_spd(rng, n))
+    w1 = pallas_blocked_linv(l, 256)
+    w2 = pallas_blocked_linv(l, 256, inplace=True)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w1), atol=1e-12)

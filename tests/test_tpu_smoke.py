@@ -188,3 +188,22 @@ def test_fit_predict_end_to_end_tpu():
     mean, var = sess.query(pts[:32])
     assert np.abs(mean).max() < 0.05
     assert np.isfinite(var).all()
+
+
+def test_fit_inference_compiled(prob):
+    """The one-matrix-peak fit (in-place chol + in-place TRSM + W-alpha,
+    donated jits) runs compiled and matches the two-buffer model's
+    posterior to speed-path tolerance."""
+    from gpis_tpu.gp import regression as gpr
+
+    x, noise, params = prob
+    y = jnp.zeros((N,), DT)
+    m_ref = gpr.with_linv(gpr.fit("rbf", x, y, noise, params, block=256,
+                                  touch_capacity=0))
+    m_inf = gpr.fit_inference("rbf", x, y, noise, params, block=256)
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(512, 3)), DT)
+    a1, v1 = gpr.predict(m_ref, q, precision=jax.lax.Precision.HIGHEST)
+    a2, v2 = gpr.predict(m_inf, q, precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=5e-3)
