@@ -209,6 +209,9 @@ def pallas_blocked_linv(l, block: int = 256, *, inplace: bool = False):
     dt = l.dtype
     col_idx = jnp.arange(n)
 
+    def _solve_row(ljj, rhs):
+        return lax.linalg.triangular_solve(ljj, rhs, left_side=True, lower=True)
+
     def body_two_buffer(j, w):
         j0 = j * block
         l_row = lax.dynamic_slice(l, (j0, 0), (block, n))
@@ -216,9 +219,7 @@ def pallas_blocked_linv(l, block: int = 256, *, inplace: bool = False):
         rows = j0 + jax.lax.broadcasted_iota(jnp.int32, (block, n), 0)
         eye_slice = (rows == col_idx[None, :]).astype(dt)
         ljj = lax.dynamic_slice(l, (j0, j0), (block, block))
-        wj = lax.linalg.triangular_solve(
-            ljj, eye_slice - upd, left_side=True, lower=True
-        )
+        wj = _solve_row(ljj, eye_slice - upd)
         return lax.dynamic_update_slice(w, wj, (j0, 0))
 
     def body_inplace(j, m):
@@ -232,9 +233,7 @@ def pallas_blocked_linv(l, block: int = 256, *, inplace: bool = False):
         rows = j0 + jax.lax.broadcasted_iota(jnp.int32, (block, n), 0)
         eye_slice = (rows == col_idx[None, :]).astype(dt)
         ljj = lax.dynamic_slice(l_row, (0, j0), (block, block))
-        wj = lax.linalg.triangular_solve(
-            ljj, eye_slice - upd, left_side=True, lower=True
-        )
+        wj = _solve_row(ljj, eye_slice - upd)
         return lax.dynamic_update_slice(m, wj, (j0, 0))
 
     if inplace:
@@ -267,6 +266,11 @@ def pallas_blocked_cholesky(a, block: int = 256):
         a_panel = panel_update_pallas(m, l_row, a_panel, j0, block=block)
         d = lax.dynamic_slice(a_panel, (j0, 0), (block, block))
         ld = jnp.linalg.cholesky(d)
+        # Panel TRSM stays on XLA: the inverse+GEMM variant (MAGMA trick)
+        # was measured SLOWER here — the kernels are DMA/launch-bound, so
+        # the trisolve is not on the critical path.  (Also noted: the
+        # XLA-level bf16x3 split miscompiles to NaN inside fori_loop on
+        # this backend; only in-kernel splits are trustworthy.)
         panel = lax.linalg.triangular_solve(
             ld, a_panel.T, left_side=True, lower=True
         ).T
