@@ -73,7 +73,7 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 16384
     quick = "--quick" in sys.argv
-    stages = {"gram", "chol", "linv", "query"}
+    stages = {"gram", "chol", "linv", "query"}  # add "sharded1" explicitly
     for i, a in enumerate(sys.argv):
         if a == "--stages" and i + 1 < len(sys.argv):
             stages = set(sys.argv[i + 1].split(","))
@@ -159,6 +159,33 @@ def main():
             t = timeit(fn, l, kq, reps=1)
             emit("query_var", "triangular-solve", t,
                  tflops=round(qflops / 2 / t / 1e12, 2))
+
+    # --- mesh-of-1 distributed pipeline on the real chip: the per-stage
+    # cost structure of the config-5 path (v5e-8 target) minus the ICI ---
+    if "sharded1" in stages:
+        from gpis_tpu.linalg import sharded as shl
+        from gpis_tpu.parallel import mesh as pm
+
+        mesh = pm.make_row_mesh(1)
+        t = timeit(lambda: shl.sharded_gram("rbf", x, params, noise, mesh),
+                   reps=reps)
+        emit("sharded1_gram", "shard_map", t, gb_s=round(n * n * 4 / t / 1e9, 1))
+        a_sh = shl.sharded_gram("rbf", x, params, noise, mesh)
+        t = timeit(lambda: shl.sharded_cholesky(a_sh, mesh, block=256,
+                                                use_pallas=True), reps=reps)
+        emit("sharded1_chol", "pallas-panels", t,
+             tflops=round(n**3 / 3 / t / 1e12, 2))
+        l_sh = shl.sharded_cholesky(a_sh, mesh, block=256, use_pallas=True)
+        t = timeit(lambda: shl.sharded_linv(l_sh, mesh, block=256), reps=1)
+        emit("sharded1_linv", "masked-gemm", t,
+             tflops=round(n**3 / 2 / t / 1e12, 2))
+        w_sh = shl.sharded_linv(l_sh, mesh, block=256)
+        alpha_sh = shl.sharded_alpha_from_linv(w_sh, jnp.zeros((n,), dt), mesh)
+        q1 = jnp.asarray(rng.normal(size=(8192, 3)), dt)
+        t = timeit(lambda: shl.sharded_predict_linv(
+            "rbf", q1, x, params, alpha_sh, w_sh, mesh), reps=1)
+        emit("sharded1_predict", "ring", t,
+             tflops=round(2 * 8192 * n * n / t / 1e12, 2))
 
 
 if __name__ == "__main__":

@@ -25,6 +25,7 @@ alignment.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -109,6 +110,7 @@ def _joint_band_rows(name, x_all, params, nf_all, ng, grows, c):
     return jnp.where(diag, k_rows + row_noise, k_rows)
 
 
+@functools.partial(jax.jit, static_argnames=("name", "mesh", "c", "axis"))
 def sharded_joint_gram(name: str, x_all, params, nf_all, ng, mesh, *,
                        c: int | None = None, axis: str = "row"):
     """Row-band-sharded joint Gram (J, J), J = 4C + T.  x_all (C+T, 3),
@@ -138,6 +140,7 @@ def sharded_joint_gram(name: str, x_all, params, nf_all, ng, mesh, *,
               jnp.broadcast_to(jnp.asarray(ng, dt), (c,)))
 
 
+@functools.partial(jax.jit, static_argnames=("name", "c", "mesh", "axis"))
 def _joint_update_tail(name, params, x_all, nf_all, ng, c, l, w, mesh, *,
                        axis: str = "row"):
     """Refactor the LAST row band of the sharded joint factor and W after

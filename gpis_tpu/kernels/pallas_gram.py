@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gpis_tpu.kernels import functions as kf
 
-__all__ = ["cross_cov_pallas", "gram_pallas"]
+__all__ = ["cross_cov_pallas", "gram_pallas", "gram_band_pallas"]
 
 _TN = 256
 _TM = 256
@@ -120,6 +120,63 @@ def cross_cov_pallas(name: str, q, x, params):
         interpret=_interpret(),
     )(*qc, *xr, ls, sv)
     return out[:m, :n]
+
+
+def _band_kernel(row0_ref, x0, x1, x2, z0, z1, z2, noise_col, ls_ref, sv_ref,
+                 out_ref, *, name):
+    i, j = pl.program_id(0), pl.program_id(1)
+    row0 = row0_ref[0]
+    d0 = x0[...] - z0[...]
+    d1 = x1[...] - z1[...]
+    d2 = x2[...] - z2[...]
+    r2 = d0 * d0 + d1 * d1 + d2 * d2
+    params = {"lengthscale": ls_ref[0, 0], "signal_variance": sv_ref[0, 0]}
+    k = kf.k_r2(name, r2, params)
+    # Band rows live at global rows [row0, row0+R): the diagonal entry of
+    # local row r sits at global column row0 + r.
+    rows_g = row0 + i * _TN + jax.lax.broadcasted_iota(jnp.int32, (_TN, _TM), 0)
+    cols_g = j * _TM + jax.lax.broadcasted_iota(jnp.int32, (_TN, _TM), 1)
+    k0 = kf.k_diag0(name, params).astype(out_ref.dtype)
+    out_ref[...] = jnp.where(rows_g == cols_g, k0 + noise_col[...], k)
+
+
+@functools.partial(jax.jit, static_argnames=("name",))
+def gram_band_pallas(name: str, x_band, x_full, params, noise_band, row0):
+    """K(X_band, X_full) + band diagonal noise: the (R, C) row band of the
+    global Gram for rows [row0, row0+R) — the per-device tile of
+    `linalg.sharded.sharded_gram`.  row0 is a traced scalar (device-band
+    offset), delivered via scalar prefetch so one compiled kernel serves
+    every device."""
+    r, c = x_band.shape[0], x_full.shape[0]
+    dt = x_band.dtype
+    bc, _ = _coord_split(x_band.astype(dt), _TN)
+    _, xr = _coord_split(x_full.astype(dt), _TM)
+    rp, cp = bc[0].shape[0], xr[0].shape[1]
+    noise_col = _pad_rows(
+        jnp.broadcast_to(jnp.asarray(noise_band, dt), (r,)), _TN
+    )[:, None]
+    ls = jnp.asarray(params["lengthscale"], dt).reshape(1, 1)
+    sv = jnp.asarray(params["signal_variance"], dt).reshape(1, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rp // _TN, cp // _TM),
+        in_specs=[
+            *[pl.BlockSpec((_TN, 1), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM)] * 3,
+            *[pl.BlockSpec((1, _TM), lambda i, j, s: (0, j), memory_space=pltpu.VMEM)] * 3,
+            pl.BlockSpec((_TN, 1), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j, s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j, s: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_TN, _TM), lambda i, j, s: (i, j), memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_band_kernel, name=name),
+        out_shape=jax.ShapeDtypeStruct((rp, cp), dt),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(jnp.asarray([row0], jnp.int32), *bc, *xr, noise_col, ls, sv)
+    return out[:r, :c]
 
 
 @functools.partial(jax.jit, static_argnames=("name",))

@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 from gpis_tpu.kernels import functions as kf
 from gpis_tpu.kernels.pallas_gram import _coord_split, _interpret
 
-__all__ = ["fused_query_pallas"]
+__all__ = ["fused_query_pallas", "fused_quad_band_pallas"]
 
 # Large query tile: W is re-streamed from HBM once per query tile, so TQ
 # sets the arithmetic intensity — at TQ=256 the kernel was W-DMA-bound
@@ -88,6 +88,88 @@ def _kernel(q0, q1, q2, x0, x1, x2, w_ref, alpha_ref, ls_ref, sv_ref,
         quad_ref[...] += jnp.sum(v_scr[...] * v_scr[...], axis=0)[None, :].astype(
             quad_ref.dtype
         )
+
+
+def _band_quad_kernel(row0_ref, q0, q1, q2, x0, x1, x2, w_ref, ls_ref, sv_ref,
+                      quad_ref, v_scr, *, name):
+    i = pl.program_id(1)
+    c = pl.program_id(2)
+    nc = pl.num_programs(2)
+    row0 = row0_ref[0]
+
+    @pl.when(c == 0)
+    def _():
+        v_scr[...] = jnp.zeros_like(v_scr)
+
+    # W band rows sit at global rows [row0 + i*TI, row0 + (i+1)*TI); tiles
+    # whose columns all exceed the last global row are zero (W lower-tri).
+    @pl.when(c * _TC < row0 + (i + 1) * _TI)
+    def _():
+        d0 = q0[...] - x0[...]
+        d1 = q1[...] - x1[...]
+        d2 = q2[...] - x2[...]
+        r2 = d0 * d0 + d1 * d1 + d2 * d2
+        params = {"lengthscale": ls_ref[0, 0], "signal_variance": sv_ref[0, 0]}
+        kq = kf.k_r2(name, r2, params)  # (TQ, TC)
+        v_scr[...] += jax.lax.dot_general(
+            w_ref[...], kq,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(v_scr.dtype)
+
+    @pl.when(c == nc - 1)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            quad_ref[...] = jnp.zeros_like(quad_ref)
+
+        quad_ref[...] += jnp.sum(v_scr[...] * v_scr[...], axis=0)[None, :].astype(
+            quad_ref.dtype
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("name",))
+def fused_quad_band_pallas(name: str, q, x, params, w_band, row0):
+    """quad partial ||W_band kq^T||^2 colsums for a row band of W at global
+    rows [row0, row0+R) — the per-hop contribution of the sharded ring
+    variance (`linalg.sharded.sharded_predict_linv`), with the
+    cross-covariance generated in VMEM (never in HBM) and lower-triangular
+    tiles skipped.  Returns (M,)."""
+    m, c = q.shape[0], x.shape[0]
+    r = w_band.shape[0]
+    dt = q.dtype
+    if c % _TI or c % _TC or r % _TI:
+        raise ValueError(
+            f"W band ({r}, {c}) must tile into {_TI} x {_TC} blocks"
+        )
+    qc, _ = _coord_split(q.astype(dt), _TQ)
+    _, xr = _coord_split(x.astype(dt), _TC)
+    mp = qc[0].shape[0]
+    ls = jnp.asarray(params["lengthscale"], dt).reshape(1, 1)
+    sv = jnp.asarray(params["signal_variance"], dt).reshape(1, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mp // _TQ, r // _TI, c // _TC),
+        in_specs=[
+            *[pl.BlockSpec((_TQ, 1), lambda mq, i, cc, s: (mq, 0), memory_space=pltpu.VMEM)] * 3,
+            *[pl.BlockSpec((1, _TC), lambda mq, i, cc, s: (0, cc), memory_space=pltpu.VMEM)] * 3,
+            pl.BlockSpec((_TI, _TC), lambda mq, i, cc, s: (i, cc), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda mq, i, cc, s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda mq, i, cc, s: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _TQ), lambda mq, i, cc, s: (0, mq), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((_TI, _TQ), jnp.float32)],
+    )
+    quad = pl.pallas_call(
+        functools.partial(_band_quad_kernel, name=name),
+        out_shape=jax.ShapeDtypeStruct((1, mp), dt),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(jnp.asarray([row0], jnp.int32), *qc, *xr, w_band, ls, sv)
+    return quad[0, :m]
 
 
 @functools.partial(jax.jit, static_argnames=("name",))

@@ -75,3 +75,42 @@ def test_fused_query_pallas(rng):
     np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), atol=1e-3)
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
                                rtol=2e-3, atol=1e-3)
+
+
+def test_gram_band_pallas(rng):
+    """Band Gram kernel (sharded assembly tile) == global Gram rows."""
+    from gpis_tpu.kernels import functions as kf
+    from gpis_tpu.kernels import gram as kg
+    from gpis_tpu.kernels.pallas_gram import gram_band_pallas
+
+    n = 512
+    x = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    noise = jnp.asarray(rng.uniform(1e-3, 1e-2, size=n), jnp.float32)
+    params = {k: v.astype(jnp.float32) for k, v in kf.kernel_params(0.7, 1.1).items()}
+    full = np.asarray(kg.gram_reference("rbf", x, params, noise=noise))
+    for row0, r in [(0, 256), (256, 256), (0, 512)]:
+        band = gram_band_pallas("rbf", x[row0:row0 + r], x, params,
+                                noise[row0:row0 + r], row0)
+        np.testing.assert_allclose(np.asarray(band), full[row0:row0 + r],
+                                   atol=1e-6)
+
+
+def test_fused_quad_band_pallas(rng):
+    """Band quad kernel == ||W_band kq^T||^2 colsums, any band offset."""
+    from gpis_tpu.kernels import functions as kf
+    from gpis_tpu.kernels import gram as kg
+    from gpis_tpu.kernels.pallas_query import fused_quad_band_pallas
+
+    c = 512
+    x = jnp.asarray(rng.normal(size=(c, 3)), jnp.float32)
+    params = {k: v.astype(jnp.float32) for k, v in kf.kernel_params(0.7, 1.0).items()}
+    # Lower-triangular W (the kernel skips tiles above the band diagonal).
+    w_full = jnp.asarray(np.tril(rng.normal(size=(c, c))), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(96, 3)), jnp.float32)
+    kq = np.asarray(kg.gram_reference("rbf", jnp.concatenate([q, x]), params))[:96, 96:]
+    for row0, r in [(0, 256), (256, 256)]:
+        quad = fused_quad_band_pallas("rbf", q, x, params,
+                                      w_full[row0:row0 + r], row0)
+        v = np.asarray(w_full)[row0:row0 + r] @ kq.T
+        want = (v * v).sum(axis=0)
+        np.testing.assert_allclose(np.asarray(quad), want, rtol=1e-5, atol=1e-5)

@@ -42,8 +42,9 @@ def test_sharded_gram(mesh, problem):
     got = sh.sharded_gram("rbf", x, params, noise, mesh)
     want = kg.gram("rbf", x, params, noise=noise)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
-    # Output is genuinely row-sharded.
-    assert got.sharding.spec == pm.P("row", None)
+    # Output is genuinely row-sharded (spec may normalize trailing None
+    # away under the jitted wrapper).
+    assert got.sharding.spec in (pm.P("row", None), pm.P("row"))
 
 
 def test_sharded_cholesky(mesh, problem):

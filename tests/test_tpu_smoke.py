@@ -209,3 +209,35 @@ def test_fit_inference_compiled(prob):
     a2, v2 = gpr.predict(m_inf, q, precision=jax.lax.Precision.HIGHEST)
     np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=5e-3)
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=5e-3)
+
+
+def test_sharded_band_kernels_mesh1_compiled(prob):
+    """Band Gram + fused band quad (the sharded pipeline's Pallas tiles)
+    compiled inside shard_map on a mesh of one real chip."""
+    from gpis_tpu.kernels import gram as kg
+    from gpis_tpu.linalg import sharded as sh
+    from gpis_tpu.linalg.pallas_chol import (
+        pallas_blocked_cholesky,
+        pallas_blocked_linv,
+    )
+    from gpis_tpu.parallel import mesh as pm
+
+    x, noise, params = prob
+    mesh = pm.make_row_mesh(1)
+    a_sh = np.asarray(sh.sharded_gram("rbf", x, params, noise, mesh))
+    a_ref = np.asarray(kg.gram_reference("rbf", x, params, noise=noise))
+    np.testing.assert_allclose(a_sh, a_ref, atol=2e-5)
+
+    l = pallas_blocked_cholesky(jnp.asarray(a_sh), 256)
+    w = pallas_blocked_linv(l, 256)
+    y = jnp.asarray(np.random.default_rng(3).normal(size=N) * 0.1, DT)
+    alpha = sh.sharded_alpha_from_linv(w, y, mesh)
+    q = jnp.asarray(np.random.default_rng(4).normal(size=(512, 3)), DT)
+    mean, var = sh.sharded_predict_linv("rbf", q, x, params, alpha, w, mesh)
+    # Reference via the single-chip GEMM paths on the same chip.
+    kq = kg.gram_reference("rbf", jnp.concatenate([q, x]), params)[:512, 512:]
+    mean_ref = jnp.dot(kq, alpha, precision=jax.lax.Precision.HIGHEST)
+    v = jnp.dot(w, kq.T, precision=jax.lax.Precision.HIGHEST)
+    var_ref = 1.0 - jnp.sum(v * v, axis=0)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref), atol=5e-2)
