@@ -31,7 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 from gpis_tpu.kernels.pallas_gram import _interpret
 
 __all__ = ["panel_update_pallas", "pallas_blocked_cholesky",
-           "row_update_pallas", "pallas_blocked_linv"]
+           "row_update_pallas", "pallas_blocked_linv",
+           "band_trail_update_pallas"]
 
 _TN = 256
 _TK = 256
@@ -125,6 +126,67 @@ def panel_update_pallas(l, l_row, a_panel, j0, *, block: int, row0=0):
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(scalars, l, l_row, a_panel)
+
+
+def _trail_kernel(scal_ref, lcol_ref, wj_ref, s_ref, out_ref, *, block):
+    i = pl.program_id(0)
+    jt = pl.program_id(1)
+    j0 = scal_ref[0]
+    row0 = scal_ref[1]
+
+    # Tiles outside the active region pass through: rows entirely above
+    # j0+B are masked to zero in l_col; wj (a lower-triangular W row panel)
+    # has zero columns >= j0+B.
+    compute = (row0 + (i + 1) * _TN > j0 + block) & (jt * _TK < j0 + block)
+
+    @pl.when(~compute)
+    def _():
+        out_ref[...] = s_ref[...]
+
+    @pl.when(compute)
+    def _():
+        rows_g = row0 + i * _TN + jax.lax.broadcasted_iota(
+            jnp.int32, (lcol_ref.shape[0], 1), 0
+        )
+        lt = lcol_ref[...] * (rows_g >= j0 + block).astype(lcol_ref.dtype)
+        out_ref[...] = s_ref[...] - _dot3(
+            lt, wj_ref[...], (((1,), (0,)), ((), ()))
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def band_trail_update_pallas(s, l_col, wj, j0, *, block: int, row0=0):
+    """S - (L[:, j] masked to rows >= j0+B) @ W_j — the right-looking
+    distributed TRSM's trailing update (`linalg.sharded.sharded_linv`).
+
+    s: (R, C) running trailing matrix (a device band); l_col: (R, B) column
+    panel j of L; wj: (B, C) the broadcast finished W row panel (lower
+    triangular: columns >= j0+B are zero, so those output tiles pass
+    through untouched); j0, row0: traced scalars (panel offset, band
+    offset)."""
+    r, c = s.shape
+    if r % _TN or c % _TK or block > 512:
+        rows_g = row0 + jnp.arange(r)
+        lt = l_col * (rows_g >= j0 + block).astype(l_col.dtype)[:, None]
+        return s - jnp.dot(lt, wj, precision=lax.Precision.HIGHEST)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r // _TN, c // _TK),
+        in_specs=[
+            pl.BlockSpec((_TN, block), lambda i, j, sc: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, _TK), lambda i, j, sc: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, _TK), lambda i, j, sc: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TN, _TK), lambda i, j, sc: (i, j), memory_space=pltpu.VMEM),
+    )
+    scalars = jnp.stack([jnp.asarray(j0, jnp.int32), jnp.asarray(row0, jnp.int32)])
+    return pl.pallas_call(
+        functools.partial(_trail_kernel, block=block),
+        out_shape=jax.ShapeDtypeStruct((r, c), s.dtype),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(scalars, l_col, wj, s)
 
 
 def _row_kernel(j0_ref, lrow_ref, w_ref, out_ref):

@@ -300,9 +300,9 @@ def sharded_cho_solve_vec(l, b, mesh, *, block: int = 256, axis: str = "row"):
 # ------------------------------------------------- sharded inverse factor
 
 
-@functools.partial(jax.jit, static_argnames=("block", "axis", "mesh"))
+@functools.partial(jax.jit, static_argnames=("block", "axis", "mesh", "use_pallas"))
 def sharded_linv(l, mesh, *, block: int = 256, axis: str = "row",
-                 precision=lax.Precision.HIGHEST):
+                 precision=lax.Precision.HIGHEST, use_pallas: bool = False):
     """W = L^{-1}, row-band-sharded, via a right-looking distributed TRSM:
 
         S_loc := I[rows_loc, :]
@@ -312,7 +312,14 @@ def sharded_linv(l, mesh, *, block: int = 256, axis: str = "row",
     O(C^3 / P) compute per device, C^2 words of ICI broadcast total.  With W
     in hand, posterior variance and alpha become pure local GEMMs + psum
     (see `sharded_predict_linv`):  var = k0 - ||W kq^T||^2,
-    alpha = W^T (W y)."""
+    alpha = W^T (W y).
+
+    use_pallas routes the trailing update through the Pallas band kernel
+    (`band_trail_update_pallas`) — measured SLOWER than the masked XLA
+    GEMM at mesh-1/16k (0.50 s vs 0.33 s: the panel-thin HIGHEST GEMM
+    already runs ~27 actual TFLOP/s here and the kernel pays copy-through
+    DMA on pass-through tiles), so it stays off by default; kept as a
+    tested option to re-measure on a real pod."""
     c = l.shape[0]
     p = mesh.shape[axis]
     rows_per = c // p
@@ -344,8 +351,15 @@ def sharded_linv(l, mesh, *, block: int = 256, axis: str = "row",
 
             # Trailing update on strictly-below rows (others masked).
             l_col = lax.dynamic_slice(l_loc, (0, j0), (rows_per, block))
-            below = (grow_ids[:, 0] >= j0 + block).astype(dt)[:, None]
-            s_loc = s_loc - jnp.dot(l_col * below, wj, precision=precision)
+            if use_pallas:
+                from gpis_tpu.linalg.pallas_chol import band_trail_update_pallas
+
+                s_loc = band_trail_update_pallas(
+                    s_loc, l_col, wj, j0, block=block, row0=me * rows_per
+                )
+            else:
+                below = (grow_ids[:, 0] >= j0 + block).astype(dt)[:, None]
+                s_loc = s_loc - jnp.dot(l_col * below, wj, precision=precision)
             # Owner's own rows become final W_j (wj is the clean broadcast
             # value — identical to wj_mine at the owner, NaN-free elsewhere).
             s_with = lax.dynamic_update_slice(s_loc, wj, (lrow, 0))
@@ -353,7 +367,8 @@ def sharded_linv(l, mesh, *, block: int = 256, axis: str = "row",
 
         return lax.fori_loop(0, nb, step, s0)
 
-    fn = shard_map(body, mesh=mesh, in_specs=(P(axis, None),), out_specs=P(axis, None))
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis, None),),
+                   out_specs=P(axis, None), check_vma=not use_pallas)
     return fn(l)
 
 

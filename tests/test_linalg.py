@@ -221,3 +221,23 @@ def test_pallas_blocked_linv_inplace(rng):
     w1 = pallas_blocked_linv(l, 256)
     w2 = pallas_blocked_linv(l, 256, inplace=True)
     np.testing.assert_allclose(np.asarray(w2), np.asarray(w1), atol=1e-12)
+
+
+def test_band_trail_update_pallas(rng):
+    """Band trailing update (sharded right-looking TRSM step) matches the
+    masked GEMM for banded and unbanded row offsets."""
+    from gpis_tpu.linalg.pallas_chol import band_trail_update_pallas
+
+    r, c, b = 512, 512, 256
+    s = jnp.asarray(rng.normal(size=(r, c)), jnp.float32)
+    l_col = jnp.asarray(rng.normal(size=(r, b)), jnp.float32)
+    # wj must be a lower-triangular W row panel: cols >= j0+b are zero.
+    for row0, j0 in [(0, 0), (0, 256), (512, 0)]:
+        wj = np.asarray(rng.normal(size=(b, c)), np.float32)
+        wj[:, j0 + b:] = 0.0
+        got = band_trail_update_pallas(s, l_col, jnp.asarray(wj), j0,
+                                       block=b, row0=row0)
+        rows_g = row0 + np.arange(r)
+        lt = np.asarray(l_col) * (rows_g >= j0 + b)[:, None]
+        want = np.asarray(s) - lt @ wj
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)

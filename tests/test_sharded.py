@@ -349,3 +349,15 @@ def test_optimize_sharded_recovers_lengthscale(mesh):
     ls = float(res["params"]["lengthscale"])
     assert 0.3 < ls < 0.8, ls
     assert res["history"][-1] > res["history"][0]
+
+
+def test_sharded_linv_pallas_matches(mesh, problem):
+    """use_pallas sharded TRSM (band trailing updates in the Pallas kernel)
+    == the masked-GEMM variant on the virtual mesh (interpret mode)."""
+    x, y, noise, params = problem
+    k = kg.gram("rbf", x, params, noise=noise)
+    l = jnp.linalg.cholesky(k)
+    lsh = jax.device_put(l, pm.row_sharding(mesh))
+    w1 = sh.sharded_linv(lsh, mesh, block=B)
+    w2 = sh.sharded_linv(lsh, mesh, block=B, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w1), atol=1e-9)
