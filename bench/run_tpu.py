@@ -4,12 +4,15 @@ Measures, on the real chip, each stage of the flagship pipeline at a given
 N with each available implementation, emitting JSON lines per measurement:
 
     python bench/run_tpu.py [N=16384] [--quick] [--stages gram,chol,linv,query]
+    python bench/run_tpu.py 16384 --stages sharded1   # mesh-of-1 config-5 path
 
 Stages x variants:
   gram      : pallas | jnp-reference (small N only)
   cholesky  : pallas(256) | blocked(512) | xla (small N only: OOM)
   linv      : pallas(256) | blocked-trsm(512)
   query 8k  : linv-GEMM at DEFAULT | HIGHEST | bf16x3; fused pallas; solve
+  sharded1  : the distributed pipeline (band gram / pallas-panel cholesky /
+              band TRSM both variants / ring query) on a mesh of one chip
 
 All timed callables take their operands as ARGUMENTS of a jitted function —
 never as closure captures, which jit would embed as constants and XLA would
