@@ -132,12 +132,25 @@ class ObjectModelSession:
                 block=self.mesh_config.block, pad_noise=cfg.pad_noise,
                 touch_capacity=cfg.touch_capacity,
             )
+        elif cfg.touch_capacity == 0:
+            # Query-only session: the one-matrix-peak inference path (W
+            # attached, chol aliases W — ~49k+ points fit one chip).
+            self.model = gpr.fit_inference(
+                cfg.kernel, ts.x, ts.y, ts.noise, params,
+                block=cfg.block, pad_noise=cfg.pad_noise,
+            )
         else:
             self.model = gpr.fit(
                 cfg.kernel, ts.x, ts.y, ts.noise, params,
                 block=cfg.block, touch_capacity=cfg.touch_capacity,
                 pad_noise=cfg.pad_noise,
             )
+            if self.model.capacity >= 512:
+                # Attach W = L^{-1}: every posterior query (grids, planner
+                # candidate sweeps) becomes a GEMM / fused-kernel instead of
+                # an XLA triangular solve (which runs ~1 TFLOP/s on TPU and
+                # OOMs at 16k+); update() carries W through the bordering.
+                self.model = gpr.with_linv(self.model)
         self.stats["fit_s"] = _time.perf_counter() - _t0
         log.info("fit: %d surface pts -> capacity %d (%s%s) in %.3fs",
                  ts.n_surface, self.model.capacity, cfg.kernel,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,7 +22,7 @@ from gpis_tpu.gp import regression as gpr
 from gpis_tpu.gp.model import GPModel
 from gpis_tpu.surface import projection
 
-__all__ = ["Chart", "make_charts", "disc_samples"]
+__all__ = ["Chart", "make_charts", "disc_samples", "project_and_chart"]
 
 
 @dataclasses.dataclass
@@ -85,6 +86,37 @@ def make_charts(model: GPModel, centers, cfg: ExploreConfig, *, ids, parents):
             )
         )
     return charts
+
+
+@jax.jit
+def _project_chart_device(model, x0):
+    """Project x0 to the surface, then its normal and posterior variance —
+    ONE device program (the planner's expansion step; splitting these into
+    separate calls made GPAtlasRRT round-trip-latency-bound on remote
+    TPU attachments)."""
+    x, ok = projection.project_point(model, x0)
+    g = jax.grad(lambda p: gpr.predict_mean(model, p[None, :])[0])(x)
+    n = g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
+    _, var = gpr.predict(model, x[None, :])
+    return x, ok, n, var[0]
+
+
+def project_and_chart(model: GPModel, x0, cfg: ExploreConfig, *, cid, parent):
+    """Project a candidate and build its Chart in one device round-trip.
+    Returns None when the projection fails to converge."""
+    from gpis_tpu.kernels import functions as kf
+
+    x, ok, n, var = _project_chart_device(model, jnp.asarray(x0, model.dtype))
+    if not bool(ok):
+        return None
+    n = np.asarray(n)
+    u, v = _tangent_basis(n)
+    prior = float(kf.k_diag0(model.kernel, model.params))
+    return Chart(
+        id=int(cid), center=np.asarray(x), normal=n, u=u, v=v,
+        radius=chart_radius(float(var), prior, cfg),
+        variance=float(var), parent=int(parent),
+    )
 
 
 def disc_samples(chart: Chart, n: int) -> np.ndarray:

@@ -97,8 +97,14 @@ def next_best_path(
         # Gather every frontier chart's disc candidates into ONE device call.
         cand_blocks = [atlas_mod.disc_samples(c, cfg.n_disc_samples) for c in frontier]
         cands = np.concatenate(cand_blocks, axis=0)
-        _, var = gpr.predict(model, jnp.asarray(cands, model.dtype))
-        var = np.asarray(var)
+        # Pad the batch to a shape bucket: the frontier size varies per
+        # round, and on TPU every fresh shape is a fresh XLA compile (the
+        # un-bucketed planner spent ~20 s/call recompiling at 16k).
+        bucket = -(-len(cands) // 256) * 256
+        qpad = np.zeros((bucket, 3), dtype=cands.dtype)
+        qpad[: len(cands)] = cands
+        _, var = gpr.predict(model, jnp.asarray(qpad, model.dtype))
+        var = np.asarray(var)[: len(cands)]
 
         # Penalize candidates that fall back inside existing charts (keeps
         # the tree exploring instead of oscillating).
@@ -127,19 +133,21 @@ def next_best_path(
         # Try candidates best-first: a failed projection (rare: flat
         # gradient) must not orphan good candidates on the same disc, so
         # fall through to the next-best candidate instead of dropping the
-        # whole chart (ADVICE r1).
+        # whole chart (ADVICE r1).  Projection + normal + variance run as
+        # ONE device program per attempt (project_and_chart) — the RRT loop
+        # is round-trip-latency-bound on remote TPU attachments.
         order = np.argsort(-score)
-        target, parent = None, None
+        new = None
         for cand_idx in order[:8]:
             if not np.isfinite(score[cand_idx]):
                 break
-            t, ok = projection.project_point(
-                model, jnp.asarray(cands[int(cand_idx)], model.dtype)
+            parent = owner(int(cand_idx))
+            new = atlas_mod.project_and_chart(
+                model, cands[int(cand_idx)], cfg, cid=next_id, parent=parent.id
             )
-            if bool(ok):
-                target, parent = t, owner(int(cand_idx))
+            if new is not None:
                 break
-        if target is None:
+        if new is None:
             if cfg.strategy == "single_path":
                 break
             # Every retried candidate failed: drop the chart owning the
@@ -147,9 +155,6 @@ def next_best_path(
             frontier.remove(owner(int(order[0])))
             continue
 
-        new = atlas_mod.make_charts(
-            model, np.asarray(target)[None, :], cfg, ids=[next_id], parents=[parent.id]
-        )[0]
         charts.append(new)
         next_id += 1
         if cfg.strategy == "single_path":

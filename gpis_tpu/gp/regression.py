@@ -371,26 +371,40 @@ def update(model: GPModel, new_x, new_y, new_noise) -> GPModel:
     k21 = kg.cross_cov(model.kernel, xt, x[:n0], model.params)  # (T, n0)
     k22 = kg.gram(model.kernel, xt, model.params, noise=noise[n0:])  # (T, T)
 
-    l11 = model.chol[:n0, :n0]
-    l21 = lin.solve_lower(l11, k21.T).T  # (T, n0)
-    l22 = jnp.linalg.cholesky(k22 - l21 @ l21.T)
+    if model.linv is not None:
+        # W11 = L11^{-1} is already in hand: L21 = K21 W11^T is a GEMM
+        # instead of an n0-wide triangular solve (which XLA lowers with a
+        # full-matrix temp and ~1 TFLOP/s on TPU).
+        w11 = model.linv[:n0, :n0]
+        l21 = _mm(k21, w11.T, precision=jax.lax.Precision.HIGHEST)
+    else:
+        l11 = model.chol[:n0, :n0]
+        l21 = lin.solve_lower(l11, k21.T).T  # (T, n0)
+    l22 = jnp.linalg.cholesky(
+        k22 - _mm(l21, l21.T, precision=jax.lax.Precision.HIGHEST)
+    )
     chol = model.chol.at[n0:, :n0].set(l21).at[n0:, n0:].set(l22)
-
-    alpha = lin.cho_solve(chol, y)
     # Carry the fast-query factor through the update when present:
     # W_new = [[W11, 0], [-L22^{-1} L21 W11, L22^{-1}]] — O(T C^2) like the
-    # bordering itself, so touches keep the GEMM variance path warm.
+    # bordering itself, so touches keep the GEMM variance path warm; alpha
+    # then comes from W^T (W y) GEMVs instead of full-size triangular
+    # solves (no XLA solve expansion anywhere in the touch path).
     linv = None
     if model.linv is not None:
         w11 = model.linv[:n0, :n0]
         w21 = -lax.linalg.triangular_solve(
-            l22, l21 @ w11, left_side=True, lower=True
+            l22, _mm(l21, w11, precision=jax.lax.Precision.HIGHEST),
+            left_side=True, lower=True
         )
         w22 = lax.linalg.triangular_solve(
             l22, jnp.eye(t, dtype=dt), left_side=True, lower=True
         )
         linv = (model.linv.at[n0:, :n0].set(w21).at[n0:, n0:].set(w22)
                 .at[:n0, n0:].set(0.0))
+        alpha = _mm(linv.T, _mm(linv, y, precision=jax.lax.Precision.HIGHEST),
+                    precision=jax.lax.Precision.HIGHEST)
+    else:
+        alpha = lin.cho_solve(chol, y)
     return GPModel(
         x=x,
         y=y,

@@ -51,6 +51,16 @@ def save_model(path: str, model, *, factor: bool = True) -> None:
     else:
         arrays["noise"] = np.asarray(model.noise)
         arrays["n_touch"] = np.asarray(model.n_touch)
+        # Persist the fast-query factor so loaded sessions answer queries
+        # identically to the saved one.  fit_inference models alias
+        # chol == W: store it once.
+        linv = getattr(model, "linv", None)
+        if linv is not None:
+            if linv is model.chol:
+                meta["linv_is_chol"] = True
+            else:
+                meta["has_linv"] = True
+                arrays["linv"] = np.asarray(linv)
     if factor:
         arrays["chol"] = np.asarray(model.chol)
     np.savez_compressed(path, meta=json.dumps(meta), **arrays)
@@ -166,6 +176,11 @@ def load_model(path: str):
         from gpis_tpu.linalg import cholesky as lin
 
         chol = lin.cholesky(kg.gram(meta["kernel"], x, params, noise=jnp.asarray(d["noise"])))
+    linv = None
+    if meta.get("linv_is_chol"):
+        linv = chol
+    elif meta.get("has_linv"):
+        linv = jnp.asarray(d["linv"])
     return GPModel(
         x=x,
         y=jnp.asarray(d["y"]),
@@ -177,4 +192,5 @@ def load_model(path: str):
         kernel=meta["kernel"],
         n0=int(meta["n0"]),
         pad_noise=float(meta.get("pad_noise", 1e10)),
+        linv=linv,
     )
