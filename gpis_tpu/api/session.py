@@ -114,6 +114,8 @@ class ObjectModelSession:
                     cfg.kernel, ts.x, ts.y, nrm_full, ts.noise, noise_g, params,
                     block=cfg.block, pad_noise=cfg.pad_noise,
                 )
+                if 4 * self.model.capacity >= 1024:
+                    self.model = gpd.with_linv_joint(self.model)
         elif self.mesh_config is not None and self.mesh_config.n_devices > 1:
             # Distributed fit (config 5): the cloud is too big for one HBM,
             # or the user asked for the mesh explicitly.
@@ -282,6 +284,8 @@ class ObjectModelSession:
                 m.kernel, x, yv, nrm, noise_f, noise_g, m.params,
                 block=self.config.block, pad_noise=self.config.pad_noise,
             )
+            if 4 * self.model.capacity >= 1024:
+                self.model = gpd.with_linv_joint(self.model)
             log.info("update(joint): +%d touch points (refit, %d total)",
                      pts.shape[0], len(tx))
         else:

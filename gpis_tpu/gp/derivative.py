@@ -39,6 +39,9 @@ class DerivGPModel:
     alpha: jax.Array  # (4C,)
     kernel: str = dataclasses.field(metadata=dict(static=True))
     n0: int = dataclasses.field(metadata=dict(static=True))
+    # W = chol^{-1} (4C, 4C): the GEMM variance path (with_linv_joint) —
+    # XLA's triangular solve runs ~1 TFLOP/s on TPU and OOMs at 4C ~ 16k+.
+    linv: jax.Array | None = None
 
     @property
     def capacity(self) -> int:
@@ -103,11 +106,32 @@ def fit_with_normals(
     )
 
 
+def with_linv_joint(model: DerivGPModel) -> DerivGPModel:
+    """Attach W = chol^{-1} for the GEMM variance path (the joint mirror of
+    `gp.regression.with_linv`)."""
+    j = model.chol.shape[0]
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    if backend == "tpu" and j >= 1024 and j % 256 == 0:
+        from gpis_tpu.linalg.pallas_chol import pallas_blocked_linv
+
+        w = pallas_blocked_linv(model.chol, 256)
+    else:
+        b = 512 if j % 512 == 0 else j
+        w = lin.blocked_linv(model.chol, b)
+    return dataclasses.replace(model, linv=w)
+
+
 def predict(model: DerivGPModel, q):
     """Posterior mean and variance of f at q (M, 3)."""
     kq = kd.cross_cov_value(model.kernel, q, model.x, model.params)  # (M, 4C)
     mean = jnp.dot(kq, model.alpha, precision=jax.lax.Precision.HIGHEST)
-    v = lin.solve_lower(model.chol, kq.T)
+    if model.linv is not None:
+        v = jnp.dot(model.linv, kq.T, precision=jax.lax.Precision.HIGHEST)
+    else:
+        v = lin.solve_lower(model.chol, kq.T)
     var = kf.k_diag0(model.kernel, model.params) - jnp.sum(v * v, axis=0)
     return mean, var
 

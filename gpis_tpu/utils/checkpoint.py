@@ -48,6 +48,9 @@ def save_model(path: str, model, *, factor: bool = True) -> None:
         arrays["normals"] = np.asarray(model.normals)
         arrays["noise_f"] = np.asarray(model.noise_f)
         arrays["noise_g"] = np.asarray(model.noise_g)
+        if getattr(model, "linv", None) is not None:
+            meta["has_linv"] = True
+            arrays["linv"] = np.asarray(model.linv)
     else:
         arrays["noise"] = np.asarray(model.noise)
         arrays["n_touch"] = np.asarray(model.n_touch)
@@ -168,6 +171,7 @@ def load_model(path: str):
             noise_f=jnp.asarray(d["noise_f"]), noise_g=jnp.asarray(d["noise_g"]),
             params=params, chol=chol, alpha=jnp.asarray(d["alpha"]),
             kernel=meta["kernel"], n0=int(meta["n0"]),
+            linv=jnp.asarray(d["linv"]) if meta.get("has_linv") else None,
         )
     if meta["has_factor"]:
         chol = jnp.asarray(d["chol"])
