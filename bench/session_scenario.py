@@ -2,7 +2,10 @@
 (SURVEY.md §4.1/§4.4/§4.5 — start_process / get_next_best_path / update)
 timed end-to-end through `ObjectModelSession` on the active backend.
 
-    python bench/session_scenario.py [n_surface=16256]
+    python bench/session_scenario.py [n_surface=16256] [--normals]
+
+--normals runs the config-2 joint model (surface normals as derivative
+observations; the joint system is 4x the point count) at the given size.
 
 Emits one JSON line per verb (steady-state where the verb is repeatable)
 plus a total.  This is the user-facing wall-clock: everything the CLI and
@@ -27,17 +30,21 @@ def main():
     from gpis_tpu.config import ExploreConfig, ModelConfig
     from gpis_tpu.data import gpis
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16256
-    print(json.dumps({"backend": jax.default_backend(), "n_surface": n}),
-          flush=True)
+    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 16256
+    use_normals = "--normals" in sys.argv
+    print(json.dumps({"backend": jax.default_backend(), "n_surface": n,
+                      "normals": use_normals}), flush=True)
 
     cfg = ModelConfig(kernel="rbf", lengthscale=0.4, noise_surface=1e-3,
                       n_external=127, n_internal=1, block=128,
                       touch_capacity=256)
     ecfg = ExploreConfig(max_charts=24, n_disc_samples=16,
                          variance_threshold=0.05)
-    pts = gpis.fibonacci_sphere(n, radius=0.35).astype(np.float32) + np.array(
-        [0.2, -0.1, 0.05], np.float32)
+    center = np.array([0.2, -0.1, 0.05], np.float32)
+    pts = gpis.fibonacci_sphere(n, radius=0.35).astype(np.float32) + center
+    normals = None
+    if use_normals:
+        normals = (pts - center) / 0.35
 
     def timed(label, fn, warm=True):
         if warm:
@@ -52,9 +59,9 @@ def main():
     sess = ObjectModelSession(cfg, ecfg)
     # start is not idempotent-cheap to warm; time the second call (the
     # first compiles) on a fresh session each time.
-    ObjectModelSession(cfg, ecfg).start(pts)  # compile round
+    ObjectModelSession(cfg, ecfg).start(pts, normals=normals)  # compile round
     t0 = time.perf_counter()
-    sess.start(pts)
+    sess.start(pts, normals=normals)
     t_start = time.perf_counter() - t0
     print(json.dumps({"verb": "start(fit)", "seconds": round(t_start, 3)}),
           flush=True)

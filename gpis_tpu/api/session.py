@@ -187,7 +187,10 @@ class ObjectModelSession:
         verts, faces = marching.marching_tetrahedra(mean, axis)
         verts_n = jnp.asarray(verts.astype(self.config.dtype))
         if len(verts):
-            _, vvar = gpr.predict(self.model, verts_n)
+            # Chunked: an isosurface easily has tens of thousands of
+            # vertices, and an unchunked (M, 4C) cross-covariance against a
+            # joint model OOMs a 16 GB chip in eager temps.
+            _, vvar = grid_mod.evaluate_points_chunked(self.model, verts_n)
             vvar = np.asarray(vvar)
         else:
             vvar = np.zeros((0,))
@@ -280,8 +283,15 @@ class ObjectModelSession:
             noise_g = jnp.concatenate(
                 [m.noise_g[:c0], jnp.full((len(tx),), self.config.pad_noise, ts.x.dtype)]
             )
+            kernel, params = m.kernel, m.params
+            # Release the old joint factors before the refit: holding the
+            # previous (4C)^2 chol+W while building the new ones doubles
+            # peak HBM and fragments the allocator (observed OOM after a
+            # few touches at 5k points on a 16 GB chip).
+            del m
+            self.model = None
             self.model = gpd.fit_with_normals(
-                m.kernel, x, yv, nrm, noise_f, noise_g, m.params,
+                kernel, x, yv, nrm, noise_f, noise_g, params,
                 block=self.config.block, pad_noise=self.config.pad_noise,
             )
             if 4 * self.model.capacity >= 1024:
