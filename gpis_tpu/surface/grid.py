@@ -9,7 +9,6 @@ for variance, all MXU work with static shapes.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
