@@ -186,6 +186,9 @@ def main():
                                             use_pallas=True), reps=1)
         emit("sharded1_linv", "pallas-trail", t,
              tflops=round(n**3 / 2 / t / 1e12, 2))
+        t = timeit(lambda: shl.sharded_linv_ll(l_sh, mesh, block=256), reps=1)
+        emit("sharded1_linv", "left-looking", t,
+             tflops=round(n**3 / 2 / t / 1e12, 2))
         w_sh = shl.sharded_linv(l_sh, mesh, block=256)
         alpha_sh = shl.sharded_alpha_from_linv(w_sh, jnp.zeros((n,), dt), mesh)
         q1 = jnp.asarray(rng.normal(size=(8192, 3)), dt)

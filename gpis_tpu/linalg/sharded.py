@@ -50,6 +50,7 @@ __all__ = [
     "sharded_cho_solve_vec",
     "sharded_predict",
     "sharded_update_tail",
+    "sharded_linv_ll",
 ]
 
 
@@ -451,6 +452,70 @@ def sharded_predict_linv(name: str, q, x, params, alpha, w, mesh, *, axis: str =
         check_vma=not use_pallas,
     )
     return fn(q, x, alpha, w)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "axis", "mesh"))
+def sharded_linv_ll(l, mesh, *, block: int = 256, axis: str = "row",
+                    precision=lax.Precision.HIGHEST):
+    """W = L^{-1} by a LEFT-looking distributed TRSM:
+
+        for block row j (owner o):
+          o broadcasts L's row panel j                     (1 bcast, (B, C))
+          every device q: partial_q = Lrow[:, band_q<j0] @ W[band_q<j0, :]
+          psum(partials) -> upd; o writes W_j = Ljj^{-1}(I_j - upd)
+
+    vs the right-looking `sharded_linv`: the per-step GEMM contracts over
+    the device's whole finished band (k = C/P, MXU-friendly) instead of a
+    B-thin panel, and only the owner's (B, C) row is written per step
+    (total C^2 writes vs C^3/(P*B)).  Costs one extra psum per step.
+    Parity-tested against `sharded_linv`; pick per pod by measurement."""
+    c = l.shape[0]
+    p = mesh.shape[axis]
+    rows_per = c // p
+    nb = c // block
+    dt = l.dtype
+
+    def body(l_loc):
+        me = lax.axis_index(axis)
+        grow_ids = me * rows_per + jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per,), 0
+        )
+        col_ids = jnp.arange(c)
+
+        def step(j, w_loc):
+            j0 = j * block
+            owner = j0 // rows_per
+            lrow_off = j0 - owner * rows_per
+            # Owner broadcasts L's row panel j, masked to finished cols.
+            mine = lax.dynamic_slice(l_loc, (lrow_off, 0), (block, c))
+            l_row = _bcast_from(
+                jnp.where(me == owner, mine, jnp.zeros_like(mine)), owner, axis
+            )
+            colmask = (col_ids < j0).astype(dt)[None, :]
+            # My band's contribution: Lrow[:, my rows < j0] @ W[my rows < j0, :].
+            sel = lax.dynamic_slice(
+                l_row * colmask,
+                (jnp.zeros((), grow_ids.dtype), me * rows_per),
+                (block, rows_per),
+            )  # (B, rows_per) — columns of Lrow that hit my band
+            wmask = (grow_ids < j0).astype(dt)[:, None]
+            partial = jnp.dot(sel, w_loc * wmask, precision=precision)
+            upd = lax.psum(partial, axis)  # (B, C)
+            rows = j0 + jax.lax.broadcasted_iota(jnp.int32, (block, c), 0)
+            eye_slice = (rows == col_ids[None, :]).astype(dt)
+            ljj = lax.dynamic_slice(l_row, (0, j0), (block, block))
+            wj = lax.linalg.triangular_solve(
+                ljj, eye_slice - upd, left_side=True, lower=True
+            )
+            w_with = lax.dynamic_update_slice(w_loc, wj, (lrow_off, 0))
+            return jnp.where(me == owner, w_with, w_loc)
+
+        w0 = lax.pvary(jnp.zeros((rows_per, c), dt), (axis,))
+        return lax.fori_loop(0, nb, step, w0)
+
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis, None),),
+                   out_specs=P(axis, None))
+    return fn(l)
 
 
 # ------------------------------------------------- sharded bordering update

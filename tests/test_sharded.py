@@ -361,3 +361,16 @@ def test_sharded_linv_pallas_matches(mesh, problem):
     w1 = sh.sharded_linv(lsh, mesh, block=B)
     w2 = sh.sharded_linv(lsh, mesh, block=B, use_pallas=True)
     np.testing.assert_allclose(np.asarray(w2), np.asarray(w1), atol=1e-9)
+
+
+def test_sharded_linv_left_looking_matches(mesh, problem):
+    """Left-looking distributed TRSM (band-wide GEMMs + psum) == the
+    right-looking variant."""
+    x, y, noise, params = problem
+    k = kg.gram("rbf", x, params, noise=noise)
+    l = jnp.linalg.cholesky(k)
+    lsh = jax.device_put(l, pm.row_sharding(mesh))
+    w1 = sh.sharded_linv(lsh, mesh, block=B)
+    w2 = sh.sharded_linv_ll(lsh, mesh, block=B)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(w2) @ np.asarray(l), np.eye(C), atol=1e-8)
