@@ -107,3 +107,62 @@ def test_debug_nans_clean_path():
         gpr.predict(m2, pts[:5])
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_checkpoint_roundtrip_fit_inference_alias(tmp_path):
+    """fit_inference models alias chol == W; the checkpoint stores the
+    matrix once (linv_is_chol) and the loaded model restores the alias and
+    the exact posterior."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpis_tpu.data import gpis as gpis_mod
+    from gpis_tpu.gp import regression as gpr
+    from gpis_tpu.kernels import functions as kf
+    from gpis_tpu.utils import checkpoint as ckpt
+
+    pts = jnp.asarray(gpis_mod.fibonacci_sphere(96, 1.0))
+    m = gpr.fit_inference("rbf", pts, jnp.zeros(96), 1e-4,
+                          kf.kernel_params(0.8, 1.0), block=32)
+    # Emulate the TPU branch's alias on the CPU fallback too.
+    import dataclasses
+
+    m = dataclasses.replace(m, chol=m.linv)
+    p = str(tmp_path / "inf.npz")
+    ckpt.save_model(p, m)
+    import json
+
+    with np.load(p) as d:
+        meta = json.loads(str(d["meta"]))
+        assert meta.get("linv_is_chol") is True
+        assert "linv" not in d.files  # stored once
+    m2 = ckpt.load_model(p)
+    assert m2.linv is m2.chol
+    q = jnp.asarray(np.random.default_rng(0).normal(size=(16, 3)))
+    np.testing.assert_allclose(np.asarray(gpr.predict(m, q)[1]),
+                               np.asarray(gpr.predict(m2, q)[1]), atol=1e-12)
+
+
+def test_checkpoint_roundtrip_with_linv(tmp_path):
+    """A with_linv model's checkpoint restores the fast-query factor, so a
+    loaded session answers queries identically (bit-exact) to the saved
+    one even on the GEMM path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpis_tpu.data import gpis as gpis_mod
+    from gpis_tpu.gp import regression as gpr
+    from gpis_tpu.kernels import functions as kf
+    from gpis_tpu.utils import checkpoint as ckpt
+
+    pts = jnp.asarray(gpis_mod.fibonacci_sphere(96, 1.0))
+    m = gpr.fit("rbf", pts, jnp.zeros(96), 1e-4, kf.kernel_params(0.8, 1.0),
+                block=32, touch_capacity=32)
+    m = gpr.with_linv(m, block=32)
+    p = str(tmp_path / "linv.npz")
+    ckpt.save_model(p, m)
+    m2 = ckpt.load_model(p)
+    assert m2.linv is not None and m2.linv is not m2.chol
+    q = jnp.asarray(np.random.default_rng(1).normal(size=(16, 3)))
+    for a, b in zip(gpr.predict(m, q), gpr.predict(m2, q)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
