@@ -98,9 +98,12 @@ def make_server(session: ObjectModelSession, host: str = "127.0.0.1", port: int 
                         session.save(req["path"])
                         self._send(200, {"ok": True, "path": req["path"]})
                     elif self.path == "/hyperopt":
-                        res = session.optimize_hyperparameters(
-                            steps=int(req.get("steps", 100))
-                        )
+                        kw = {"steps": int(req.get("steps", 100))}
+                        if req.get("method"):  # "distributed" on sharded models
+                            kw["method"] = str(req["method"])
+                        if "learn_noise" in req:
+                            kw["learn_noise"] = bool(req["learn_noise"])
+                        res = session.optimize_hyperparameters(**kw)
                         self._send(200, {
                             "ok": True, "mll": res.mll,
                             "lengthscale": float(res.params["lengthscale"]),
