@@ -113,6 +113,7 @@ class ObjectModelSession:
                 self.model = gpd.fit_with_normals(
                     cfg.kernel, ts.x, ts.y, nrm_full, ts.noise, noise_g, params,
                     block=cfg.block, pad_noise=cfg.pad_noise,
+                    touch_capacity=cfg.touch_capacity,
                 )
                 if 4 * self.model.capacity >= 1024:
                     self.model = gpd.with_linv_joint(self.model)
@@ -258,15 +259,22 @@ class ObjectModelSession:
         y = (jnp.zeros(pts.shape[0], pts.dtype) if targets is None
              else jnp.asarray(targets, pts.dtype))
         if hasattr(self.model, "normals"):
-            # Joint (normals) model: touch points join as value-only
-            # observations via a refit of the joint system (the bordering
-            # update specialises to the value-only model; the reference also
-            # refits in practice — SURVEY.md §4.5).
             from gpis_tpu.gp import derivative as gpd
 
             m = self.model
             self._touches = getattr(self, "_touches", [])
             self._touches.append((np.asarray(pts), np.asarray(y)))
+            # Incremental path: preallocated joint tail slots take the
+            # bordering update (O(T J^2)); overflow falls through to the
+            # full refit below, which folds ALL accumulated touches into
+            # the core observations and re-arms empty slots.
+            if (m.touch_x is not None
+                    and int(m.n_touch) + pts.shape[0] <= m.touch_capacity):
+                self.model = gpd.update_joint(m, pts, y, self.config.noise_touch)
+                log.info("update(joint): +%d touch points (bordering, %d/%d slots)",
+                         pts.shape[0], int(self.model.n_touch),
+                         self.model.touch_capacity)
+                return self
             tx = np.concatenate([t[0] for t in self._touches])
             ty = np.concatenate([t[1] for t in self._touches])
             ts = self.training
@@ -293,6 +301,7 @@ class ObjectModelSession:
             self.model = gpd.fit_with_normals(
                 kernel, x, yv, nrm, noise_f, noise_g, params,
                 block=self.config.block, pad_noise=self.config.pad_noise,
+                touch_capacity=self.config.touch_capacity,
             )
             if 4 * self.model.capacity >= 1024:
                 self.model = gpd.with_linv_joint(self.model)
@@ -426,11 +435,28 @@ class ObjectModelSession:
                 m.kernel, m.x, m.y, m.normals, m.noise_f, m.noise_g,
                 m.params, n_real=m.n0, **kw,
             )
+            # Refit with the optimum, folding the OCCUPIED touch slots into
+            # the core as value-only observations (slots re-arm empty).
+            # Slots hold exactly the touches not yet folded by a previous
+            # refit, so there is no double counting.
+            x, yv = m.x, m.y
+            nrm, nf, ng = m.normals, res.noise, m.noise_g
+            occ = int(m.n_touch) if getattr(m, "n_touch", None) is not None else 0
+            if occ:
+                x = jnp.concatenate([x, m.touch_x[:occ]])
+                yv = jnp.concatenate([yv, m.touch_y[:occ]])
+                nrm = jnp.concatenate([nrm, jnp.zeros((occ, 3), x.dtype)])
+                nf = jnp.concatenate([nf, m.touch_noise[:occ]])
+                ng = jnp.concatenate(
+                    [ng, jnp.full((occ,), self.config.pad_noise, x.dtype)])
             self.model = gpd.fit_with_normals(
-                m.kernel, m.x, m.y, m.normals, res.noise, m.noise_g,
+                m.kernel, x, yv, nrm, nf, ng,
                 res.params, block=self.config.block,
                 pad_noise=self.config.pad_noise,
+                touch_capacity=self.config.touch_capacity,
             )
+            if 4 * self.model.capacity >= 1024:
+                self.model = gpd.with_linv_joint(self.model)
         else:
             res = ho.optimize(
                 m.kernel, m.x, m.y, m.noise, m.params,

@@ -20,7 +20,8 @@ from gpis_tpu.kernels import derivative as kd
 from gpis_tpu.kernels import functions as kf
 from gpis_tpu.linalg import cholesky as lin
 
-__all__ = ["DerivGPModel", "fit_with_normals", "predict", "predict_gradient"]
+__all__ = ["DerivGPModel", "fit_with_normals", "predict", "predict_gradient",
+           "update_joint", "with_linv_joint", "joint_cross_value"]
 
 
 @jax.tree_util.register_dataclass
@@ -39,13 +40,24 @@ class DerivGPModel:
     alpha: jax.Array  # (4C,)
     kernel: str = dataclasses.field(metadata=dict(static=True))
     n0: int = dataclasses.field(metadata=dict(static=True))
-    # W = chol^{-1} (4C, 4C): the GEMM variance path (with_linv_joint) —
+    # W = chol^{-1} (J, J): the GEMM variance path (with_linv_joint) —
     # XLA's triangular solve runs ~1 TFLOP/s on TPU and OOMs at 4C ~ 16k+.
     linv: jax.Array | None = None
+    # Tactile touch slots: value-only observations at extra points,
+    # occupying joint rows [4C, 4C+T) (the tail of the chol/alpha system).
+    # None on models fitted with touch_capacity=0 (J = 4C exactly).
+    touch_x: jax.Array | None = None      # (T, 3)
+    touch_y: jax.Array | None = None      # (T,)
+    touch_noise: jax.Array | None = None  # (T,)
+    n_touch: jax.Array | None = None      # () int32 occupancy
 
     @property
     def capacity(self) -> int:
         return self.x.shape[0]
+
+    @property
+    def touch_capacity(self) -> int:
+        return 0 if self.touch_x is None else self.touch_x.shape[0]
 
     @property
     def dtype(self):
@@ -68,16 +80,23 @@ def fit_with_normals(
     params,
     *,
     block: int = 64,
+    touch_capacity: int = 0,
     pad_noise: float = 1e10,
     dtype=None,
     max_jitter_retries: int = 6,
 ) -> DerivGPModel:
     """Fit on (x, y, normals). Normal observations use the GPIS convention
     that grad f on the surface equals the outward unit normal (the field
-    grows ~linearly from -1 inside to +1 outside)."""
+    grows ~linearly from -1 inside to +1 outside).
+
+    touch_capacity > 0 preallocates T value-only tactile slots at the
+    JOINT TAIL (rows [4C, 4C+T) of the chol/alpha system, slot points at
+    the origin with pad noise — inert, see gp.model), so `update_joint`
+    can border them in O(T·J²) instead of refitting O(J³)."""
     dtype = dtype or x.dtype
     n = x.shape[0]
     c = round_up(n, block)
+    t = round_up(touch_capacity, block) if touch_capacity else 0
     xp = jnp.zeros((c, 3), dtype).at[:n].set(x.astype(dtype))
     yp = jnp.zeros((c,), dtype).at[:n].set(y.astype(dtype))
     npf = jnp.full((c,), pad_noise, dtype).at[:n].set(
@@ -86,23 +105,42 @@ def fit_with_normals(
         jnp.broadcast_to(jnp.asarray(noise_g, dtype), (n,)))
     nrm = jnp.zeros((c, 3), dtype).at[:n].set(normals.astype(dtype))
     params = {k: jnp.asarray(v, dtype) for k, v in params.items()}
+    tx = jnp.zeros((t, 3), dtype) if t else None
+    ty = jnp.zeros((t,), dtype) if t else None
+    tn = jnp.full((t,), pad_noise, dtype) if t else None
 
     eps = float(jnp.finfo(dtype).eps)
     k0 = float(kf.k_diag0(kernel, params))
-    jitter0 = 4.0 * eps * 4 * c * abs(k0)
+    jitter0 = 4.0 * eps * (4 * c + t) * abs(k0)
     extra = 0.0
     for attempt in range(max_jitter_retries + 1):
         k = kd.joint_gram(kernel, xp, params, noise_f=npf + extra, noise_g=npg + extra)
+        if t:
+            # Border the tactile slots onto the joint system by blocks; the
+            # big (4C, 4C) block keeps its Pallas assembly path.  D is the
+            # true kernel among slot points (origin duplicates get k(0)
+            # off-diagonal — same padding semantics as gp.model, and the
+            # same K the bordering update recomputes).
+            from gpis_tpu.kernels import gram as kg_mod
+
+            b = kd.cross_cov_value(kernel, tx, xp, params)  # (T, 4C)
+            d = kg_mod.gram_reference(kernel, tx, params, noise=tn + extra)
+            k = jnp.block([[k, b.T], [b, d]])
         l = lin.cholesky(k)
         if not bool(jnp.isnan(jnp.diagonal(l)).any()):
             break
         extra = jitter0 * (10.0**attempt)
     else:
         raise FloatingPointError("joint Cholesky failed even with jitter")
-    alpha = lin.cho_solve(l, kd.joint_targets(yp, nrm))
+    yj = kd.joint_targets(yp, nrm)
+    if t:
+        yj = jnp.concatenate([yj, ty])
+    alpha = lin.cho_solve(l, yj)
     return DerivGPModel(
         x=xp, y=yp, normals=nrm, noise_f=npf, noise_g=npg, params=params,
         chol=l, alpha=alpha, kernel=kernel, n0=c,
+        touch_x=tx, touch_y=ty, touch_noise=tn,
+        n_touch=jnp.zeros((), jnp.int32) if t else None,
     )
 
 
@@ -124,9 +162,21 @@ def with_linv_joint(model: DerivGPModel) -> DerivGPModel:
     return dataclasses.replace(model, linv=w)
 
 
+def joint_cross_value(model: DerivGPModel, q):
+    """cov(f(q), [joint obs]): (M, J) — value/gradient core columns plus
+    value-only touch columns when the model carries tactile slots."""
+    kq = kd.cross_cov_value(model.kernel, q, model.x, model.params)  # (M, 4C)
+    if model.touch_x is not None:
+        from gpis_tpu.kernels import gram as kg_mod
+
+        kt = kg_mod.cross_cov(model.kernel, q, model.touch_x, model.params)
+        kq = jnp.concatenate([kq, kt], axis=1)
+    return kq
+
+
 def predict(model: DerivGPModel, q):
     """Posterior mean and variance of f at q (M, 3)."""
-    kq = kd.cross_cov_value(model.kernel, q, model.x, model.params)  # (M, 4C)
+    kq = joint_cross_value(model, q)  # (M, J)
     mean = jnp.dot(kq, model.alpha, precision=jax.lax.Precision.HIGHEST)
     if model.linv is not None:
         v = jnp.dot(model.linv, kq.T, precision=jax.lax.Precision.HIGHEST)
@@ -141,5 +191,72 @@ def predict_gradient(model: DerivGPModel, q):
     the joint model (no AD needed, though AD gives the same numbers)."""
     m = q.shape[0]
     kg_ = kd.cross_cov_grad(model.kernel, q, model.x, model.params)  # (3M, 4C)
+    if model.touch_x is not None:
+        kg_ = jnp.concatenate(
+            [kg_, kd.cross_cov_grad_value(model.kernel, q, model.touch_x,
+                                          model.params)], axis=1)
     g = jnp.dot(kg_, model.alpha, precision=jax.lax.Precision.HIGHEST)  # (3M,)
     return jnp.stack([g[:m], g[m : 2 * m], g[2 * m :]], axis=1)
+
+
+def update_joint(model: DerivGPModel, new_x, new_y, new_noise) -> DerivGPModel:
+    """Append tactile (value-only) points to a joint model's preallocated
+    tail slots and re-form only the trailing Cholesky rows [4C, J) — the
+    single-chip joint mirror of `gp.regression.update` (reference §4.5).
+    Raises on cumulative overflow (occupancy is host-side here)."""
+    if model.touch_x is None:
+        raise ValueError(
+            "model has no touch slots; fit with touch_capacity > 0 "
+            "(or refit via the session, which falls back automatically)"
+        )
+    t = model.touch_capacity
+    n4 = 4 * model.capacity
+    k_new = new_x.shape[0]
+    occ = int(model.n_touch)
+    if occ + k_new > t:
+        raise ValueError(
+            f"cumulative touches {occ + k_new} exceed touch capacity {t}"
+        )
+    dt = model.dtype
+    hi = jax.lax.Precision.HIGHEST
+    new_y = jnp.broadcast_to(jnp.asarray(new_y, dt), (k_new,))
+    floor = (4.0 * float(jnp.finfo(dt).eps) * (n4 + t)) * kf.k_diag0(
+        model.kernel, model.params)
+    new_noise = jnp.maximum(jnp.asarray(new_noise, dt), floor.astype(dt))
+
+    tx = model.touch_x.at[occ : occ + k_new].set(new_x.astype(dt))
+    ty = model.touch_y.at[occ : occ + k_new].set(new_y)
+    tn = model.touch_noise.at[occ : occ + k_new].set(
+        jnp.broadcast_to(new_noise, (k_new,)))
+
+    from gpis_tpu.kernels import gram as kg_mod
+
+    k21 = kd.cross_cov_value(model.kernel, tx, model.x, model.params)  # (T, 4C)
+    k22 = kg_mod.gram_reference(model.kernel, tx, model.params, noise=tn)
+    if model.linv is not None:
+        w11 = model.linv[:n4, :n4]
+        l21 = jnp.dot(k21, w11.T, precision=hi)
+    else:
+        l21 = lin.solve_lower(model.chol[:n4, :n4], k21.T).T
+    l22 = jnp.linalg.cholesky(k22 - jnp.dot(l21, l21.T, precision=hi))
+    chol = model.chol.at[n4:, :n4].set(l21).at[n4:, n4:].set(l22)
+
+    yj = jnp.concatenate([kd.joint_targets(model.y, model.normals), ty])
+    linv = None
+    if model.linv is not None:
+        w21 = -jax.lax.linalg.triangular_solve(
+            l22, jnp.dot(l21, w11, precision=hi), left_side=True, lower=True)
+        w22 = jax.lax.linalg.triangular_solve(
+            l22, jnp.eye(t, dtype=dt), left_side=True, lower=True)
+        linv = (model.linv.at[n4:, :n4].set(w21).at[n4:, n4:].set(w22)
+                .at[:n4, n4:].set(0.0))
+        alpha = jnp.dot(linv.T, jnp.dot(linv, yj, precision=hi), precision=hi)
+    else:
+        alpha = lin.cho_solve(chol, yj)
+    import dataclasses as _dc
+
+    return _dc.replace(
+        model, chol=chol, alpha=alpha, linv=linv,
+        touch_x=tx, touch_y=ty, touch_noise=tn,
+        n_touch=jnp.asarray(occ + k_new, jnp.int32),
+    )

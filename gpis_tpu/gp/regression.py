@@ -304,9 +304,15 @@ def predict_mean(model: GPModel, q):
     (reference §4.3), where `jax.grad` of this function supplies the
     posterior gradient the reference computed from kernel derivatives."""
     if hasattr(model, "normals") and model.normals is not None:
-        # Joint system (single-chip or sharded: x/alpha replicated either way).
+        # Joint system (single-chip or sharded: x/alpha replicated either
+        # way).  Sharded joint models put touch slots inside their own
+        # predict; the single-chip model's cross includes them here.
         from gpis_tpu.kernels import derivative as kd
 
+        if getattr(model, "touch_x", None) is not None:
+            from gpis_tpu.gp import derivative as gpd
+
+            return gpd.joint_cross_value(model, q) @ model.alpha
         kq = kd.cross_cov_value(model.kernel, q, model.x, model.params)
         return kq @ model.alpha
     # ShardedGPModel falls through: x and alpha are replicated, so the mean

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from gpis_tpu.kernels import functions as kf
 
-__all__ = ["joint_gram", "joint_gram_reference", "cross_cov_value", "cross_cov_grad", "joint_targets"]
+__all__ = ["joint_gram", "joint_gram_reference", "cross_cov_value",
+           "cross_cov_grad", "cross_cov_grad_value", "joint_targets"]
 
 
 def _diff_r2(x, z):
@@ -144,6 +145,14 @@ def cross_cov_grad(name: str, q, x, params):
             blocks.append(term)
         rows.append(jnp.concatenate(blocks, axis=1))
     return jnp.concatenate(rows, axis=0)
+
+
+def cross_cov_grad_value(name: str, q, t, params):
+    """cov(grad f(q), f(t)): (3M, T) dimension-major — the gradient-query
+    rows against VALUE-ONLY columns (tactile touch slots)."""
+    d, r2 = _diff_r2(q, t)
+    dk = kf.dk_dr2(name, r2, params)
+    return jnp.concatenate([2.0 * dk * d[:, :, e] for e in range(3)], axis=0)
 
 
 def joint_targets(y_f, normals):

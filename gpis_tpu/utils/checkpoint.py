@@ -51,6 +51,12 @@ def save_model(path: str, model, *, factor: bool = True) -> None:
         if getattr(model, "linv", None) is not None:
             meta["has_linv"] = True
             arrays["linv"] = np.asarray(model.linv)
+        if getattr(model, "touch_x", None) is not None:
+            meta["joint_touch"] = True
+            meta["n_touch"] = int(model.n_touch)
+            arrays["touch_x"] = np.asarray(model.touch_x)
+            arrays["touch_y"] = np.asarray(model.touch_y)
+            arrays["touch_noise"] = np.asarray(model.touch_noise)
     else:
         arrays["noise"] = np.asarray(model.noise)
         arrays["n_touch"] = np.asarray(model.n_touch)
@@ -166,12 +172,21 @@ def load_model(path: str):
                 meta["kernel"], x, params,
                 noise_f=jnp.asarray(d["noise_f"]), noise_g=jnp.asarray(d["noise_g"]),
             ))
+        touch = {}
+        if meta.get("joint_touch"):
+            touch = dict(
+                touch_x=jnp.asarray(d["touch_x"]),
+                touch_y=jnp.asarray(d["touch_y"]),
+                touch_noise=jnp.asarray(d["touch_noise"]),
+                n_touch=jnp.asarray(meta["n_touch"], jnp.int32),
+            )
         return DerivGPModel(
             x=x, y=jnp.asarray(d["y"]), normals=jnp.asarray(d["normals"]),
             noise_f=jnp.asarray(d["noise_f"]), noise_g=jnp.asarray(d["noise_g"]),
             params=params, chol=chol, alpha=jnp.asarray(d["alpha"]),
             kernel=meta["kernel"], n0=int(meta["n0"]),
             linv=jnp.asarray(d["linv"]) if meta.get("has_linv") else None,
+            **touch,
         )
     if meta["has_factor"]:
         chol = jnp.asarray(d["chol"])

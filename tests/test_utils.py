@@ -166,3 +166,30 @@ def test_checkpoint_roundtrip_with_linv(tmp_path):
     q = jnp.asarray(np.random.default_rng(1).normal(size=(16, 3)))
     for a, b in zip(gpr.predict(m, q), gpr.predict(m2, q)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+def test_checkpoint_roundtrip_joint_touches(tmp_path):
+    """Joint models with occupied tactile slots roundtrip exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpis_tpu.data import gpis as gpis_mod
+    from gpis_tpu.gp import derivative as gpd
+    from gpis_tpu.kernels import functions as kf
+    from gpis_tpu.utils import checkpoint as ckpt
+
+    pts = jnp.asarray(gpis_mod.fibonacci_sphere(48, 1.0))
+    m = gpd.fit_with_normals("rbf", pts, jnp.zeros(48), pts, 1e-4, 1e-3,
+                             kf.kernel_params(0.8, 1.0), block=16,
+                             touch_capacity=8)
+    m = gpd.update_joint(m, pts[:2] * 1.02, jnp.zeros(2), 1e-5)
+    p = str(tmp_path / "jt.npz")
+    ckpt.save_model(p, m)
+    m2 = ckpt.load_model(p)
+    assert int(m2.n_touch) == 2 and m2.touch_capacity == m.touch_capacity
+    q = jnp.asarray(np.random.default_rng(3).normal(size=(12, 3)))
+    for a, b in zip(gpd.predict(m, q), gpd.predict(m2, q)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+    # And the loaded model accepts further touches.
+    m3 = gpd.update_joint(m2, pts[2:3] * 0.98, jnp.zeros(1), 1e-5)
+    assert int(m3.n_touch) == 3
