@@ -88,8 +88,7 @@ def make_charts(model: GPModel, centers, cfg: ExploreConfig, *, ids, parents):
     return charts
 
 
-@jax.jit
-def _project_chart_device(model, x0):
+def _project_chart_impl(model, x0):
     """Project x0 to the surface, then its normal and posterior variance —
     ONE device program (the planner's expansion step; splitting these into
     separate calls made GPAtlasRRT round-trip-latency-bound on remote
@@ -101,12 +100,20 @@ def _project_chart_device(model, x0):
     return x, ok, n, var[0]
 
 
+_project_chart_device = jax.jit(_project_chart_impl)
+
+
 def project_and_chart(model: GPModel, x0, cfg: ExploreConfig, *, cid, parent):
     """Project a candidate and build its Chart in one device round-trip.
     Returns None when the projection fails to converge."""
     from gpis_tpu.kernels import functions as kf
 
-    x, ok, n, var = _project_chart_device(model, jnp.asarray(x0, model.dtype))
+    # Sharded models hold a Mesh and are NOT pytrees, so they cannot be
+    # traced jit arguments (ADVICE r2 high #1); their expansion runs the
+    # same program eagerly — the while_loop/grad pieces still each compile
+    # to one XLA program, and the shard_map predicts inside are jitted.
+    fn = _project_chart_impl if hasattr(model, "mesh") else _project_chart_device
+    x, ok, n, var = fn(model, jnp.asarray(x0, model.dtype))
     if not bool(ok):
         return None
     n = np.asarray(n)

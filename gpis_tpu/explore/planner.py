@@ -79,8 +79,14 @@ def next_best_path(
     # point with the highest posterior variance — internal/external label
     # points and padding rows are not on the surface and must not seed).
     if seed_point is None:
-        on_surface = (np.asarray(model.y) == 0.0) & (np.asarray(model.noise) < 1e6)
-        cand = np.asarray(model.x)[on_surface]
+        # model.noise is the value-observation noise over the C core points
+        # for every model type; the first C entries of y are the value
+        # targets even in the joint layouts ([f(1..C) | gradients | touch]),
+        # and the first C rows of x are the core coordinates.
+        noise_v = np.asarray(model.noise)
+        c_v = noise_v.shape[0]
+        on_surface = (np.asarray(model.y)[:c_v] == 0.0) & (noise_v < 1e6)
+        cand = np.asarray(model.x)[:c_v][on_surface]
         if len(cand) == 0:
             raise ValueError("model has no surface-labeled training points to seed from")
         _, var0 = gpr.predict(model, jnp.asarray(cand, model.dtype))

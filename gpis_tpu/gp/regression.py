@@ -305,10 +305,19 @@ def predict_mean(model: GPModel, q):
     posterior gradient the reference computed from kernel derivatives."""
     if hasattr(model, "normals") and model.normals is not None:
         # Joint system (single-chip or sharded: x/alpha replicated either
-        # way).  Sharded joint models put touch slots inside their own
-        # predict; the single-chip model's cross includes them here.
+        # way).  The cross-covariance layout must mirror alpha's:
+        # [4C value+gradient core columns | T value-only touch columns].
         from gpis_tpu.kernels import derivative as kd
 
+        if hasattr(model, "mesh"):
+            # ShardedJointModel: model.x is (C+T, 3) with touch slots at the
+            # tail; alpha is (4C+T,) (ADVICE r2 high #2).
+            c = model.n0
+            kq = kd.cross_cov_value(model.kernel, q, model.x[:c], model.params)
+            if model.x.shape[0] > c:
+                kt = kg.cross_cov(model.kernel, q, model.x[c:], model.params)
+                kq = jnp.concatenate([kq, kt], axis=1)
+            return kq @ model.alpha
         if getattr(model, "touch_x", None) is not None:
             from gpis_tpu.gp import derivative as gpd
 

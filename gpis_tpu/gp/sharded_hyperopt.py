@@ -102,7 +102,7 @@ def _mll_and_grad_collective(kernel, x, y, noisep, real_mask, theta, mesh,
             dk_vis = lax.ppermute(dk_vis, axis, perm)
             return dk_vis, acc
 
-        acc0 = lax.pvary(jnp.zeros((band, c), dt), (axis,))
+        acc0 = lax.pcast(jnp.zeros((band, c), dt), (axis,), to="varying")
         _, wdk = lax.fori_loop(0, p, ring_step, (dk_loc, acc0))
         tr_ls = lax.psum(jnp.sum(wdk * w_loc), axis)
 

@@ -218,6 +218,22 @@ def _joint_capacity(n: int, touch: int, p: int, block: int) -> tuple[int, int]:
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _joint_cross_fn(c: int):
+    """Joint cross-covariance column layout [4C core | T touch] for a given
+    core capacity C, with a STABLE function identity (it is a static jit
+    argument of `sharded_predict_linv`)."""
+
+    def cross(name, qq, xx, pp):
+        kv4 = kd.cross_cov_value(name, qq, xx[:c], pp)  # (M, 4C)
+        if xx.shape[0] > c:
+            kt = kg.cross_cov(name, qq, xx[c:], pp)     # (M, T)
+            return jnp.concatenate([kv4, kt], axis=1)
+        return kv4
+
+    return cross
+
+
 @dataclasses.dataclass
 class ShardedJointModel:
     """Sharded joint (value+gradient) GP; same opaque-model contract as
@@ -264,18 +280,14 @@ class ShardedJointModel:
         p = self.mesh.shape["row"]
         pad = (-m) % p
         qp = jnp.pad(jnp.asarray(q, self.dtype), ((0, pad), (0, 0)))
-        c = self.n0
-
-        def cross(name, qq, xx, pp):
-            kv4 = kd.cross_cov_value(name, qq, xx[:c], pp)  # (M, 4C)
-            if xx.shape[0] > c:
-                kt = kg.cross_cov(name, qq, xx[c:], pp)     # (M, T)
-                return jnp.concatenate([kv4, kt], axis=1)
-            return kv4
-
+        # The cross fn is a static jit argument of sharded_predict_linv, so
+        # its identity must be stable across calls — a fresh closure per
+        # predict caused a retrace/recompile on every query (ADVICE r2
+        # medium).  _joint_cross_fn caches one function object per core
+        # capacity C.
         mean, var = sh.sharded_predict_linv(
             self.kernel, qp, self.x, self.params, self.alpha, self.w,
-            self.mesh, cross_fn=cross,
+            self.mesh, cross_fn=_joint_cross_fn(self.n0),
         )
         return mean[:m], var[:m]
 
@@ -356,6 +368,11 @@ def fit_sharded_joint(
                                mesh, c=c)
         l = sh.sharded_cholesky(a, mesh, block=block, use_pallas=use_pallas)
         if not bool(jnp.isnan(jnp.diagonal(l)).any()):
+            # Fold the escalated jitter into the stored noise so later
+            # tail-band borderings recompute K consistently with L/W
+            # (ADVICE r2 low; mirrors fit_sharded's np_ = np_ + extra).
+            nf = nf + extra
+            ng = ng + extra
             break
     else:
         raise FloatingPointError("sharded joint Cholesky failed even with jitter")

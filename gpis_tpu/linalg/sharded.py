@@ -439,7 +439,7 @@ def sharded_predict_linv(name: str, q, x, params, alpha, w, mesh, *, axis: str =
             quadv = lax.ppermute(quadv, axis, perm)
             return qv, quadv
 
-        quad0 = lax.pvary(jnp.zeros((q_loc.shape[0],), kq.dtype), (axis,))
+        quad0 = lax.pcast(jnp.zeros((q_loc.shape[0],), kq.dtype), (axis,), to="varying")
         _, quad = lax.fori_loop(0, p, ring_step, (q_loc, quad0))
         k0 = kf.k_diag0(name, params).astype(kq.dtype)
         return mean, k0 - quad
@@ -510,7 +510,7 @@ def sharded_linv_ll(l, mesh, *, block: int = 256, axis: str = "row",
             w_with = lax.dynamic_update_slice(w_loc, wj, (lrow_off, 0))
             return jnp.where(me == owner, w_with, w_loc)
 
-        w0 = lax.pvary(jnp.zeros((rows_per, c), dt), (axis,))
+        w0 = lax.pcast(jnp.zeros((rows_per, c), dt), (axis,), to="varying")
         return lax.fori_loop(0, nb, step, w0)
 
     fn = shard_map(body, mesh=mesh, in_specs=(P(axis, None),),
@@ -631,7 +631,7 @@ def sharded_predict(name: str, q, x, params, alpha, kinv, mesh, *, axis: str = "
             quad_vis = lax.ppermute(quad_vis, axis, perm)
             return q_vis, quad_vis
 
-        quad0 = lax.pvary(jnp.zeros((q_loc.shape[0],), kq_own.dtype), (axis,))
+        quad0 = lax.pcast(jnp.zeros((q_loc.shape[0],), kq_own.dtype), (axis,), to="varying")
         q_back, quad = lax.fori_loop(0, p, ring_step, (q_loc, quad0))
         # After p hops the block is home with its complete quadratic form.
         k0 = kf.k_diag0(name, params).astype(kq_own.dtype)
