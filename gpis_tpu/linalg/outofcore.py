@@ -1,0 +1,539 @@
+"""Out-of-core GP factorization: the N=100k judge configuration on ONE chip
+(BASELINE.md rows 1/3; SURVEY.md §7).
+
+A 100k-point Gram is ~40 GB f32 — 2.5x one v5e HBM — and the v5e-8 that
+would shard it is not available in this environment.  This module factors
+it anyway by keeping the Cholesky factor OUT OF CORE as trimmed row panels
+(panel j = rows [jB, (j+1)B) x cols [0, (j+1)B), the only structurally
+nonzero part) in a swappable PanelStore:
+
+* `HostPanelStore`  — panels live in host RAM (125 GB here), streamed over
+  the host<->device link per use.  Admits any N that fits host memory.
+* `DevicePanelStore` — panels stay in HBM.  The trimmed storage is
+  ~0.56 N^2 floats instead of N^2, which together with the TRSM's
+  panel-consumption (W_j overwrites L_j's slot) pushes the single-chip
+  ceiling well past the dense one-matrix path (~59k measured in r2).
+
+Algorithms (all compute on device, Pallas kernels, bf16x3 MXU dots):
+
+Cholesky — row-panel bordering (left-looking by panels).  For panel j the
+device holds one full-width (B, C) buffer `cur`, initialized to the Gram
+row band (generated in-kernel, never stored):
+
+    for k < j:  S_k         = cur[:, kB:(k+1)B] - L_j[:, :kB] @ L_k[:, :kB]^T
+                L_j[:, kB:] = S_k @ L_kk^{-T}
+    S_jj = cur[:, jB:] - L_j[:, :jB] @ L_j[:, :jB]^T ;  L_jj = potrf(S_jj)
+
+The masked rectangular update runs as `gemm_nt_masked_pallas` (k-tile
+skipping, one compiled kernel for every panel pair); L_kk^{-1} is the
+Pallas blocked TRSM of the streamed panel's own diagonal block (recomputed
+per pair — 0.05 s at B=12.5k, cheaper than caching 0.6 GB inverses).
+
+TRSM — left-looking W = L^{-1} by row panels:
+
+    U   = sum_{k<j} L_j[:, kB:(k+1)B] @ W_k         (trimmed-width GEMMs)
+    W_j = [ -L_jj^{-1} U[:, :jB] | L_jj^{-1} ]
+
+Step j consumes L panel j (never read again) so W_j can replace it in the
+store — peak storage stays one trimmed factor.  alpha = W^T (W y)
+accumulates per panel during this phase at zero extra traffic.
+
+Query — mean = K(Q,X) alpha per chunk; variance streams each W panel once
+TOTAL (not once per chunk) through `fused_quad_band_pallas`, which
+generates the cross-covariance in VMEM and skips tiles beyond the panel's
+global rows, accumulating quad = ||W kq^T||^2 across panels.
+
+Link traffic for the host store (N=100k, B=12.5k): chol streams ~44 GB in
+/ 23 GB out, TRSM ~76 GB in+out, query 23 GB in — all overlapped with
+compute by a one-deep prefetch thread.  Total MXU work is the same
+N^3/3 + N^3/3 + M N^2 as the in-core path.
+
+Parity: tested at small N on CPU (interpret-mode kernels, f64) against the
+dense `linalg.cholesky` / `blocked_linv` / `gp.regression.predict` to 1e-6
+(tests/test_outofcore.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from gpis_tpu.kernels import functions as kf
+from gpis_tpu.kernels import gram as kg
+from gpis_tpu.linalg.matmul import matmul_bf16x3
+
+
+def _mm3(a, b):
+    """bf16x3 split GEMM on f32 (the only fast full-precision contraction on
+    this backend — docs/PERF.md rule 2); exact HIGHEST dot on f64 (the CPU
+    parity-test dtype — matmul_bf16x3's fallthrough would downcast it)."""
+    if a.dtype == jnp.float32:
+        return matmul_bf16x3(a, b)
+    return jnp.dot(a, b, precision=lax.Precision.HIGHEST)
+
+__all__ = ["HostPanelStore", "DevicePanelStore", "ooc_cholesky", "ooc_trsm",
+           "ooc_predict", "ooc_fit", "OOCModel"]
+
+
+# ------------------------------------------------------------ panel stores
+
+
+class _PanelStoreBase:
+    """Thread-safe panel dict.  `put` runs on the async-writeback thread and
+    `get` on the prefetch thread, and panel j-1's writeback is legitimately
+    still in flight when the next iteration's prefetcher asks for it — so
+    `get` BLOCKS until the panel lands (a plain dict raced here: the KeyError
+    killed the prefetch worker silently and the consumer waited forever)."""
+
+    _GET_TIMEOUT_S = 900.0
+
+    def __init__(self):
+        self._p: dict[int, object] = {}
+        self._cv = threading.Condition()
+
+    def _store(self, j: int, arr):
+        raise NotImplementedError
+
+    def put(self, j: int, arr) -> None:
+        v = self._store(j, arr)
+        with self._cv:
+            self._p[j] = v
+            self._cv.notify_all()
+
+    def get(self, j: int):
+        with self._cv:
+            if not self._cv.wait_for(lambda: j in self._p, self._GET_TIMEOUT_S):
+                raise TimeoutError(f"panel {j} never arrived in the store")
+            return self._p[j]
+
+    def free(self, j: int) -> None:
+        with self._cv:
+            self._p.pop(j, None)
+
+    def __contains__(self, j):
+        with self._cv:
+            return j in self._p
+
+
+def _host_device():
+    """A CPU jax device for fast d2h staging, or None off-TPU.
+
+    Measured on the axon tunnel: `np.asarray(tpu_array)` runs ~40 MB/s with a
+    multi-minute first-call stall, while `jax.device_put(tpu_array, cpu_dev)`
+    sustains ~1.2 GB/s (symmetric with h2d).  All panel writebacks therefore
+    stage through a CPU jax array."""
+    try:
+        if jax.default_backend() == "cpu":
+            return None
+        return jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return None
+
+
+class HostPanelStore(_PanelStoreBase):
+    """Trimmed factor panels in host RAM (CPU jax arrays / numpy)."""
+
+    def _store(self, j: int, arr):
+        # d2h copy; arr is a device array (B, (j+1)B).
+        cpu = _host_device()
+        if cpu is not None:
+            return jax.block_until_ready(jax.device_put(arr, cpu))
+        return np.asarray(arr)
+
+
+class DevicePanelStore(_PanelStoreBase):
+    """Trimmed factor panels resident in HBM (jax arrays)."""
+
+    def _store(self, j: int, arr):
+        return jax.block_until_ready(jnp.asarray(arr))
+
+    def free(self, j: int) -> None:
+        with self._cv:
+            a = self._p.pop(j, None)
+        if a is not None:
+            a.delete()
+
+
+def _compute_device():
+    """The default-backend device — panel fetches target it explicitly
+    (the host store holds CPU jax arrays; a bare device_put would leave
+    them on CPU and drag the consuming jit off the TPU)."""
+    return jax.devices()[0]
+
+
+class _Prefetcher:
+    """One-deep pipelined fetch: device_put of panel k+1 overlaps the GEMMs
+    consuming panel k (the host<->device link is the bottleneck of the host
+    store; a single background thread keeps it busy)."""
+
+    def __init__(self, store, order):
+        self._store = store
+        self._dev = _compute_device()
+        self._order = list(order)
+        self._fut = None
+        self._i = 0
+        if self._order:
+            self._fut = self._spawn(0)
+
+    def _spawn(self, i):
+        box = {}
+        ev = threading.Event()
+
+        def work():
+            try:
+                box["v"] = jax.device_put(self._store.get(self._order[i]),
+                                          self._dev)
+            except BaseException as e:  # propagate into the consumer
+                box["e"] = e
+            finally:
+                ev.set()
+
+        threading.Thread(target=work, daemon=True).start()
+        return (ev, box)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._i >= len(self._order):
+            raise StopIteration
+        ev, box = self._fut
+        ev.wait()
+        if "e" in box:
+            raise box["e"]
+        k, arr = self._order[self._i], box["v"]
+        self._i += 1
+        self._fut = self._spawn(self._i) if self._i < len(self._order) else None
+        return k, arr
+
+
+class _AsyncWriter:
+    """d2h writeback thread: the (B, (j+1)B) device->host copy of a finished
+    panel overlaps the next panel's compute."""
+
+    def __init__(self, store):
+        self._store = store
+        self._t = None
+        self._err = None
+
+    def put(self, j, dev_arr):
+        self.drain()
+
+        def work():
+            try:
+                self._store.put(j, dev_arr)
+            except BaseException as e:
+                self._err = e
+
+        self._t = threading.Thread(target=work, daemon=True)
+        self._t.start()
+
+    def drain(self):
+        if self._t is not None:
+            self._t.join()
+            self._t = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
+# ------------------------------------------------------------ device steps
+
+
+def _use_pallas_small() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _potrf(a, block):
+    if a.shape[0] % block == 0 and (a.shape[0] // block) >= 1:
+        from gpis_tpu.linalg.pallas_chol import pallas_blocked_cholesky
+
+        return pallas_blocked_cholesky(a, block)
+    return jnp.linalg.cholesky(a)
+
+
+def _trinv(l, block):
+    if l.shape[0] % block == 0:
+        from gpis_tpu.linalg.pallas_chol import pallas_blocked_linv
+
+        return pallas_blocked_linv(l, block)
+    from gpis_tpu.linalg.cholesky import blocked_linv
+
+    return blocked_linv(l, l.shape[0])
+
+
+@functools.partial(jax.jit, static_argnames=("name",))
+def _gram_band(name, x_band, x_full, params, noise_band, row0):
+    """(B, C) Gram row band, Pallas on TPU / jnp elsewhere."""
+    b, c = x_band.shape[0], x_full.shape[0]
+    if _use_pallas_small() and b % 256 == 0 and c % 256 == 0:
+        from gpis_tpu.kernels.pallas_gram import gram_band_pallas
+
+        return gram_band_pallas(name, x_band, x_full, params, noise_band, row0)
+    k_rows = kg.cross_cov(name, x_band, x_full, params)
+    rows_g = row0 + lax.broadcasted_iota(jnp.int32, k_rows.shape, 0)
+    cols_g = lax.broadcasted_iota(jnp.int32, k_rows.shape, 1)
+    k0 = kf.k_diag0(name, params).astype(k_rows.dtype)
+    return jnp.where(rows_g == cols_g, k0 + noise_band[:, None], k_rows)
+
+
+@functools.partial(jax.jit, static_argnames=("k0", "block"), donate_argnums=(0,))
+def _chol_kstep(cur, lk_trim, *, k0: int, block: int):
+    """One bordering step of the current row panel against streamed panel k:
+    cur[:, k0:k0+B] <- (cur[:, k0:k0+B] - cur[:, :k0] @ lk[:, :k0]^T) L_kk^{-T}.
+    k0 is static (one compile per panel width — nb distinct shapes total);
+    the streamed panel stays TRIMMED on device (no (B, C) pad temp — at
+    N=100k that pad alone would be ~4 GB of HBM per step)."""
+    from gpis_tpu.linalg.pallas_chol import gemm_nt_prefix_pallas
+
+    b = lk_trim.shape[0]
+    s = lax.slice(cur, (0, k0), (b, k0 + b))
+    s = gemm_nt_prefix_pallas(cur, lk_trim, s, k0=k0)
+    wkk = _trinv(lk_trim[:, k0:], block)
+    blk = _mm3(s, wkk.T)
+    return lax.dynamic_update_slice(cur, blk, (0, k0))
+
+
+@functools.partial(jax.jit, static_argnames=("block",), donate_argnums=(0,))
+def _chol_diag(cur, j0, *, block: int):
+    """Finish the row panel: factor its diagonal block (j0 traced — one
+    compile serves every panel)."""
+    from gpis_tpu.linalg.pallas_chol import gemm_nt_masked_pallas
+
+    b = cur.shape[0]
+    s = lax.dynamic_slice(cur, (0, j0), (b, b))
+    s = gemm_nt_masked_pallas(cur, cur, s, j0)
+    ld = _potrf(s, block)
+    return lax.dynamic_update_slice(cur, ld, (0, j0))
+
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def _pad_full(trim, *, w: int):
+    return jnp.pad(trim, ((0, 0), (0, w - trim.shape[1])))
+
+
+@functools.partial(jax.jit, static_argnames=("k0",), donate_argnums=(0,))
+def _trsm_kstep(u, lj_trim, wk_trim, *, k0: int):
+    """U[:, :w_k] += L_j[:, k0:k0+B] @ W_k (all operands trimmed; static
+    slices — the GEMM never touches W's structural zeros)."""
+    b = lj_trim.shape[0]
+    w = wk_trim.shape[1]
+    ljk = lax.slice(lj_trim, (0, k0), (b, k0 + b))
+    return u.at[:, :w].add(_mm3(ljk, wk_trim))
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _trsm_finish(lj_trim, u, *, block: int):
+    """W_j = [-L_jj^{-1} U | L_jj^{-1}] — trimmed (B, j0+B).  U is exactly
+    (B, j0); j0 is implicit in the trimmed shapes."""
+    b = lj_trim.shape[0]
+    j0 = lj_trim.shape[1] - b
+    wjj = _trinv(lax.slice(lj_trim, (0, j0), (b, j0 + b)), block)
+    if j0 == 0:
+        return wjj
+    wl = -_mm3(wjj, u)
+    return jnp.concatenate([wl, wjj], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("j0",), donate_argnums=(0,))
+def _alpha_accum(alpha, wj_trim, y, *, j0: int):
+    """alpha[:j0+B] += W_j^T (W_j y[:j0+B]) — the per-panel piece of
+    alpha = W^T W y."""
+    w = wj_trim.shape[1]
+    vy = _mm3(wj_trim, lax.dynamic_slice(y, (0,), (w,)))
+    contrib = _mm3(wj_trim.T, vy)
+    return lax.dynamic_update_slice(
+        alpha, lax.dynamic_slice(alpha, (0,), (w,)) + contrib, (0,)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("name",))
+def _quad_band(name, q, x, params, w_full, row0):
+    """Per-panel variance contribution ||W_j kq^T||^2 (kq generated in VMEM
+    on TPU; jnp fallback elsewhere).  Columns of w_full beyond the trimmed
+    width are never read on the Pallas path (tile skip); the fallback sees
+    exact zeros from the pad."""
+    b, c = w_full.shape
+    if (_use_pallas_small() and b % 256 == 0 and c % 256 == 0
+            and q.shape[0] % 1024 == 0):
+        from gpis_tpu.kernels.pallas_query import fused_quad_band_pallas
+
+        return fused_quad_band_pallas(name, q, x, params, w_full, row0)
+    kq = kg.cross_cov(name, q, x, params)
+    v = jnp.dot(w_full, kq.T, precision=lax.Precision.HIGHEST)
+    return jnp.sum(v * v, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("name",))
+def _mean_chunk(name, q, x, params, alpha):
+    if _use_pallas_small() and x.shape[0] % 256 == 0:
+        from gpis_tpu.kernels.pallas_gram import cross_cov_pallas
+
+        kq = cross_cov_pallas(name, q, x, params)
+    else:
+        kq = kg.cross_cov(name, q, x, params)
+    return _mm3(kq, alpha)
+
+
+# ----------------------------------------------------------------- phases
+
+
+def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
+                 block: int = 256):
+    """Row-panel bordering Cholesky of K(x) + diag(noise) into `store`
+    (trimmed panels).  Returns False if the factor came back NaN (caller
+    escalates jitter), True on success."""
+    c = x.shape[0]
+    if c % panel:
+        raise ValueError(f"capacity {c} must be a multiple of panel {panel}")
+    nb = c // panel
+    writer = _AsyncWriter(store)
+    x = jnp.asarray(x)
+    noisep = jnp.asarray(noisep, x.dtype)
+    for j in range(nb):
+        j0 = j * panel
+        cur = _gram_band(kernel, x[j0:j0 + panel], x, params,
+                         noisep[j0:j0 + panel], j0)
+        for k, lk in _Prefetcher(store, range(j)):
+            cur = _chol_kstep(cur, lk, k0=k * panel, block=block)
+        cur = _chol_diag(cur, j0, block=block)
+        diag = jnp.diagonal(cur[:, j0:j0 + panel])
+        if bool(jnp.isnan(diag).any()):
+            writer.drain()
+            return False
+        writer.put(j, cur[:, :j0 + panel])
+    writer.drain()
+    return True
+
+
+def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256):
+    """W = L^{-1} by left-looking row panels, consuming L panels as it goes
+    (L panel j is freed once W panel j is computed).  Returns alpha =
+    W^T (W y), accumulated per panel."""
+    y = jnp.asarray(y)
+    c = y.shape[0]
+    nb = c // panel
+    dt = y.dtype
+    alpha = jnp.zeros((c,), dt)
+    writer = _AsyncWriter(wstore)
+    for j in range(nb):
+        j0 = j * panel
+        lj = jax.device_put(lstore.get(j), _compute_device())
+        u = jnp.zeros((panel, j0), dt)
+        for k, wk in _Prefetcher(wstore, range(j)):
+            u = _trsm_kstep(u, lj, wk, k0=k * panel)
+        wj = _trsm_finish(lj, u, block=block)
+        del lj, u
+        alpha = _alpha_accum(alpha, wj, y, j0=j0)
+        # Block before freeing L panel j: wj's computation reads it.
+        jax.block_until_ready(wj)
+        writer.drain()          # panel j-1 is safely stored before we free
+        lstore.free(j)
+        writer.put(j, wj)
+    writer.drain()
+    return jax.block_until_ready(alpha)
+
+
+def ooc_predict(model: "OOCModel", q, *, chunk: int = 8192):
+    """Posterior (mean, var) at q (M, 3), chunked.  W panels stream once
+    TOTAL: the panel loop is outermost and every chunk's quad accumulates
+    per panel visit."""
+    q = jnp.asarray(q, model.dtype)
+    m = q.shape[0]
+    c = model.capacity
+    pad = (-m) % chunk
+    qp = jnp.pad(q, ((0, pad), (0, 0))) if pad else q
+    chunks = [qp[i:i + chunk] for i in range(0, qp.shape[0], chunk)]
+
+    means = [_mean_chunk(model.kernel, ch, model.x, model.params, model.alpha)
+             for ch in chunks]
+    quads = [jnp.zeros((chunk,), model.dtype) for _ in chunks]
+    nb = c // model.panel
+    for j, wj in _Prefetcher(model.wstore, range(nb)):
+        w_full = _pad_full(wj, w=c)
+        del wj
+        for i, ch in enumerate(chunks):
+            quads[i] = quads[i] + _quad_band(
+                model.kernel, ch, model.x, model.params, w_full, j * model.panel
+            )
+        # Bound live w_full buffers to ~2 (this one + the prefetched next).
+        jax.block_until_ready(quads[-1])
+        del w_full
+    k0 = kf.k_diag0(model.kernel, model.params).astype(model.dtype)
+    mean = jnp.concatenate(means)[:m]
+    var = (k0 - jnp.concatenate(quads))[:m]
+    return mean, var
+
+
+@dataclasses.dataclass
+class OOCModel:
+    """Query handle for an out-of-core fit: replicated small state on device,
+    W panels in the store."""
+
+    kernel: str
+    x: jax.Array          # (C, 3)
+    y: jax.Array          # (C,)
+    noise: jax.Array      # (C,)
+    params: dict
+    alpha: jax.Array      # (C,)
+    wstore: object        # PanelStore of W = L^{-1} trimmed row panels
+    panel: int
+    n_real: int
+
+    @property
+    def capacity(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def dtype(self):
+        return self.x.dtype
+
+    def predict(self, q, *, chunk: int = 8192):
+        return ooc_predict(self, q, chunk=chunk)
+
+
+def ooc_fit(kernel, x, y, noise, params, *, panel: int, block: int = 256,
+            store: str = "host", pad_noise: float = 1e10, dtype=None,
+            max_jitter_retries: int = 3, initial_jitter: float | None = None):
+    """Out-of-core GP fit: pad to a panel multiple, factor (with the usual
+    NaN-escalation jitter ladder), TRSM, alpha.  `store` = "host" | "device".
+    Returns an OOCModel."""
+    x = jnp.asarray(x)
+    dtype = dtype or x.dtype
+    n = x.shape[0]
+    c = ((n + panel - 1) // panel) * panel
+    xp = jnp.zeros((c, 3), dtype).at[:n].set(x.astype(dtype))
+    yp = jnp.zeros((c,), dtype).at[:n].set(jnp.asarray(y, dtype))
+    np_ = jnp.full((c,), pad_noise, dtype).at[:n].set(
+        jnp.broadcast_to(jnp.asarray(noise, dtype), (n,))
+    )
+    params = {k: jnp.asarray(v, dtype) for k, v in params.items()}
+    eps = float(jnp.finfo(dtype).eps)
+    k0v = abs(float(kf.k_diag0(kernel, params)))
+    jitter = 4.0 * eps * c * k0v
+    extra = initial_jitter if initial_jitter is not None else 0.0
+    for attempt in range(max_jitter_retries + 1):
+        st = HostPanelStore() if store == "host" else DevicePanelStore()
+        if ooc_cholesky(kernel, xp, np_ + extra, params, st, panel=panel,
+                        block=block):
+            np_ = np_ + extra
+            break
+        del st
+        extra = max(extra * 10.0, jitter)
+    else:
+        raise FloatingPointError(
+            f"out-of-core Cholesky failed even with jitter {extra:.2e}"
+        )
+    wstore = HostPanelStore() if store == "host" else DevicePanelStore()
+    alpha = ooc_trsm(st, wstore, yp, panel=panel, block=block)
+    return OOCModel(kernel=kernel, x=xp, y=yp, noise=np_, params=params,
+                    alpha=alpha, wstore=wstore, panel=panel, n_real=n)

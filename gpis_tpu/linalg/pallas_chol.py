@@ -32,7 +32,8 @@ from gpis_tpu.kernels.pallas_gram import _interpret
 
 __all__ = ["panel_update_pallas", "pallas_blocked_cholesky",
            "row_update_pallas", "pallas_blocked_linv",
-           "band_trail_update_pallas"]
+           "band_trail_update_pallas", "gemm_nt_masked_pallas",
+           "gemm_nt_prefix_pallas"]
 
 _TN = 256
 _TK = 256
@@ -187,6 +188,110 @@ def band_trail_update_pallas(s, l_col, wj, j0, *, block: int, row0=0):
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(scalars, l_col, wj, s)
+
+
+def _gemm_nt_kernel(k0_ref, a_ref, b_ref, s_ref, out_ref):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+    k0 = k0_ref[0]
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = s_ref[...]
+
+    @pl.when(k * _TK < k0)
+    def _():
+        cols = k * _TK + jax.lax.broadcasted_iota(jnp.int32, a_ref.shape, 1)
+        mask = (cols < k0).astype(a_ref.dtype)
+        out_ref[...] -= _dot3(
+            a_ref[...] * mask, b_ref[...] * mask, (((1,), (1,)), ((), ()))
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def gemm_nt_masked_pallas(a, b, s, k0):
+    """S - A[:, :k0] @ B[:, :k0]^T with k-tile skipping — the rectangular
+    generalization of `panel_update_pallas` used by the out-of-core
+    factorization (`gpis_tpu.linalg.outofcore`): the streamed operands are
+    fixed full-width device buffers whose columns >= k0 hold garbage; the
+    contraction masks them out, so one compiled kernel serves every panel
+    pair.  a: (R, K); b: (S, K); s: (R, S); k0 traced."""
+    r, k_dim = a.shape
+    sdim = b.shape[0]
+    if r % _TN or sdim % _TN or k_dim % _TK:
+        cols = (jnp.arange(k_dim) < k0).astype(a.dtype)
+        return s - lax.dot_general(
+            a * cols[None, :], b * cols[None, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r // _TN, sdim // _TN, k_dim // _TK),
+        in_specs=[
+            pl.BlockSpec((_TN, _TK), lambda i, j, k, sc: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, _TK), lambda i, j, k, sc: (j, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, _TN), lambda i, j, k, sc: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_TN, _TN), lambda i, j, k, sc: (i, j), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _gemm_nt_kernel,
+        out_shape=jax.ShapeDtypeStruct((r, sdim), s.dtype),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(jnp.asarray([k0], jnp.int32), a, b, s)
+
+
+def _gemm_nt_prefix_kernel(a_ref, b_ref, s_ref, out_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = s_ref[...]
+
+    out_ref[...] -= _dot3(
+        a_ref[...], b_ref[...], (((1,), (1,)), ((), ()))
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("k0",))
+def gemm_nt_prefix_pallas(a, b, s, *, k0: int):
+    """S - A[:, :k0] @ B[:, :k0]^T with a STATIC prefix width: the k-grid
+    simply stops at k0, so columns >= k0 of either operand are never read —
+    no masking, no padding of trimmed panels to a common width.  This is the
+    out-of-core factorization's panel-pair update (`linalg/outofcore.py`):
+    the streamed panel is trimmed (width k0 + B) and the row buffer is full
+    width; both just need >= k0 columns.  One compile per distinct
+    (shape, k0) — nb panel widths total, each reused across every later
+    panel."""
+    if k0 == 0:
+        return s
+    r = a.shape[0]
+    sdim = b.shape[0]
+    if r % _TN or sdim % _TN or k0 % _TK:
+        return s - lax.dot_general(
+            a[:, :k0], b[:, :k0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+        )
+    grid = (r // _TN, sdim // _TN, k0 // _TK)
+    return pl.pallas_call(
+        _gemm_nt_prefix_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TN, _TK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, _TK), lambda i, j, k: (j, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, _TN), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_TN, _TN), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, sdim), s.dtype),
+        interpret=_interpret(),
+    )(a, b, s)
 
 
 def _row_kernel(j0_ref, lrow_ref, w_ref, out_ref):

@@ -1,0 +1,135 @@
+"""Out-of-core factorization parity (linalg/outofcore.py): the row-panel
+bordering Cholesky, panel-consuming TRSM, alpha accumulation, and streamed
+query must match the dense in-core path to f64 exactness (interpret-mode
+kernels are exact-arithmetic on CPU, SURVEY.md §5 item 3)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpis_tpu.gp import regression as gpr
+from gpis_tpu.kernels import functions as kf
+from gpis_tpu.kernels import gram as kg
+from gpis_tpu.linalg import cholesky as lin
+from gpis_tpu.linalg import outofcore as ooc
+
+C, B = 1024, 256
+LS, SV = 0.7, 1.1
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(91)
+    x = rng.normal(size=(C, 3))
+    x = jnp.asarray(x / np.linalg.norm(x, axis=1, keepdims=True))
+    y = jnp.asarray(rng.normal(size=C) * 0.3)
+    noise = jnp.asarray(rng.uniform(1e-4, 1e-2, size=C))
+    params = kf.kernel_params(LS, SV)
+    return x, y, noise, params
+
+
+def _assemble(store, c):
+    """Dense lower-triangular matrix from trimmed panels."""
+    out = np.zeros((c, c))
+    nb = c // B
+    for j in range(nb):
+        p = np.asarray(store.get(j))
+        out[j * B:(j + 1) * B, : p.shape[1]] = p
+    return out
+
+
+def test_gemm_nt_masked_matches(problem):
+    from gpis_tpu.linalg.pallas_chol import gemm_nt_masked_pallas
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.normal(size=(256, 1024)))
+    b = jnp.asarray(rng.normal(size=(512, 1024)))
+    s = jnp.asarray(rng.normal(size=(256, 512)))
+    for k0 in (0, 256, 300, 1024):
+        got = gemm_nt_masked_pallas(a, b, s, k0)
+        want = s - a[:, :k0] @ b[:, :k0].T
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-10)
+
+
+def test_gemm_nt_prefix_matches(problem):
+    from gpis_tpu.linalg.pallas_chol import gemm_nt_prefix_pallas
+
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.normal(size=(256, 1024)))
+    b = jnp.asarray(rng.normal(size=(512, 768)))
+    s = jnp.asarray(rng.normal(size=(256, 512)))
+    for k0 in (0, 256, 300, 768):
+        got = gemm_nt_prefix_pallas(a, b, s, k0=k0)
+        want = s - a[:, :k0] @ b[:, :k0].T
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-10)
+
+
+@pytest.mark.parametrize("store_kind", ["host", "device"])
+def test_ooc_cholesky_matches_dense(problem, store_kind):
+    x, y, noise, params = problem
+    st = ooc.HostPanelStore() if store_kind == "host" else ooc.DevicePanelStore()
+    ok = ooc.ooc_cholesky("rbf", x, noise, params, st, panel=B)
+    assert ok
+    l_ooc = _assemble(st, C)
+    want = np.asarray(jnp.linalg.cholesky(kg.gram("rbf", x, params, noise=noise)))
+    np.testing.assert_allclose(l_ooc, want, atol=1e-9)
+
+
+def test_ooc_trsm_and_alpha(problem):
+    x, y, noise, params = problem
+    st = ooc.HostPanelStore()
+    assert ooc.ooc_cholesky("rbf", x, noise, params, st, panel=B)
+    wst = ooc.HostPanelStore()
+    alpha = ooc.ooc_trsm(st, wst, y, panel=B)
+    # L panels were consumed.
+    assert all(j not in st for j in range(C // B))
+    k = kg.gram("rbf", x, params, noise=noise)
+    l = np.asarray(jnp.linalg.cholesky(k))
+    w = _assemble(wst, C)
+    np.testing.assert_allclose(w @ l, np.eye(C), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(k) @ np.asarray(alpha),
+                               np.asarray(y), atol=1e-7)
+
+
+def test_ooc_fit_predict_matches_incore(problem):
+    """Full ooc pipeline == the in-core GPModel posterior at 1e-6 (the
+    BASELINE.md row 2 parity bar)."""
+    x, y, noise, params = problem
+    m_ooc = ooc.ooc_fit("rbf", x, y, noise, params, panel=B)
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(300, 3)) * 0.8)
+    mean, var = m_ooc.predict(q, chunk=128)
+
+    ref = gpr.fit("rbf", x, y, noise, params, block=B, touch_capacity=0)
+    mean_r, var_r = gpr.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
+
+
+def test_ooc_fit_pads_to_panel(problem):
+    """Non-panel-multiple N pads with inert rows; posterior unchanged."""
+    x, y, noise, params = problem
+    n = 700
+    m = ooc.ooc_fit("rbf", x[:n], y[:n], noise[:n], params, panel=B)
+    assert m.capacity == 768 and m.n_real == n
+    q = jnp.asarray(np.random.default_rng(9).normal(size=(64, 3)))
+    mean, var = m.predict(q, chunk=64)
+    ref = gpr.fit("rbf", x[:n], y[:n], noise[:n], params, block=B,
+                  touch_capacity=0)
+    mean_r, var_r = gpr.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
+
+
+def test_ooc_jitter_ladder(problem):
+    """Exact duplicate points + near-zero noise force at least one NaN
+    escalation; the fit must still succeed and stay consistent."""
+    x, y, noise, params = problem
+    half = np.asarray(x[: C // 4])
+    xd = jnp.asarray(np.concatenate([half, half]))
+    yd = jnp.zeros((C // 2,))
+    m = ooc.ooc_fit("rbf", xd, yd, 1e-18, params, panel=B)
+    q = jnp.asarray(np.random.default_rng(11).normal(size=(32, 3)))
+    mean, var = m.predict(q, chunk=32)
+    assert np.isfinite(np.asarray(mean)).all()
+    assert np.isfinite(np.asarray(var)).all()
