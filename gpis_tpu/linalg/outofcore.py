@@ -77,7 +77,8 @@ def _mm3(a, b):
         return matmul_bf16x3(a, b)
     return jnp.dot(a, b, precision=lax.Precision.HIGHEST)
 
-__all__ = ["HostPanelStore", "DevicePanelStore", "ooc_cholesky", "ooc_trsm",
+__all__ = ["HostPanelStore", "DevicePanelStore", "TieredPanelStore",
+           "DeviceBudget", "ooc_cholesky", "ooc_trsm", "ooc_solve_alpha",
            "ooc_predict", "ooc_fit", "OOCModel"]
 
 
@@ -115,6 +116,12 @@ class _PanelStoreBase:
     def free(self, j: int) -> None:
         with self._cv:
             self._p.pop(j, None)
+
+    def clear(self) -> None:
+        with self._cv:
+            keys = list(self._p)
+        for j in keys:
+            self.free(j)
 
     def __contains__(self, j):
         with self._cv:
@@ -160,11 +167,96 @@ class DevicePanelStore(_PanelStoreBase):
             a.delete()
 
 
+class DeviceBudget:
+    """HBM byte budget shared by the L and W tiered stores of one fit (the
+    TRSM phase frees L panels while W panels grow — one pot keeps their sum
+    bounded)."""
+
+    def __init__(self, limit_bytes: int):
+        self.limit = int(limit_bytes)
+        self._used = 0
+        self._lk = threading.Lock()
+
+    def take(self, n: int) -> bool:
+        with self._lk:
+            if self._used + n <= self.limit:
+                self._used += n
+                return True
+            return False
+
+    def give(self, n: int) -> None:
+        with self._lk:
+            self._used -= n
+
+
+class TieredPanelStore(_PanelStoreBase):
+    """Panels stay in HBM until the shared budget is exhausted, then spill to
+    host RAM.  The asymmetric axon link (h2d ~1.3 GB/s, d2h ~35 MB/s
+    measured) makes the SPILL the expensive direction — the budget-first
+    policy keeps total d2h to (factor size - budget) instead of the whole
+    factor, and reads (h2d) stay cheap either way."""
+
+    def __init__(self, budget: DeviceBudget, spill_dtype=None,
+                 device_dtype=None):
+        super().__init__()
+        self._budget = budget
+        self._spill_dtype = jnp.dtype(spill_dtype) if spill_dtype else None
+        self._device_dtype = jnp.dtype(device_dtype) if device_dtype else None
+        self.compute_dtype = None
+        self._meta: dict[int, tuple[bool, int]] = {}  # j -> (on_device, bytes)
+
+    def _store(self, j: int, arr):
+        arr = jnp.asarray(arr)
+        self.compute_dtype = arr.dtype
+        # device_dtype compresses panels IN HBM (float16 halves the budget
+        # footprint — the W store uses this: alpha is accumulated from the
+        # f32 panel before it lands here, so only the variance quad sees the
+        # ~5e-4 rounding).  NEVER use it for the L store: factor panels feed
+        # back into later Schur complements and the entrywise rounding is
+        # amplified by cond(K) into the posterior mean (measured 0.7
+        # absolute on a 1024-point problem).
+        if self._device_dtype is not None and arr.dtype != self._device_dtype:
+            arr = arr.astype(self._device_dtype)
+        size = arr.size * arr.dtype.itemsize
+        on_dev = self._budget.take(size)
+        with self._cv:
+            self._meta[j] = (on_dev, size)
+        if on_dev:
+            return jax.block_until_ready(arr)
+        if self._spill_dtype is not None and arr.dtype != self._spill_dtype:
+            # Compress on device before the slow d2h leg (~35 MB/s measured
+            # vs 1.3 GB/s h2d).
+            arr = arr.astype(self._spill_dtype)
+        cpu = _host_device()
+        if cpu is not None:
+            return jax.block_until_ready(jax.device_put(arr, cpu))
+        return np.asarray(arr)
+
+    def free(self, j: int) -> None:
+        with self._cv:
+            a = self._p.pop(j, None)
+            on_dev, size = self._meta.pop(j, (False, 0))
+        if on_dev:
+            self._budget.give(size)
+        if isinstance(a, jax.Array):
+            a.delete()
+
+
 def _compute_device():
     """The default-backend device — panel fetches target it explicitly
     (the host store holds CPU jax arrays; a bare device_put would leave
     them on CPU and drag the consuming jit off the TPU)."""
     return jax.devices()[0]
+
+
+def _fetch(store, j: int, dev):
+    """device_put a stored panel and restore the store's compute dtype
+    (spilled panels may live in a narrower spill dtype)."""
+    v = jax.device_put(store.get(j), dev)
+    cd = getattr(store, "compute_dtype", None)
+    if cd is not None and v.dtype != cd:
+        v = v.astype(cd)
+    return v
 
 
 class _Prefetcher:
@@ -187,8 +279,7 @@ class _Prefetcher:
 
         def work():
             try:
-                box["v"] = jax.device_put(self._store.get(self._order[i]),
-                                          self._dev)
+                box["v"] = _fetch(self._store, self._order[i], self._dev)
             except BaseException as e:  # propagate into the consumer
                 box["e"] = e
             finally:
@@ -286,20 +377,51 @@ def _gram_band(name, x_band, x_full, params, noise_band, row0):
     return jnp.where(rows_g == cols_g, k0 + noise_band[:, None], k_rows)
 
 
+def _trsm_right_blocked(s, l, *, block: int):
+    """Solve X L^T = S for X, L (B, B) lower-triangular — 256-blocked
+    right-looking: exact XLA trisolves on the diagonal blocks, the masked
+    Pallas prefix GEMM for the trailing updates (ONE compiled kernel, c0
+    traced).  This replaces `S @ L^{-T}` via an explicit Pallas inverse,
+    whose bf16x3 error is amplified by cond(L) (measured 0.06 absolute on a
+    512-panel sphere Gram — enough to make every later Schur complement
+    indefinite).  The in-core blocked Cholesky made the same call
+    (docs/PERF.md: panel solves stay on XLA trisolve)."""
+    from gpis_tpu.linalg.pallas_chol import gemm_nt_masked_pallas
+
+    r, b = s.shape
+    nb = b // block
+    if nb * block != b:
+        return lax.linalg.triangular_solve(
+            l, s, left_side=False, lower=True, transpose_a=True
+        )
+
+    def body(c, x):
+        c0 = c * block
+        sc = lax.dynamic_slice(s, (0, c0), (r, block))
+        lrow = lax.dynamic_slice(l, (c0, 0), (block, b))
+        sc = gemm_nt_masked_pallas(x, lrow, sc, c0)
+        lcc = lax.dynamic_slice(l, (c0, c0), (block, block))
+        xc = lax.linalg.triangular_solve(
+            lcc, sc, left_side=False, lower=True, transpose_a=True
+        )
+        return lax.dynamic_update_slice(x, xc, (0, c0))
+
+    return lax.fori_loop(0, nb, body, jnp.zeros_like(s))
+
+
 @functools.partial(jax.jit, static_argnames=("k0", "block"), donate_argnums=(0,))
 def _chol_kstep(cur, lk_trim, *, k0: int, block: int):
     """One bordering step of the current row panel against streamed panel k:
-    cur[:, k0:k0+B] <- (cur[:, k0:k0+B] - cur[:, :k0] @ lk[:, :k0]^T) L_kk^{-T}.
-    k0 is static (one compile per panel width — nb distinct shapes total);
-    the streamed panel stays TRIMMED on device (no (B, C) pad temp — at
-    N=100k that pad alone would be ~4 GB of HBM per step)."""
+    cur[:, k0:k0+B] <- solve of (cur[:, k0:k0+B] - cur[:, :k0] @ lk[:, :k0]^T)
+    against L_kk^T.  k0 is static (one compile per panel width — nb distinct
+    shapes total); the streamed panel stays TRIMMED on device (no (B, C) pad
+    temp — at N=100k that pad alone would be ~4 GB of HBM per step)."""
     from gpis_tpu.linalg.pallas_chol import gemm_nt_prefix_pallas
 
     b = lk_trim.shape[0]
     s = lax.slice(cur, (0, k0), (b, k0 + b))
     s = gemm_nt_prefix_pallas(cur, lk_trim, s, k0=k0)
-    wkk = _trinv(lk_trim[:, k0:], block)
-    blk = _mm3(s, wkk.T)
+    blk = _trsm_right_blocked(s, lk_trim[:, k0:], block=block)
     return lax.dynamic_update_slice(cur, blk, (0, k0))
 
 
@@ -354,6 +476,91 @@ def _alpha_accum(alpha, wj_trim, y, *, j0: int):
     return lax.dynamic_update_slice(
         alpha, lax.dynamic_slice(alpha, (0,), (w,)) + contrib, (0,)
     )
+
+
+@functools.partial(jax.jit, static_argnames=(), donate_argnums=(0,))
+def _fwd_sub_step(u, lj_trim, y):
+    """u_j = L_jj^{-1} (y_j - L_j[:, :j0] @ u[:j0]) — forward substitution
+    against row panel j (j0 implicit in the trimmed width)."""
+    b = lj_trim.shape[0]
+    j0 = lj_trim.shape[1] - b
+    yj = lax.slice(y, (j0,), (j0 + b,))
+    if j0:
+        yj = yj - _mm3(lax.slice(lj_trim, (0, 0), (b, j0)),
+                       lax.slice(u, (0,), (j0,)))
+    ljj = lax.slice(lj_trim, (0, j0), (b, j0 + b))
+    uj = lax.linalg.triangular_solve(ljj, yj[:, None], left_side=True,
+                                     lower=True)[:, 0]
+    return lax.dynamic_update_slice(u, uj, (j0,))
+
+
+@functools.partial(jax.jit, static_argnames=(), donate_argnums=(0, 1))
+def _bwd_sub_step(alpha, acc, lj_trim, u):
+    """Descending pass of alpha = L^{-T} u: solve alpha_j from the
+    accumulated tail contributions, then push panel j's columns onto acc:
+    acc[:j0] += L_j[:, :j0]^T alpha_j."""
+    b = lj_trim.shape[0]
+    j0 = lj_trim.shape[1] - b
+    rhs = lax.slice(u, (j0,), (j0 + b,)) - lax.slice(acc, (j0,), (j0 + b,))
+    ljj = lax.slice(lj_trim, (0, j0), (b, j0 + b))
+    aj = lax.linalg.triangular_solve(ljj, rhs[:, None], left_side=True,
+                                     lower=True, transpose_a=True)[:, 0]
+    alpha = lax.dynamic_update_slice(alpha, aj, (j0,))
+    if j0:
+        contrib = _mm3(aj[None, :], lax.slice(lj_trim, (0, 0), (b, j0)))[0]
+        head = lax.slice(acc, (0,), (j0,)) + contrib
+        acc = lax.dynamic_update_slice(acc, head, (0,))
+    return alpha, acc
+
+
+def ooc_solve_alpha(lstore, y, *, panel: int, block: int = 256):
+    """alpha = (L L^T)^{-1} y by forward + backward substitution streaming
+    the f32 L panels — W never enters, so a compressed (f16) W store cannot
+    pollute the posterior MEAN.  Two vector passes, O(N^2) flops."""
+    y = jnp.asarray(y)
+    c = y.shape[0]
+    nb = c // panel
+    dev = _compute_device()
+    u = jnp.zeros_like(y)
+    for j, lj in _Prefetcher(lstore, range(nb)):
+        u = _fwd_sub_step(u, lj, y)
+    alpha = jnp.zeros_like(y)
+    acc = jnp.zeros_like(y)
+    for j, lj in _Prefetcher(lstore, range(nb - 1, -1, -1)):
+        alpha, acc = _bwd_sub_step(alpha, acc, lj, u)
+    return jax.block_until_ready(alpha)
+
+
+def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256,
+             accumulate_alpha: bool = True):
+    """W = L^{-1} by left-looking row panels, consuming L panels as it goes
+    (L panel j is freed once W panel j is computed).  Returns alpha =
+    W^T (W y) accumulated per panel — or None with accumulate_alpha=False
+    (ooc_fit computes alpha by substitution instead, so a compressed W
+    store cannot touch the mean)."""
+    y = jnp.asarray(y)
+    c = y.shape[0]
+    nb = c // panel
+    dt = y.dtype
+    alpha = jnp.zeros((c,), dt) if accumulate_alpha else None
+    writer = _AsyncWriter(wstore)
+    for j in range(nb):
+        j0 = j * panel
+        lj = _fetch(lstore, j, _compute_device())
+        u = jnp.zeros((panel, j0), dt)
+        for k, wk in _Prefetcher(wstore, range(j)):
+            u = _trsm_kstep(u, lj, wk, k0=k * panel)
+        wj = _trsm_finish(lj, u, block=block)
+        del lj, u
+        if accumulate_alpha:
+            alpha = _alpha_accum(alpha, wj, y, j0=j0)
+        # Block before freeing L panel j: wj's computation reads it.
+        jax.block_until_ready(wj)
+        writer.drain()          # panel j-1 is safely stored before we free
+        lstore.free(j)
+        writer.put(j, wj)
+    writer.drain()
+    return jax.block_until_ready(alpha) if accumulate_alpha else None
 
 
 @functools.partial(jax.jit, static_argnames=("name",))
@@ -415,34 +622,6 @@ def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
     return True
 
 
-def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256):
-    """W = L^{-1} by left-looking row panels, consuming L panels as it goes
-    (L panel j is freed once W panel j is computed).  Returns alpha =
-    W^T (W y), accumulated per panel."""
-    y = jnp.asarray(y)
-    c = y.shape[0]
-    nb = c // panel
-    dt = y.dtype
-    alpha = jnp.zeros((c,), dt)
-    writer = _AsyncWriter(wstore)
-    for j in range(nb):
-        j0 = j * panel
-        lj = jax.device_put(lstore.get(j), _compute_device())
-        u = jnp.zeros((panel, j0), dt)
-        for k, wk in _Prefetcher(wstore, range(j)):
-            u = _trsm_kstep(u, lj, wk, k0=k * panel)
-        wj = _trsm_finish(lj, u, block=block)
-        del lj, u
-        alpha = _alpha_accum(alpha, wj, y, j0=j0)
-        # Block before freeing L panel j: wj's computation reads it.
-        jax.block_until_ready(wj)
-        writer.drain()          # panel j-1 is safely stored before we free
-        lstore.free(j)
-        writer.put(j, wj)
-    writer.drain()
-    return jax.block_until_ready(alpha)
-
-
 def ooc_predict(model: "OOCModel", q, *, chunk: int = 8192):
     """Posterior (mean, var) at q (M, 3), chunked.  W panels stream once
     TOTAL: the panel loop is outermost and every chunk's quad accumulates
@@ -501,12 +680,46 @@ class OOCModel:
         return ooc_predict(self, q, chunk=chunk)
 
 
+def _hbm_budget(panel: int, c: int, itemsize: int) -> int:
+    """Device bytes available to the tiered panel stores: the backend's
+    reported limit minus headroom for the row-band working set (cur + one
+    prefetched panel + GEMM temps)."""
+    limit = 15_500_000_000
+    try:
+        stats = jax.devices()[0].memory_stats()
+        limit = int(stats.get("bytes_limit", limit))
+    except Exception:
+        pass
+    reserve = 4 * panel * c * itemsize + 1_500_000_000
+    return max(limit - reserve, 0)
+
+
+def _make_store(kind: str, budget, spill_dtype=None, device_dtype=None):
+    if kind == "host":
+        return HostPanelStore()
+    if kind == "device":
+        return DevicePanelStore()
+    if kind == "tiered":
+        return TieredPanelStore(budget, spill_dtype=spill_dtype,
+                                device_dtype=device_dtype)
+    raise ValueError(f"unknown panel store kind {kind!r}")
+
+
 def ooc_fit(kernel, x, y, noise, params, *, panel: int, block: int = 256,
-            store: str = "host", pad_noise: float = 1e10, dtype=None,
-            max_jitter_retries: int = 3, initial_jitter: float | None = None):
+            store: str = "tiered", pad_noise: float = 1e10, dtype=None,
+            max_jitter_retries: int = 3, initial_jitter: float | None = None,
+            device_budget: int | None = None, w_dtype=None):
     """Out-of-core GP fit: pad to a panel multiple, factor (with the usual
-    NaN-escalation jitter ladder), TRSM, alpha.  `store` = "host" | "device".
-    Returns an OOCModel."""
+    NaN-escalation jitter ladder), TRSM, alpha.  `store` = "tiered" (HBM
+    until full, host spill — the default) | "host" | "device".
+
+    `w_dtype` (e.g. jnp.float16) compresses SPILLED W = L^-1 panels for the
+    slow d2h leg; alpha is solved by substitution against the f32 L store,
+    so compression can only touch the posterior VARIANCE (at the ~1e-3
+    level).  The L store always stays at the compute dtype: factor rounding
+    feeds back into later Schur complements amplified by cond(K) (measured
+    to break the posterior mean outright).  W's padded-row entries are
+    ~1/sqrt(pad_noise) — small, so f16-safe.  Returns an OOCModel."""
     x = jnp.asarray(x)
     dtype = dtype or x.dtype
     n = x.shape[0]
@@ -521,19 +734,32 @@ def ooc_fit(kernel, x, y, noise, params, *, panel: int, block: int = 256,
     k0v = abs(float(kf.k_diag0(kernel, params)))
     jitter = 4.0 * eps * c * k0v
     extra = initial_jitter if initial_jitter is not None else 0.0
+    budget = DeviceBudget(
+        device_budget if device_budget is not None
+        else _hbm_budget(panel, c, jnp.dtype(dtype).itemsize)
+    )
     for attempt in range(max_jitter_retries + 1):
-        st = HostPanelStore() if store == "host" else DevicePanelStore()
+        st = _make_store(store, budget)
         if ooc_cholesky(kernel, xp, np_ + extra, params, st, panel=panel,
                         block=block):
             np_ = np_ + extra
             break
+        st.clear()
         del st
         extra = max(extra * 10.0, jitter)
     else:
         raise FloatingPointError(
             f"out-of-core Cholesky failed even with jitter {extra:.2e}"
         )
-    wstore = HostPanelStore() if store == "host" else DevicePanelStore()
-    alpha = ooc_trsm(st, wstore, yp, panel=panel, block=block)
+    alpha = ooc_solve_alpha(st, yp, panel=panel, block=block)
+    # W spill-only compression: device-resident W panels stay f32 (the
+    # left-looking recursion reads EARLY panels most, and they inherit L's
+    # device residency one-for-one since L_j is freed right before W_j is
+    # stored), so f16 rounding enters only through the rarely-reread
+    # spilled tail — measured to keep the variance at the 1e-3 level where
+    # a fully-f16 store compounded to ~3e-2 with negative variances.
+    wstore = _make_store(store, budget, spill_dtype=w_dtype)
+    ooc_trsm(st, wstore, yp, panel=panel, block=block,
+             accumulate_alpha=False)
     return OOCModel(kernel=kernel, x=xp, y=yp, noise=np_, params=params,
                     alpha=alpha, wstore=wstore, panel=panel, n_real=n)

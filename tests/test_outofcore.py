@@ -121,6 +121,46 @@ def test_ooc_fit_pads_to_panel(problem):
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
 
 
+def test_ooc_tiered_store_spills_and_matches(problem):
+    """TieredPanelStore: with a budget that only fits ~2 panels on 'device',
+    the rest spill to host — posterior parity must be unchanged and the
+    budget must be returned as panels are freed."""
+    x, y, noise, params = problem
+    budget = ooc.DeviceBudget(2 * B * C * 8)  # ~2 full-width f64 panels
+    m = ooc.ooc_fit("rbf", x, y, noise, params, panel=B, store="tiered",
+                    device_budget=budget.limit)
+    q = jnp.asarray(np.random.default_rng(13).normal(size=(128, 3)) * 0.8)
+    mean, var = m.predict(q, chunk=128)
+    ref = gpr.fit("rbf", x, y, noise, params, block=B, touch_capacity=0)
+    mean_r, var_r = gpr.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
+    # The W store must have spilled at least one panel (budget smaller than
+    # the trimmed factor) and freeing everything must return the budget.
+    spilled = [j for j, (on_dev, _) in m.wstore._meta.items() if not on_dev]
+    assert spilled, "expected at least one spilled panel"
+    m.wstore.clear()
+    assert m.wstore._budget._used == 0
+
+
+def test_ooc_f16_w_store(problem):
+    """w_dtype=float16 compresses only SPILLED W panels: the mean must stay
+    EXACT-grade (alpha is solved by substitution against the f32 L store)
+    while the variance absorbs the f16 rounding of the spilled tail."""
+    x, y, noise, params = problem
+    m = ooc.ooc_fit("rbf", x, y, noise, params, panel=B, store="tiered",
+                    device_budget=2 * B * C * 8, w_dtype=jnp.float16)
+    spilled = [j for j, (on_dev, _) in m.wstore._meta.items() if not on_dev]
+    assert spilled
+    assert m.wstore.get(spilled[0]).dtype == jnp.float16
+    q = jnp.asarray(np.random.default_rng(17).normal(size=(128, 3)) * 0.8)
+    mean, var = m.predict(q, chunk=128)
+    ref = gpr.fit("rbf", x, y, noise, params, block=B, touch_capacity=0)
+    mean_r, var_r = gpr.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=5e-3)
+
+
 def test_ooc_jitter_ladder(problem):
     """Exact duplicate points + near-zero noise force at least one NaN
     escalation; the fit must still succeed and stay consistent."""
