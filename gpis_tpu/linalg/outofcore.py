@@ -14,39 +14,46 @@ nonzero part) in a swappable PanelStore:
   panel-consumption (W_j overwrites L_j's slot) pushes the single-chip
   ceiling well past the dense one-matrix path (~59k measured in r2).
 
-Algorithms (all compute on device, Pallas kernels, bf16x3 MXU dots):
+Algorithms (all compute on device; Pallas in-kernel bf16x3 for the GEMMs,
+exact XLA trisolves for every triangular solve — two hardware-measured
+rules shape this: (a) an explicit Pallas inverse's rounding is amplified by
+cond() each time it is multiplied onward, and (b) the XLA-level hi/lo-split
+matmul is re-fused into a single-pass bf16 dot by the simplifier when
+inlined into larger jits, so only in-kernel splits and HIGHEST dots are
+composable):
 
 Cholesky — row-panel bordering (left-looking by panels).  For panel j the
 device holds one full-width (B, C) buffer `cur`, initialized to the Gram
 row band (generated in-kernel, never stored):
 
     for k < j:  S_k         = cur[:, kB:(k+1)B] - L_j[:, :kB] @ L_k[:, :kB]^T
-                L_j[:, kB:] = S_k @ L_kk^{-T}
+                L_j[:, kB:] = S_k L_kk^{-T}      (256-blocked trisolve TRSM)
     S_jj = cur[:, jB:] - L_j[:, :jB] @ L_j[:, :jB]^T ;  L_jj = potrf(S_jj)
 
-The masked rectangular update runs as `gemm_nt_masked_pallas` (k-tile
-skipping, one compiled kernel for every panel pair); L_kk^{-1} is the
-Pallas blocked TRSM of the streamed panel's own diagonal block (recomputed
-per pair — 0.05 s at B=12.5k, cheaper than caching 0.6 GB inverses).
+The rectangular update runs as `gemm_nt_prefix_pallas` (static prefix, the
+streamed panel stays trimmed); the panel solve is `_trsm_right_blocked`.
 
-TRSM — left-looking W = L^{-1} by row panels:
+alpha — forward + backward substitution streaming the f32 L panels (two
+O(N^2) vector passes).  W never enters the mean path, so the posterior
+mean stays at the f32-factorization grade regardless of how W is stored.
+
+TRSM — left-looking W = L^{-1} by row panels (variance only):
 
     U   = sum_{k<j} L_j[:, kB:(k+1)B] @ W_k         (trimmed-width GEMMs)
-    W_j = [ -L_jj^{-1} U[:, :jB] | L_jj^{-1} ]
+    W_j = L_jj^{-1} [-U | I]                         (blocked trisolves)
 
 Step j consumes L panel j (never read again) so W_j can replace it in the
-store — peak storage stays one trimmed factor.  alpha = W^T (W y)
-accumulates per panel during this phase at zero extra traffic.
+store — peak storage stays one trimmed factor.
 
-Query — mean = K(Q,X) alpha per chunk; variance streams each W panel once
-TOTAL (not once per chunk) through `fused_quad_band_pallas`, which
-generates the cross-covariance in VMEM and skips tiles beyond the panel's
-global rows, accumulating quad = ||W kq^T||^2 across panels.
+Query — mean = K(Q,X) alpha per chunk (HIGHEST GEMV); variance streams
+each W panel once TOTAL (not once per chunk) through
+`fused_quad_band_pallas`, accumulating quad = ||W kq^T||^2 across panels,
+then clamps to [0, k0] (see ooc_predict).
 
-Link traffic for the host store (N=100k, B=12.5k): chol streams ~44 GB in
-/ 23 GB out, TRSM ~76 GB in+out, query 23 GB in — all overlapped with
-compute by a one-deep prefetch thread.  Total MXU work is the same
-N^3/3 + N^3/3 + M N^2 as the in-core path.
+The tiered store keeps panels in HBM under a byte budget and spills the
+overflow to host RAM; the axon link is asymmetric (h2d ~1.3 GB/s, d2h
+~35 MB/s measured), so minimizing SPILL bytes — not total traffic — is
+what matters, and spilled W panels can optionally compress to float16.
 
 Parity: tested at small N on CPU (interpret-mode kernels, f64) against the
 dense `linalg.cholesky` / `blocked_linv` / `gp.regression.predict` to 1e-6
@@ -66,15 +73,14 @@ from jax import lax
 
 from gpis_tpu.kernels import functions as kf
 from gpis_tpu.kernels import gram as kg
-from gpis_tpu.linalg.matmul import matmul_bf16x3
 
 
-def _mm3(a, b):
-    """bf16x3 split GEMM on f32 (the only fast full-precision contraction on
-    this backend — docs/PERF.md rule 2); exact HIGHEST dot on f64 (the CPU
-    parity-test dtype — matmul_bf16x3's fallthrough would downcast it)."""
-    if a.dtype == jnp.float32:
-        return matmul_bf16x3(a, b)
+def _mmh(a, b):
+    """HIGHEST-precision dot — for the VECTOR-shaped contractions (GEMVs in
+    the substitutions, kq @ alpha).  These are O(N^2), so the slow HIGHEST
+    path costs nothing, and it cannot be degraded by XLA's simplifier the
+    way the hi/lo-split matmul can (docs/PERF.md; measured: bf16x3 inlined
+    into a larger jit re-fuses to single-pass bf16)."""
     return jnp.dot(a, b, precision=lax.Precision.HIGHEST)
 
 __all__ = ["HostPanelStore", "DevicePanelStore", "TieredPanelStore",
@@ -447,23 +453,29 @@ def _pad_full(trim, *, w: int):
 def _trsm_kstep(u, lj_trim, wk_trim, *, k0: int):
     """U[:, :w_k] += L_j[:, k0:k0+B] @ W_k (all operands trimmed; static
     slices — the GEMM never touches W's structural zeros)."""
+    from gpis_tpu.linalg.pallas_chol import gemm_nn_acc_pallas
+
     b = lj_trim.shape[0]
     w = wk_trim.shape[1]
     ljk = lax.slice(lj_trim, (0, k0), (b, k0 + b))
-    return u.at[:, :w].add(_mm3(ljk, wk_trim))
+    upd = gemm_nn_acc_pallas(lax.slice(u, (0, 0), (b, w)), ljk, wk_trim)
+    return lax.dynamic_update_slice(u, upd, (0, 0))
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
 def _trsm_finish(lj_trim, u, *, block: int):
-    """W_j = [-L_jj^{-1} U | L_jj^{-1}] — trimmed (B, j0+B).  U is exactly
-    (B, j0); j0 is implicit in the trimmed shapes."""
+    """W_j = L_jj^{-1} [-U | I] — trimmed (B, j0+B), via the exact
+    256-blocked TRSM on the transposed system (W_j^T L_jj^T = [-U | I]^T).
+    The earlier explicit-inverse form (pallas_blocked_linv(L_jj) then a
+    GEMM) compounded the inverse's ~2e-3 error through the multiply —
+    measured ||W L - I|| = 0.75 at N=4096, which drove the posterior
+    variance negative by tens."""
     b = lj_trim.shape[0]
     j0 = lj_trim.shape[1] - b
-    wjj = _trinv(lax.slice(lj_trim, (0, j0), (b, j0 + b)), block)
-    if j0 == 0:
-        return wjj
-    wl = -_mm3(wjj, u)
-    return jnp.concatenate([wl, wjj], axis=1)
+    ljj = lax.slice(lj_trim, (0, j0), (b, j0 + b))
+    eye = jnp.eye(b, dtype=lj_trim.dtype)
+    m = eye if j0 == 0 else jnp.concatenate([-u, eye], axis=1)
+    return _trsm_right_blocked(m.T, ljj, block=block).T
 
 
 @functools.partial(jax.jit, static_argnames=("j0",), donate_argnums=(0,))
@@ -471,8 +483,8 @@ def _alpha_accum(alpha, wj_trim, y, *, j0: int):
     """alpha[:j0+B] += W_j^T (W_j y[:j0+B]) — the per-panel piece of
     alpha = W^T W y."""
     w = wj_trim.shape[1]
-    vy = _mm3(wj_trim, lax.dynamic_slice(y, (0,), (w,)))
-    contrib = _mm3(wj_trim.T, vy)
+    vy = _mmh(wj_trim, lax.dynamic_slice(y, (0,), (w,)))
+    contrib = _mmh(wj_trim.T, vy)
     return lax.dynamic_update_slice(
         alpha, lax.dynamic_slice(alpha, (0,), (w,)) + contrib, (0,)
     )
@@ -486,7 +498,7 @@ def _fwd_sub_step(u, lj_trim, y):
     j0 = lj_trim.shape[1] - b
     yj = lax.slice(y, (j0,), (j0 + b,))
     if j0:
-        yj = yj - _mm3(lax.slice(lj_trim, (0, 0), (b, j0)),
+        yj = yj - _mmh(lax.slice(lj_trim, (0, 0), (b, j0)),
                        lax.slice(u, (0,), (j0,)))
     ljj = lax.slice(lj_trim, (0, j0), (b, j0 + b))
     uj = lax.linalg.triangular_solve(ljj, yj[:, None], left_side=True,
@@ -507,7 +519,7 @@ def _bwd_sub_step(alpha, acc, lj_trim, u):
                                      lower=True, transpose_a=True)[:, 0]
     alpha = lax.dynamic_update_slice(alpha, aj, (j0,))
     if j0:
-        contrib = _mm3(aj[None, :], lax.slice(lj_trim, (0, 0), (b, j0)))[0]
+        contrib = _mmh(aj[None, :], lax.slice(lj_trim, (0, 0), (b, j0)))[0]
         head = lax.slice(acc, (0,), (j0,)) + contrib
         acc = lax.dynamic_update_slice(acc, head, (0,))
     return alpha, acc
@@ -588,7 +600,7 @@ def _mean_chunk(name, q, x, params, alpha):
         kq = cross_cov_pallas(name, q, x, params)
     else:
         kq = kg.cross_cov(name, q, x, params)
-    return _mm3(kq, alpha)
+    return _mmh(kq, alpha)
 
 
 # ----------------------------------------------------------------- phases
@@ -649,7 +661,13 @@ def ooc_predict(model: "OOCModel", q, *, chunk: int = 8192):
         del w_full
     k0 = kf.k_diag0(model.kernel, model.params).astype(model.dtype)
     mean = jnp.concatenate(means)[:m]
-    var = (k0 - jnp.concatenate(quads))[:m]
+    # Clamp: the W-quad variance inherits W's bf16x3-recursion error, which
+    # concentrates exactly where the true variance is ~0 (near data, ||v||
+    # largest) and can undershoot negative; far from data kq (hence the
+    # error) is small.  Clamping to [0, k0] restores the operational
+    # semantics (exploration argmax, is_done thresholds) without touching
+    # the accurate far-field values.
+    var = jnp.clip(k0 - jnp.concatenate(quads), 0.0, k0)[:m]
     return mean, var
 
 

@@ -33,7 +33,7 @@ from gpis_tpu.kernels.pallas_gram import _interpret
 __all__ = ["panel_update_pallas", "pallas_blocked_cholesky",
            "row_update_pallas", "pallas_blocked_linv",
            "band_trail_update_pallas", "gemm_nt_masked_pallas",
-           "gemm_nt_prefix_pallas"]
+           "gemm_nt_prefix_pallas", "gemm_nn_acc_pallas"]
 
 _TN = 256
 _TK = 256
@@ -292,6 +292,50 @@ def gemm_nt_prefix_pallas(a, b, s, *, k0: int):
         out_shape=jax.ShapeDtypeStruct((r, sdim), s.dtype),
         interpret=_interpret(),
     )(a, b, s)
+
+
+def _gemm_nn_acc_kernel(a_ref, b_ref, u_ref, out_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = u_ref[...]
+
+    out_ref[...] += _dot3(
+        a_ref[...], b_ref[...], (((1,), (0,)), ((), ()))
+    ).astype(out_ref.dtype)
+
+
+@jax.jit
+def gemm_nn_acc_pallas(u, a, b):
+    """U + A @ B with the in-kernel bf16x3 split.  Exists because the
+    XLA-level split (`matmul_bf16x3`) is NOT safe inside a larger jit on
+    this backend: the algebraic simplifier re-fuses hi+lo back into one
+    single-pass-bf16 dot (measured 0.038 absolute error on a product whose
+    standalone _mm3 error is 7e-5).  Only in-kernel splits survive
+    composition."""
+    r, kd = a.shape
+    n = b.shape[1]
+    if r % _TN or n % _TN or kd % _TK:
+        return u + lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+        )
+    grid = (r // _TN, n // _TN, kd // _TK)
+    return pl.pallas_call(
+        _gemm_nn_acc_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TN, _TK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TK, _TN), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, _TN), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_TN, _TN), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, n), u.dtype),
+        interpret=_interpret(),
+    )(a, b, u)
 
 
 def _row_kernel(j0_ref, lrow_ref, w_ref, out_ref):
