@@ -30,8 +30,17 @@ row band (generated in-kernel, never stored):
                 L_j[:, kB:] = S_k L_kk^{-T}      (256-blocked trisolve TRSM)
     S_jj = cur[:, jB:] - L_j[:, :jB] @ L_j[:, :jB]^T ;  L_jj = potrf(S_jj)
 
-The rectangular update runs as `gemm_nt_prefix_pallas` (static prefix, the
-streamed panel stays trimmed); the panel solve is `_trsm_right_blocked`.
+The rectangular update runs as `gemm_nt_masked_pallas` (TRACED prefix k0,
+operands at fixed full width); the panel solve is `_trsm_right_blocked`.
+
+Compile model (the thing that made or broke this path on the remote
+tunnel): every per-panel device step takes FIXED (B, C) full-width
+operands with traced offsets, so each Mosaic kernel compiles exactly once
+per (panel, capacity) choice.  The earlier static-offset/trimmed-shape
+variant compiled O(nb^2) kernel specializations — measured ~20 min of
+compile inside a 32k cold fit, and projected to hours at 100k.  Stored
+panels stay trimmed (quantized widths, `_store_width`) for host RAM and
+link traffic; `_fetch` zero-pads them back to full width on device.
 
 alpha — forward + backward substitution streaming the f32 L panels (two
 O(N^2) vector passes).  W never enters the mean path, so the posterior
@@ -255,13 +264,19 @@ def _compute_device():
     return jax.devices()[0]
 
 
-def _fetch(store, j: int, dev):
-    """device_put a stored panel and restore the store's compute dtype
-    (spilled panels may live in a narrower spill dtype)."""
+def _fetch(store, j: int, dev, pad_to: int | None = None):
+    """device_put a stored panel, restore the store's compute dtype
+    (spilled panels may live in a narrower spill dtype), and zero-pad the
+    trimmed panel to the full matrix width — every consuming kernel takes
+    fixed (B, C) operands with TRACED offsets, so one compile serves every
+    panel (per-width shapes cost O(nb^2) remote Mosaic compiles, measured
+    at ~20 min for a 32k fit)."""
     v = jax.device_put(store.get(j), dev)
     cd = getattr(store, "compute_dtype", None)
     if cd is not None and v.dtype != cd:
         v = v.astype(cd)
+    if pad_to is not None and v.shape[1] != pad_to:
+        v = _pad_full(v, w=pad_to)
     return v
 
 
@@ -270,10 +285,11 @@ class _Prefetcher:
     consuming panel k (the host<->device link is the bottleneck of the host
     store; a single background thread keeps it busy)."""
 
-    def __init__(self, store, order):
+    def __init__(self, store, order, pad_to: int | None = None):
         self._store = store
         self._dev = _compute_device()
         self._order = list(order)
+        self._pad_to = pad_to
         self._fut = None
         self._i = 0
         if self._order:
@@ -285,7 +301,8 @@ class _Prefetcher:
 
         def work():
             try:
-                box["v"] = _fetch(self._store, self._order[i], self._dev)
+                box["v"] = _fetch(self._store, self._order[i], self._dev,
+                                  pad_to=self._pad_to)
             except BaseException as e:  # propagate into the consumer
                 box["e"] = e
             finally:
@@ -415,19 +432,49 @@ def _trsm_right_blocked(s, l, *, block: int):
     return lax.fori_loop(0, nb, body, jnp.zeros_like(s))
 
 
-@functools.partial(jax.jit, static_argnames=("k0", "block"), donate_argnums=(0,))
-def _chol_kstep(cur, lk_trim, *, k0: int, block: int):
+@functools.partial(jax.jit, static_argnames=("size",))
+def _dyn_rows(a, j0, *, size: int):
+    """Jitted dynamic row slice — eager `x[j0:j0+B]` bakes the offset into
+    the HLO, costing one remote compile per panel index."""
+    return lax.dynamic_slice(
+        a, (j0,) + (0,) * (a.ndim - 1), (size,) + a.shape[1:]
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _mask_cols(a, limit):
+    """Zero columns at or beyond `limit` (traced).  Stored L panels must be
+    exact zeros beyond their true width: the quantized trim width can exceed
+    j0+B, and the substitution/TRSM steps rely on zero-pad semantics instead
+    of per-column masks."""
+    cols = lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    return a * (cols < limit).astype(a.dtype)
+
+
+@jax.jit
+def _diag_nan(cur, j0):
+    """NaN check of the just-factored diagonal block (traced j0)."""
+    b = cur.shape[0]
+    d = lax.dynamic_slice(cur, (0, j0), (b, b))
+    return jnp.isnan(jnp.diagonal(d)).any()
+
+
+@functools.partial(jax.jit, static_argnames=("block",), donate_argnums=(0,))
+def _chol_kstep(cur, lk_full, k0, *, block: int):
     """One bordering step of the current row panel against streamed panel k:
     cur[:, k0:k0+B] <- solve of (cur[:, k0:k0+B] - cur[:, :k0] @ lk[:, :k0]^T)
-    against L_kk^T.  k0 is static (one compile per panel width — nb distinct
-    shapes total); the streamed panel stays TRIMMED on device (no (B, C) pad
-    temp — at N=100k that pad alone would be ~4 GB of HBM per step)."""
-    from gpis_tpu.linalg.pallas_chol import gemm_nt_prefix_pallas
+    against L_kk^T.  k0 is TRACED and lk arrives zero-padded to full width,
+    so ONE compile serves every (j, k) pair — the earlier static-k0/trimmed
+    variant compiled O(nb^2) Mosaic kernels (~20 min of the 32k cold fit).
+    The masked GEMM skips both the MXU work and (index-map aliasing) the
+    HBM fetch of tiles beyond k0."""
+    from gpis_tpu.linalg.pallas_chol import gemm_nt_masked_pallas
 
-    b = lk_trim.shape[0]
-    s = lax.slice(cur, (0, k0), (b, k0 + b))
-    s = gemm_nt_prefix_pallas(cur, lk_trim, s, k0=k0)
-    blk = _trsm_right_blocked(s, lk_trim[:, k0:], block=block)
+    b = cur.shape[0]
+    s = lax.dynamic_slice(cur, (0, k0), (b, b))
+    s = gemm_nt_masked_pallas(cur, lk_full, s, k0)
+    lkk = lax.dynamic_slice(lk_full, (0, k0), (b, b))
+    blk = _trsm_right_blocked(s, lkk, block=block)
     return lax.dynamic_update_slice(cur, blk, (0, k0))
 
 
@@ -449,80 +496,82 @@ def _pad_full(trim, *, w: int):
     return jnp.pad(trim, ((0, 0), (0, w - trim.shape[1])))
 
 
-@functools.partial(jax.jit, static_argnames=("k0",), donate_argnums=(0,))
-def _trsm_kstep(u, lj_trim, wk_trim, *, k0: int):
-    """U[:, :w_k] += L_j[:, k0:k0+B] @ W_k (all operands trimmed; static
-    slices — the GEMM never touches W's structural zeros)."""
-    from gpis_tpu.linalg.pallas_chol import gemm_nn_acc_pallas
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _trsm_kstep(u, lj_full, wk_full, k0, wk_width):
+    """U += L_j[:, k0:k0+B] @ W_k over output cols < wk_width (all traced;
+    U and W_k are full-width (B, C) buffers, zero beyond their true widths).
+    The masked GEMM skips output tiles beyond wk_width — trimmed FLOPs at
+    one compile for every (j, k) pair."""
+    from gpis_tpu.linalg.pallas_chol import gemm_nn_acc_masked_pallas
 
-    b = lj_trim.shape[0]
-    w = wk_trim.shape[1]
-    ljk = lax.slice(lj_trim, (0, k0), (b, k0 + b))
-    upd = gemm_nn_acc_pallas(lax.slice(u, (0, 0), (b, w)), ljk, wk_trim)
-    return lax.dynamic_update_slice(u, upd, (0, 0))
+    b = lj_full.shape[0]
+    ljk = lax.dynamic_slice(lj_full, (0, k0), (b, b))
+    return gemm_nn_acc_masked_pallas(u, ljk, wk_full, wk_width)
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def _trsm_finish(lj_trim, u, *, block: int):
-    """W_j = L_jj^{-1} [-U | I] — trimmed (B, j0+B), via the exact
-    256-blocked TRSM on the transposed system (W_j^T L_jj^T = [-U | I]^T).
-    The earlier explicit-inverse form (pallas_blocked_linv(L_jj) then a
-    GEMM) compounded the inverse's ~2e-3 error through the multiply —
-    measured ||W L - I|| = 0.75 at N=4096, which drove the posterior
-    variance negative by tens."""
-    b = lj_trim.shape[0]
-    j0 = lj_trim.shape[1] - b
-    ljj = lax.slice(lj_trim, (0, j0), (b, j0 + b))
-    eye = jnp.eye(b, dtype=lj_trim.dtype)
-    m = eye if j0 == 0 else jnp.concatenate([-u, eye], axis=1)
+@functools.partial(jax.jit, static_argnames=("block",), donate_argnums=(1,))
+def _trsm_finish(lj_full, u, j0, *, block: int):
+    """W_j = L_jj^{-1} [-U | I | 0] as a full-width (B, C) buffer (I at
+    columns [j0, j0+B), zeros beyond — U's columns >= j0 are exact zeros
+    by construction), via the exact 256-blocked TRSM on the transposed
+    system (W_j^T L_jj^T = M^T).  The earlier explicit-inverse form
+    (pallas_blocked_linv(L_jj) then a GEMM) compounded the inverse's
+    ~2e-3 error through the multiply — measured ||W L - I|| = 0.75 at
+    N=4096, which drove the posterior variance negative by tens."""
+    b = lj_full.shape[0]
+    ljj = lax.dynamic_slice(lj_full, (0, j0), (b, b))
+    eye = jnp.eye(b, dtype=lj_full.dtype)
+    m = lax.dynamic_update_slice(-u, eye, (0, j0))
     return _trsm_right_blocked(m.T, ljj, block=block).T
 
 
-@functools.partial(jax.jit, static_argnames=("j0",), donate_argnums=(0,))
-def _alpha_accum(alpha, wj_trim, y, *, j0: int):
-    """alpha[:j0+B] += W_j^T (W_j y[:j0+B]) — the per-panel piece of
-    alpha = W^T W y."""
-    w = wj_trim.shape[1]
-    vy = _mmh(wj_trim, lax.dynamic_slice(y, (0,), (w,)))
-    contrib = _mmh(wj_trim.T, vy)
-    return lax.dynamic_update_slice(
-        alpha, lax.dynamic_slice(alpha, (0,), (w,)) + contrib, (0,)
-    )
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _alpha_accum(alpha, wj_full, y):
+    """alpha += W_j^T (W_j y) — the per-panel piece of alpha = W^T W y.
+    W_j's zero pad beyond its true width makes the full-width contraction
+    exact."""
+    vy = _mmh(wj_full, y)
+    return alpha + _mmh(vy, wj_full)
 
 
-@functools.partial(jax.jit, static_argnames=(), donate_argnums=(0,))
-def _fwd_sub_step(u, lj_trim, y):
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _fwd_sub_step(u, lj_full, y, j0):
     """u_j = L_jj^{-1} (y_j - L_j[:, :j0] @ u[:j0]) — forward substitution
-    against row panel j (j0 implicit in the trimmed width)."""
-    b = lj_trim.shape[0]
-    j0 = lj_trim.shape[1] - b
-    yj = lax.slice(y, (j0,), (j0 + b,))
-    if j0:
-        yj = yj - _mmh(lax.slice(lj_trim, (0, 0), (b, j0)),
-                       lax.slice(u, (0,), (j0,)))
-    ljj = lax.slice(lj_trim, (0, j0), (b, j0 + b))
+    against row panel j.  u[j0:] is still zero and L_j's columns beyond
+    j0+B are zero, so the full-width GEMV needs no mask."""
+    b = lj_full.shape[0]
+    yj = lax.dynamic_slice(y, (j0,), (b,)) - _mmh(lj_full, u)
+    ljj = lax.dynamic_slice(lj_full, (0, j0), (b, b))
     uj = lax.linalg.triangular_solve(ljj, yj[:, None], left_side=True,
                                      lower=True)[:, 0]
     return lax.dynamic_update_slice(u, uj, (j0,))
 
 
-@functools.partial(jax.jit, static_argnames=(), donate_argnums=(0, 1))
-def _bwd_sub_step(alpha, acc, lj_trim, u):
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _bwd_sub_step(alpha, acc, lj_full, u, j0):
     """Descending pass of alpha = L^{-T} u: solve alpha_j from the
-    accumulated tail contributions, then push panel j's columns onto acc:
-    acc[:j0] += L_j[:, :j0]^T alpha_j."""
-    b = lj_trim.shape[0]
-    j0 = lj_trim.shape[1] - b
-    rhs = lax.slice(u, (j0,), (j0 + b,)) - lax.slice(acc, (j0,), (j0 + b,))
-    ljj = lax.slice(lj_trim, (0, j0), (b, j0 + b))
+    accumulated tail contributions, then push panel j's columns onto acc.
+    The full-width rank-1 update also writes acc[j0:j0+B] (the diagonal
+    block's contribution) — harmless: the descending order never reads
+    those entries again."""
+    b = lj_full.shape[0]
+    rhs = (lax.dynamic_slice(u, (j0,), (b,))
+           - lax.dynamic_slice(acc, (j0,), (b,)))
+    ljj = lax.dynamic_slice(lj_full, (0, j0), (b, b))
     aj = lax.linalg.triangular_solve(ljj, rhs[:, None], left_side=True,
                                      lower=True, transpose_a=True)[:, 0]
     alpha = lax.dynamic_update_slice(alpha, aj, (j0,))
-    if j0:
-        contrib = _mmh(aj[None, :], lax.slice(lj_trim, (0, 0), (b, j0)))[0]
-        head = lax.slice(acc, (0,), (j0,)) + contrib
-        acc = lax.dynamic_update_slice(acc, head, (0,))
+    acc = acc + _mmh(aj[None, :], lj_full)[0]
     return alpha, acc
+
+
+def _store_width(j: int, panel: int, c: int, quant: int) -> int:
+    """Trim width for stored panel j: the true width j0+B rounded up to a
+    multiple of `quant` panels (capped at C).  Quantizing bounds the number
+    of distinct trimmed shapes — each distinct width costs one trivial
+    remote XLA compile for its pad and trim ops — while keeping the store
+    ~trimmed (vs full width: half the host RAM and link traffic)."""
+    return min(((j + quant) // quant) * quant * panel, c)
 
 
 def ooc_solve_alpha(lstore, y, *, panel: int, block: int = 256):
@@ -532,19 +581,18 @@ def ooc_solve_alpha(lstore, y, *, panel: int, block: int = 256):
     y = jnp.asarray(y)
     c = y.shape[0]
     nb = c // panel
-    dev = _compute_device()
     u = jnp.zeros_like(y)
-    for j, lj in _Prefetcher(lstore, range(nb)):
-        u = _fwd_sub_step(u, lj, y)
+    for j, lj in _Prefetcher(lstore, range(nb), pad_to=c):
+        u = _fwd_sub_step(u, lj, y, j * panel)
     alpha = jnp.zeros_like(y)
     acc = jnp.zeros_like(y)
-    for j, lj in _Prefetcher(lstore, range(nb - 1, -1, -1)):
-        alpha, acc = _bwd_sub_step(alpha, acc, lj, u)
+    for j, lj in _Prefetcher(lstore, range(nb - 1, -1, -1), pad_to=c):
+        alpha, acc = _bwd_sub_step(alpha, acc, lj, u, j * panel)
     return jax.block_until_ready(alpha)
 
 
 def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256,
-             accumulate_alpha: bool = True):
+             accumulate_alpha: bool = True, width_quant: int = 2):
     """W = L^{-1} by left-looking row panels, consuming L panels as it goes
     (L panel j is freed once W panel j is computed).  Returns alpha =
     W^T (W y) accumulated per panel — or None with accumulate_alpha=False
@@ -558,19 +606,20 @@ def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256,
     writer = _AsyncWriter(wstore)
     for j in range(nb):
         j0 = j * panel
-        lj = _fetch(lstore, j, _compute_device())
-        u = jnp.zeros((panel, j0), dt)
-        for k, wk in _Prefetcher(wstore, range(j)):
-            u = _trsm_kstep(u, lj, wk, k0=k * panel)
-        wj = _trsm_finish(lj, u, block=block)
-        del lj, u
+        lj = _fetch(lstore, j, _compute_device(), pad_to=c)
+        u = jnp.zeros((panel, c), dt)
+        for k, wk in _Prefetcher(wstore, range(j), pad_to=c):
+            u = _trsm_kstep(u, lj, wk, k * panel, (k + 1) * panel)
+        wj = _trsm_finish(lj, u, j0, block=block)
+        del u
         if accumulate_alpha:
-            alpha = _alpha_accum(alpha, wj, y, j0=j0)
+            alpha = _alpha_accum(alpha, wj, y)
         # Block before freeing L panel j: wj's computation reads it.
         jax.block_until_ready(wj)
+        del lj
         writer.drain()          # panel j-1 is safely stored before we free
         lstore.free(j)
-        writer.put(j, wj)
+        writer.put(j, wj[:, :_store_width(j, panel, c, width_quant)])
     writer.drain()
     return jax.block_until_ready(alpha) if accumulate_alpha else None
 
@@ -607,10 +656,10 @@ def _mean_chunk(name, q, x, params, alpha):
 
 
 def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
-                 block: int = 256):
+                 block: int = 256, width_quant: int = 2):
     """Row-panel bordering Cholesky of K(x) + diag(noise) into `store`
-    (trimmed panels).  Returns False if the factor came back NaN (caller
-    escalates jitter), True on success."""
+    (trimmed panels at quantized widths, tail-zeroed).  Returns False if
+    the factor came back NaN (caller escalates jitter), True on success."""
     c = x.shape[0]
     if c % panel:
         raise ValueError(f"capacity {c} must be a multiple of panel {panel}")
@@ -620,16 +669,16 @@ def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
     noisep = jnp.asarray(noisep, x.dtype)
     for j in range(nb):
         j0 = j * panel
-        cur = _gram_band(kernel, x[j0:j0 + panel], x, params,
-                         noisep[j0:j0 + panel], j0)
-        for k, lk in _Prefetcher(store, range(j)):
-            cur = _chol_kstep(cur, lk, k0=k * panel, block=block)
+        cur = _gram_band(kernel, _dyn_rows(x, j0, size=panel), x, params,
+                         _dyn_rows(noisep, j0, size=panel), j0)
+        for k, lk in _Prefetcher(store, range(j), pad_to=c):
+            cur = _chol_kstep(cur, lk, k * panel, block=block)
         cur = _chol_diag(cur, j0, block=block)
-        diag = jnp.diagonal(cur[:, j0:j0 + panel])
-        if bool(jnp.isnan(diag).any()):
+        if bool(_diag_nan(cur, j0)):
             writer.drain()
             return False
-        writer.put(j, cur[:, :j0 + panel])
+        cur = _mask_cols(cur, j0 + panel)
+        writer.put(j, cur[:, :_store_width(j, panel, c, width_quant)])
     writer.drain()
     return True
 
@@ -649,9 +698,7 @@ def ooc_predict(model: "OOCModel", q, *, chunk: int = 8192):
              for ch in chunks]
     quads = [jnp.zeros((chunk,), model.dtype) for _ in chunks]
     nb = c // model.panel
-    for j, wj in _Prefetcher(model.wstore, range(nb)):
-        w_full = _pad_full(wj, w=c)
-        del wj
+    for j, w_full in _Prefetcher(model.wstore, range(nb), pad_to=c):
         for i, ch in enumerate(chunks):
             quads[i] = quads[i] + _quad_band(
                 model.kernel, ch, model.x, model.params, w_full, j * model.panel
@@ -726,7 +773,8 @@ def _make_store(kind: str, budget, spill_dtype=None, device_dtype=None):
 def ooc_fit(kernel, x, y, noise, params, *, panel: int, block: int = 256,
             store: str = "tiered", pad_noise: float = 1e10, dtype=None,
             max_jitter_retries: int = 3, initial_jitter: float | None = None,
-            device_budget: int | None = None, w_dtype=None):
+            device_budget: int | None = None, w_dtype=None,
+            width_quant: int = 2):
     """Out-of-core GP fit: pad to a panel multiple, factor (with the usual
     NaN-escalation jitter ladder), TRSM, alpha.  `store` = "tiered" (HBM
     until full, host spill — the default) | "host" | "device".
@@ -759,7 +807,7 @@ def ooc_fit(kernel, x, y, noise, params, *, panel: int, block: int = 256,
     for attempt in range(max_jitter_retries + 1):
         st = _make_store(store, budget)
         if ooc_cholesky(kernel, xp, np_ + extra, params, st, panel=panel,
-                        block=block):
+                        block=block, width_quant=width_quant):
             np_ = np_ + extra
             break
         st.clear()
@@ -778,6 +826,6 @@ def ooc_fit(kernel, x, y, noise, params, *, panel: int, block: int = 256,
     # a fully-f16 store compounded to ~3e-2 with negative variances.
     wstore = _make_store(store, budget, spill_dtype=w_dtype)
     ooc_trsm(st, wstore, yp, panel=panel, block=block,
-             accumulate_alpha=False)
+             accumulate_alpha=False, width_quant=width_quant)
     return OOCModel(kernel=kernel, x=xp, y=yp, noise=np_, params=params,
                     alpha=alpha, wstore=wstore, panel=panel, n_real=n)

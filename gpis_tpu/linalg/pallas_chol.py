@@ -33,7 +33,8 @@ from gpis_tpu.kernels.pallas_gram import _interpret
 __all__ = ["panel_update_pallas", "pallas_blocked_cholesky",
            "row_update_pallas", "pallas_blocked_linv",
            "band_trail_update_pallas", "gemm_nt_masked_pallas",
-           "gemm_nt_prefix_pallas", "gemm_nn_acc_pallas"]
+           "gemm_nt_prefix_pallas", "gemm_nn_acc_pallas",
+           "gemm_nn_acc_masked_pallas"]
 
 _TN = 256
 _TK = 256
@@ -225,12 +226,23 @@ def gemm_nt_masked_pallas(a, b, s, k0):
             dimension_numbers=(((1,), (1,)), ((), ())),
             precision=lax.Precision.HIGHEST,
         )
+    # Fetch-aliasing for skipped k tiles: compute is predicated on
+    # k*_TK < k0, but the pipeline would still stream every (i,k)/(j,k)
+    # block from HBM.  Clamping the k block index at the last ACTIVE tile
+    # makes the index map constant across the skipped tail, so Mosaic's
+    # revisiting logic skips the re-fetch — the out-of-core callers run
+    # this kernel at full matrix width with small k0 prefixes, where the
+    # skipped-tail traffic would otherwise dominate.
+    def _kc(k, sc):
+        kmax = jnp.maximum((sc[0] + _TK - 1) // _TK - 1, 0)
+        return jnp.minimum(k, kmax)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(r // _TN, sdim // _TN, k_dim // _TK),
         in_specs=[
-            pl.BlockSpec((_TN, _TK), lambda i, j, k, sc: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TN, _TK), lambda i, j, k, sc: (j, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, _TK), lambda i, j, k, sc: (i, _kc(k, sc)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, _TK), lambda i, j, k, sc: (j, _kc(k, sc)), memory_space=pltpu.VMEM),
             pl.BlockSpec((_TN, _TN), lambda i, j, k, sc: (i, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -336,6 +348,73 @@ def gemm_nn_acc_pallas(u, a, b):
         out_shape=jax.ShapeDtypeStruct((r, n), u.dtype),
         interpret=_interpret(),
     )(a, b, u)
+
+
+def _gemm_nn_masked_kernel(w_ref, a_ref, b_ref, u_ref, out_ref):
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    w = w_ref[0]
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = u_ref[...]
+
+    @pl.when(j * _TN < w)
+    def _():
+        cols = j * _TN + jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+        mask = (cols < w).astype(out_ref.dtype)
+        out_ref[...] += mask * _dot3(
+            a_ref[...], b_ref[...], (((1,), (0,)), ((), ()))
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def gemm_nn_acc_masked_pallas(u, a, b, w):
+    """U + (A @ B) restricted to output columns < w, w TRACED — the
+    out-of-core TRSM's panel-pair update (`linalg/outofcore.py`): B is a
+    full-width zero-padded W panel whose true width w varies per panel,
+    and one compiled kernel must serve every panel pair (a static width
+    would cost O(nb^2) remote Mosaic compiles).  Output tiles at or beyond
+    w skip both the MXU work and (via index-map aliasing to a constant
+    block) the HBM fetch of their operands."""
+    r, kd = a.shape
+    n = b.shape[1]
+    if r % _TN or n % _TN or kd % _TK:
+        cols = (jnp.arange(n) < w).astype(u.dtype)
+        return u + cols[None, :] * lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r // _TN, n // _TN, kd // _TK),
+        in_specs=[
+            pl.BlockSpec(
+                (_TN, _TK),
+                lambda i, j, k, sc: (i, jnp.where(j * _TN < sc[0], k, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (_TK, _TN),
+                lambda i, j, k, sc: (
+                    jnp.where(j * _TN < sc[0], k, 0),
+                    jnp.where(j * _TN < sc[0], j, 0),
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((_TN, _TN), lambda i, j, k, sc: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_TN, _TN), lambda i, j, k, sc: (i, j), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _gemm_nn_masked_kernel,
+        out_shape=jax.ShapeDtypeStruct((r, n), u.dtype),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(jnp.asarray([w], jnp.int32), a, b, u)
 
 
 def _row_kernel(j0_ref, lrow_ref, w_ref, out_ref):
