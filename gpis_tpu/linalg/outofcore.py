@@ -94,6 +94,7 @@ def _mmh(a, b):
 
 __all__ = ["HostPanelStore", "DevicePanelStore", "TieredPanelStore",
            "DeviceBudget", "ooc_cholesky", "ooc_trsm", "ooc_solve_alpha",
+           "ooc_alpha_backward", "ooc_factor_phase", "ooc_solve_phase",
            "ooc_predict", "ooc_fit", "OOCModel"]
 
 
@@ -182,6 +183,25 @@ class DevicePanelStore(_PanelStoreBase):
             a.delete()
 
 
+class _DiskPanel:
+    """Handle for a panel written to a disk file (np.memmap read-back).
+    File-backed pages live in the page cache — evictable under memory
+    pressure instead of counting against anonymous RSS, which matters
+    because the axon client RETAINS the host copy of every h2d transfer
+    (measured ~1:1 RSS growth per h2d byte, never freed; see
+    docs/PERF.md).  Streaming spilled panels from disk keeps the panel
+    STORE out of that anonymous budget entirely."""
+
+    __slots__ = ("path", "shape", "dtype")
+
+    def __init__(self, path, shape, dtype):
+        self.path, self.shape, self.dtype = path, shape, np.dtype(dtype)
+
+    def read(self):
+        return np.memmap(self.path, dtype=self.dtype, mode="r",
+                         shape=self.shape)
+
+
 class DeviceBudget:
     """HBM byte budget shared by the L and W tiered stores of one fit (the
     TRSM phase frees L panels while W panels grow — one pot keeps their sum
@@ -212,11 +232,15 @@ class TieredPanelStore(_PanelStoreBase):
     factor, and reads (h2d) stay cheap either way."""
 
     def __init__(self, budget: DeviceBudget, spill_dtype=None,
-                 device_dtype=None):
+                 device_dtype=None, spill_dir: str | None = None):
         super().__init__()
         self._budget = budget
         self._spill_dtype = jnp.dtype(spill_dtype) if spill_dtype else None
         self._device_dtype = jnp.dtype(device_dtype) if device_dtype else None
+        self._spill_dir = spill_dir
+        if spill_dir is not None:
+            import os
+            os.makedirs(spill_dir, exist_ok=True)
         self.compute_dtype = None
         self._meta: dict[int, tuple[bool, int]] = {}  # j -> (on_device, bytes)
 
@@ -243,9 +267,17 @@ class TieredPanelStore(_PanelStoreBase):
             # vs 1.3 GB/s h2d).
             arr = arr.astype(self._spill_dtype)
         cpu = _host_device()
-        if cpu is not None:
-            return jax.block_until_ready(jax.device_put(arr, cpu))
-        return np.asarray(arr)
+        host = (jax.block_until_ready(jax.device_put(arr, cpu))
+                if cpu is not None else np.asarray(arr))
+        if self._spill_dir is None:
+            return host
+        import os
+        path = os.path.join(self._spill_dir, f"panel_{j}.bin")
+        mm = np.memmap(path, dtype=host.dtype, mode="w+", shape=host.shape)
+        mm[:] = np.asarray(host)
+        mm.flush()
+        del mm
+        return _DiskPanel(path, host.shape, host.dtype)
 
     def free(self, j: int) -> None:
         with self._cv:
@@ -255,6 +287,88 @@ class TieredPanelStore(_PanelStoreBase):
             self._budget.give(size)
         if isinstance(a, jax.Array):
             a.delete()
+        elif isinstance(a, _DiskPanel):
+            import os
+            try:
+                os.unlink(a.path)
+            except OSError:
+                pass
+
+    def evict_all(self) -> None:
+        """Move every device-resident panel to the spill tier (disk files
+        when spill_dir is set).  Used by the phase-split driver to persist
+        the factor across a process boundary — the axon client retains
+        every h2d byte in anonymous RSS, so the 100k fit runs its
+        factorization and its TRSM in SEPARATE processes, each with a
+        fresh retention budget (docs/PERF.md)."""
+        with self._cv:
+            keys = [j for j, (od, _) in self._meta.items() if od]
+        old_limit, self._budget.limit = self._budget.limit, 0
+        try:
+            for j in keys:
+                with self._cv:
+                    arr = self._p.pop(j)
+                    _, size = self._meta.pop(j)
+                self._budget.give(size)
+                self.put(j, arr)   # limit 0 -> routes to the spill tier
+                arr.delete()
+        finally:
+            self._budget.limit = old_limit
+
+    def save_manifest(self) -> None:
+        """Write panel metadata next to the spilled files so open_dir can
+        reattach the store in another process.  All panels must be on the
+        disk tier (call evict_all first)."""
+        import json
+        import os
+
+        meta = {}
+        with self._cv:
+            for j, v in self._p.items():
+                if not isinstance(v, _DiskPanel):
+                    raise ValueError(f"panel {j} is not on disk; evict first")
+                meta[str(j)] = [list(v.shape), str(v.dtype)]
+        doc = {"panels": meta, "compute_dtype": str(np.dtype(self.compute_dtype))}
+        with open(os.path.join(self._spill_dir, "manifest.json"), "w") as f:
+            json.dump(doc, f)
+
+    @classmethod
+    def open_dir(cls, budget: "DeviceBudget", spill_dir: str, **kw):
+        """Reattach a store persisted by save_manifest (fresh process)."""
+        import json
+        import os
+
+        st = cls(budget, spill_dir=spill_dir, **kw)
+        with open(os.path.join(spill_dir, "manifest.json")) as f:
+            doc = json.load(f)
+        st.compute_dtype = jnp.dtype(doc["compute_dtype"])
+        with st._cv:
+            for j, (shape, dt) in doc["panels"].items():
+                path = os.path.join(spill_dir, f"panel_{int(j)}.bin")
+                st._p[int(j)] = _DiskPanel(path, tuple(shape), dt)
+                st._meta[int(j)] = (False, 0)
+            st._cv.notify_all()
+        return st
+
+
+def _warm_d2h_async() -> None:
+    """Issue a tiny device->host transfer on a background thread.  The
+    axon link's FIRST d2h in a process lazily initializes a reverse
+    channel and can stall 5-250 s (measured); warming it concurrently
+    hides the stall under compile/compute instead of serializing it in
+    front of the first panel writeback."""
+
+    def work():
+        try:
+            cpu = _host_device()
+            if cpu is None:
+                return
+            z = jnp.zeros((8,), jnp.float32)
+            jax.block_until_ready(jax.device_put(z, cpu))
+        except Exception:
+            pass
+
+    threading.Thread(target=work, daemon=True).start()
 
 
 def _compute_device():
@@ -271,7 +385,10 @@ def _fetch(store, j: int, dev, pad_to: int | None = None):
     fixed (B, C) operands with TRACED offsets, so one compile serves every
     panel (per-width shapes cost O(nb^2) remote Mosaic compiles, measured
     at ~20 min for a 32k fit)."""
-    v = jax.device_put(store.get(j), dev)
+    v = store.get(j)
+    if isinstance(v, _DiskPanel):
+        v = v.read()
+    v = jax.device_put(v, dev)
     cd = getattr(store, "compute_dtype", None)
     if cd is not None and v.dtype != cd:
         v = v.astype(cd)
@@ -470,10 +587,11 @@ def _chol_kstep(cur, lk_full, k0, *, block: int):
     HBM fetch of tiles beyond k0."""
     from gpis_tpu.linalg.pallas_chol import gemm_nt_masked_pallas
 
-    b = cur.shape[0]
-    s = lax.dynamic_slice(cur, (0, k0), (b, b))
+    p = lk_full.shape[0]
+    r = cur.shape[0]  # r = sweep * p when sweep-blocked (outer rows)
+    s = lax.dynamic_slice(cur, (0, k0), (r, p))
     s = gemm_nt_masked_pallas(cur, lk_full, s, k0)
-    lkk = lax.dynamic_slice(lk_full, (0, k0), (b, b))
+    lkk = lax.dynamic_slice(lk_full, (0, k0), (p, p))
     blk = _trsm_right_blocked(s, lkk, block=block)
     return lax.dynamic_update_slice(cur, blk, (0, k0))
 
@@ -499,30 +617,59 @@ def _pad_full(trim, *, w: int):
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _trsm_kstep(u, lj_full, wk_full, k0, wk_width):
     """U += L_j[:, k0:k0+B] @ W_k over output cols < wk_width (all traced;
-    U and W_k are full-width (B, C) buffers, zero beyond their true widths).
+    U is a full-width (R, C) buffer — R = sweep * B rows when
+    sweep-blocked — and W_k a zero-padded full-width (B, C) buffer).
     The masked GEMM skips output tiles beyond wk_width — trimmed FLOPs at
     one compile for every (j, k) pair."""
     from gpis_tpu.linalg.pallas_chol import gemm_nn_acc_masked_pallas
 
-    b = lj_full.shape[0]
-    ljk = lax.dynamic_slice(lj_full, (0, k0), (b, b))
+    p = wk_full.shape[0]
+    r = u.shape[0]
+    ljk = lax.dynamic_slice(lj_full, (0, k0), (r, p))
     return gemm_nn_acc_masked_pallas(u, ljk, wk_full, wk_width)
 
 
+@functools.partial(jax.jit, static_argnames=("res",))
+def _diag_block(lj_full, j0, *, res: int):
+    return lax.dynamic_slice(lj_full, (0, j0), (lj_full.shape[0], res))
+
+
 @functools.partial(jax.jit, static_argnames=("block",), donate_argnums=(1,))
-def _trsm_finish(lj_full, u, j0, *, block: int):
-    """W_j = L_jj^{-1} [-U | I | 0] as a full-width (B, C) buffer (I at
-    columns [j0, j0+B), zeros beyond — U's columns >= j0 are exact zeros
-    by construction), via the exact 256-blocked TRSM on the transposed
-    system (W_j^T L_jj^T = M^T).  The earlier explicit-inverse form
-    (pallas_blocked_linv(L_jj) then a GEMM) compounded the inverse's
-    ~2e-3 error through the multiply — measured ||W L - I|| = 0.75 at
-    N=4096, which drove the posterior variance negative by tens."""
-    b = lj_full.shape[0]
-    ljj = lax.dynamic_slice(lj_full, (0, j0), (b, b))
-    eye = jnp.eye(b, dtype=lj_full.dtype)
+def _trsm_finish(ljj, u, j0, *, block: int):
+    """W rows = L_dd^{-1} [-U | I | 0] as a full-width (R, C) buffer (I at
+    columns [j0, j0+R), zeros beyond — U's columns >= j0 are exact zeros
+    by construction).  ljj is ONLY the (R, R) diagonal block, so the
+    caller can free the full-width L rows before this runs — at 100k the
+    earlier transposed-system form held m, m^T, x and the result
+    simultaneously (~8.4 GB of HLO temps), which did not fit HBM next to
+    the tiered store.  This one is a LEFT-blocked trisolve on the carry
+    itself: the carry starts as M; step r contracts the solved rows above
+    r0 (the diagonal-block operand is masked to columns < r0 so the raw
+    rows below never pollute) and solves the 256-row block in place.
+    Exact XLA trisolves on the diagonal blocks, masked Pallas GEMMs for
+    the updates — the same precision call as everywhere else (an explicit
+    inverse's bf16x3 error is amplified by cond, measured ||WL-I||=0.75
+    at 4096)."""
+    from gpis_tpu.linalg.pallas_chol import gemm_nn_acc_masked_pallas
+
+    rows = ljj.shape[0]
+    eye = jnp.eye(rows, dtype=ljj.dtype)
     m = lax.dynamic_update_slice(-u, eye, (0, j0))
-    return _trsm_right_blocked(m.T, ljj, block=block).T
+    width = j0 + rows
+    nbr = rows // block
+    col_idx = jnp.arange(rows)
+
+    def body(rblk, x):
+        r0 = rblk * block
+        a = lax.dynamic_slice(ljj, (r0, 0), (block, rows))
+        a = a * (col_idx[None, :] < r0).astype(a.dtype)
+        xr = lax.dynamic_slice(x, (r0, 0), (block, x.shape[1]))
+        xr = gemm_nn_acc_masked_pallas(xr, -a, x, width)
+        lrr = lax.dynamic_slice(ljj, (r0, r0), (block, block))
+        xr = lax.linalg.triangular_solve(lrr, xr, left_side=True, lower=True)
+        return lax.dynamic_update_slice(x, xr, (r0, 0))
+
+    return lax.fori_loop(0, nbr, body, m)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -592,34 +739,59 @@ def ooc_solve_alpha(lstore, y, *, panel: int, block: int = 256):
 
 
 def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256,
-             accumulate_alpha: bool = True, width_quant: int = 2):
+             accumulate_alpha: bool = True, width_quant: int = 2,
+             sweep: int = 1):
     """W = L^{-1} by left-looking row panels, consuming L panels as it goes
     (L panel j is freed once W panel j is computed).  Returns alpha =
     W^T (W y) accumulated per panel — or None with accumulate_alpha=False
     (ooc_fit computes alpha by substitution instead, so a compressed W
-    store cannot touch the mean)."""
+    store cannot touch the mean).
+
+    `sweep` processes that many consecutive W row panels per outer step,
+    fetching each earlier W panel once per SWEEP instead of once per panel
+    (the dominant traffic term, and on the axon link every h2d byte is
+    retained in RSS — docs/PERF.md).  The intra-sweep coupling is handled
+    exactly by the (R, R) diagonal-block trisolve in _trsm_finish.  Keep
+    sweep <= 2 at 100k-class sizes: the u/lj working buffers scale with it
+    and must fit HBM next to the device-resident tier."""
     y = jnp.asarray(y)
     c = y.shape[0]
     nb = c // panel
     dt = y.dtype
     alpha = jnp.zeros((c,), dt) if accumulate_alpha else None
     writer = _AsyncWriter(wstore)
-    for j in range(nb):
+    dev = _compute_device()
+    j = 0
+    while j < nb:
+        r = min(max(int(sweep), 1), nb - j)
         j0 = j * panel
-        lj = _fetch(lstore, j, _compute_device(), pad_to=c)
-        u = jnp.zeros((panel, c), dt)
+        rows = r * panel
+        if r == 1:
+            lj = _fetch(lstore, j, dev, pad_to=c)
+        else:
+            lj = jnp.concatenate(
+                [_fetch(lstore, j + rr, dev, pad_to=c) for rr in range(r)]
+            )
+        u = jnp.zeros((rows, c), dt)
         for k, wk in _Prefetcher(wstore, range(j), pad_to=c):
             u = _trsm_kstep(u, lj, wk, k * panel, (k + 1) * panel)
-        wj = _trsm_finish(lj, u, j0, block=block)
-        del u
+        # Only the (R, R) diagonal block survives into the finish — free
+        # the full-width L rows first (HBM headroom at 100k).
+        ljj = jax.block_until_ready(_diag_block(lj, j0, res=rows))
+        del lj
+        writer.drain()          # previous sweep safely stored before we free
+        for rr in range(r):
+            lstore.free(j + rr)
+        wj = _trsm_finish(ljj, u, j0, block=block)
+        del u, ljj
         if accumulate_alpha:
             alpha = _alpha_accum(alpha, wj, y)
-        # Block before freeing L panel j: wj's computation reads it.
         jax.block_until_ready(wj)
-        del lj
-        writer.drain()          # panel j-1 is safely stored before we free
-        lstore.free(j)
-        writer.put(j, wj[:, :_store_width(j, panel, c, width_quant)])
+        for rr in range(r):
+            writer.drain()
+            w = _store_width(j + rr, panel, c, width_quant)
+            writer.put(j + rr, _dyn_rows(wj, rr * panel, size=panel)[:, :w])
+        j += r
     writer.drain()
     return jax.block_until_ready(alpha) if accumulate_alpha else None
 
@@ -656,10 +828,23 @@ def _mean_chunk(name, q, x, params, alpha):
 
 
 def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
-                 block: int = 256, width_quant: int = 2):
+                 block: int = 256, width_quant: int = 2, sweep: int = 1,
+                 y=None):
     """Row-panel bordering Cholesky of K(x) + diag(noise) into `store`
-    (trimmed panels at quantized widths, tail-zeroed).  Returns False if
-    the factor came back NaN (caller escalates jitter), True on success."""
+    (trimmed panels at quantized widths, tail-zeroed).  Returns (ok, u):
+    ok=False if the factor came back NaN (caller escalates jitter); with
+    `y`, u is the forward-substitution vector L^{-1} y accumulated INLINE
+    while each row band is still on device (zero extra link traffic — a
+    separate ascending pass would re-stream every spilled panel, and on
+    the axon link every h2d byte is also permanently retained in host RSS,
+    docs/PERF.md).
+
+    `sweep` processes that many consecutive row panels per outer step: the
+    earlier stored panels are fetched once per SWEEP instead of once per
+    panel, dividing the dominant re-fetch traffic (and its RSS retention)
+    by the sweep factor.  The sweep's (sweep*B, sweep*B) diagonal block is
+    factored in-core; stored panels stay at B-row granularity so the
+    TRSM/alpha/query consumers are unchanged."""
     c = x.shape[0]
     if c % panel:
         raise ValueError(f"capacity {c} must be a multiple of panel {panel}")
@@ -667,20 +852,43 @@ def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
     writer = _AsyncWriter(store)
     x = jnp.asarray(x)
     noisep = jnp.asarray(noisep, x.dtype)
-    for j in range(nb):
+    u = None if y is None else jnp.zeros((c,), x.dtype)
+    j = 0
+    while j < nb:
+        r = min(max(int(sweep), 1), nb - j)
         j0 = j * panel
-        cur = _gram_band(kernel, _dyn_rows(x, j0, size=panel), x, params,
-                         _dyn_rows(noisep, j0, size=panel), j0)
+        rows = r * panel
+        cur = _gram_band(kernel, _dyn_rows(x, j0, size=rows), x, params,
+                         _dyn_rows(noisep, j0, size=rows), j0)
         for k, lk in _Prefetcher(store, range(j), pad_to=c):
             cur = _chol_kstep(cur, lk, k * panel, block=block)
         cur = _chol_diag(cur, j0, block=block)
         if bool(_diag_nan(cur, j0)):
             writer.drain()
-            return False
-        cur = _mask_cols(cur, j0 + panel)
-        writer.put(j, cur[:, :_store_width(j, panel, c, width_quant)])
+            return False, None
+        cur = _mask_cols(cur, j0 + rows)
+        if u is not None:
+            u = _fwd_sub_step(u, cur, y, j0)
+        for rr in range(r):
+            w = _store_width(j + rr, panel, c, width_quant)
+            writer.put(j + rr, _dyn_rows(cur, rr * panel, size=panel)[:, :w])
+        j += r
     writer.drain()
-    return True
+    return True, (None if u is None else jax.block_until_ready(u))
+
+
+def ooc_alpha_backward(lstore, u, *, panel: int):
+    """alpha = L^{-T} u by backward substitution, one descending pass over
+    the stored f32 L panels (the forward half runs inline in
+    ooc_cholesky)."""
+    u = jnp.asarray(u)
+    c = u.shape[0]
+    nb = c // panel
+    alpha = jnp.zeros_like(u)
+    acc = jnp.zeros_like(u)
+    for j, lj in _Prefetcher(lstore, range(nb - 1, -1, -1), pad_to=c):
+        alpha, acc = _bwd_sub_step(alpha, acc, lj, u, j * panel)
+    return jax.block_until_ready(alpha)
 
 
 def ooc_predict(model: "OOCModel", q, *, chunk: int = 8192):
@@ -745,47 +953,27 @@ class OOCModel:
         return ooc_predict(self, q, chunk=chunk)
 
 
-def _hbm_budget(panel: int, c: int, itemsize: int) -> int:
+def _hbm_budget(panel: int, c: int, itemsize: int, sweep: int = 1) -> int:
     """Device bytes available to the tiered panel stores: the backend's
-    reported limit minus headroom for the row-band working set (cur + one
-    prefetched panel + GEMM temps)."""
+    reported limit minus headroom for the row-band working set — the
+    (sweep*B, C) cur buffer, TWO prefetched panels in flight (the consumed
+    one plus the incoming one), the zero-pad transient, the async-writer
+    slice, and GEMM temps.  Sized from the 100k OOM post-mortem: a 6 GB
+    budget with sweep=3 put the peak ~1 GB over the 15.48 GB chip."""
     limit = 15_500_000_000
     try:
         stats = jax.devices()[0].memory_stats()
         limit = int(stats.get("bytes_limit", limit))
     except Exception:
         pass
-    reserve = 4 * panel * c * itemsize + 1_500_000_000
+    reserve = int((sweep + 4.5) * panel * c * itemsize) + 500_000_000
     return max(limit - reserve, 0)
 
 
-def _make_store(kind: str, budget, spill_dtype=None, device_dtype=None):
-    if kind == "host":
-        return HostPanelStore()
-    if kind == "device":
-        return DevicePanelStore()
-    if kind == "tiered":
-        return TieredPanelStore(budget, spill_dtype=spill_dtype,
-                                device_dtype=device_dtype)
-    raise ValueError(f"unknown panel store kind {kind!r}")
-
-
-def ooc_fit(kernel, x, y, noise, params, *, panel: int, block: int = 256,
-            store: str = "tiered", pad_noise: float = 1e10, dtype=None,
-            max_jitter_retries: int = 3, initial_jitter: float | None = None,
-            device_budget: int | None = None, w_dtype=None,
-            width_quant: int = 2):
-    """Out-of-core GP fit: pad to a panel multiple, factor (with the usual
-    NaN-escalation jitter ladder), TRSM, alpha.  `store` = "tiered" (HBM
-    until full, host spill — the default) | "host" | "device".
-
-    `w_dtype` (e.g. jnp.float16) compresses SPILLED W = L^-1 panels for the
-    slow d2h leg; alpha is solved by substitution against the f32 L store,
-    so compression can only touch the posterior VARIANCE (at the ~1e-3
-    level).  The L store always stays at the compute dtype: factor rounding
-    feeds back into later Schur complements amplified by cond(K) (measured
-    to break the posterior mean outright).  W's padded-row entries are
-    ~1/sqrt(pad_noise) — small, so f16-safe.  Returns an OOCModel."""
+def _pad_problem(kernel, x, y, noise, params, *, panel: int,
+                 pad_noise: float, dtype=None):
+    """Pad (x, y, noise) to a panel multiple with inert high-noise rows and
+    normalize param dtypes; returns (xp, yp, noisep, params, c, n, jitter)."""
     x = jnp.asarray(x)
     dtype = dtype or x.dtype
     n = x.shape[0]
@@ -799,15 +987,59 @@ def ooc_fit(kernel, x, y, noise, params, *, panel: int, block: int = 256,
     eps = float(jnp.finfo(dtype).eps)
     k0v = abs(float(kf.k_diag0(kernel, params)))
     jitter = 4.0 * eps * c * k0v
+    return xp, yp, np_, params, c, n, jitter
+
+
+def _make_store(kind: str, budget, spill_dtype=None, device_dtype=None,
+                spill_dir=None):
+    if kind == "host":
+        return HostPanelStore()
+    if kind == "device":
+        return DevicePanelStore()
+    if kind == "tiered":
+        return TieredPanelStore(budget, spill_dtype=spill_dtype,
+                                device_dtype=device_dtype,
+                                spill_dir=spill_dir)
+    raise ValueError(f"unknown panel store kind {kind!r}")
+
+
+def ooc_fit(kernel, x, y, noise, params, *, panel: int, block: int = 256,
+            store: str = "tiered", pad_noise: float = 1e10, dtype=None,
+            max_jitter_retries: int = 3, initial_jitter: float | None = None,
+            device_budget: int | None = None, w_dtype=None,
+            width_quant: int = 2, sweep: int = 2,
+            trsm_sweep: int | None = None,
+            spill_dir: str | None = None):
+    """Out-of-core GP fit: pad to a panel multiple, factor (with the usual
+    NaN-escalation jitter ladder), TRSM, alpha.  `store` = "tiered" (HBM
+    until full, host spill — the default) | "host" | "device".
+
+    `w_dtype` (e.g. jnp.float16) compresses SPILLED W = L^-1 panels for the
+    slow d2h leg; alpha is solved by substitution against the f32 L store,
+    so compression can only touch the posterior VARIANCE (at the ~1e-3
+    level).  The L store always stays at the compute dtype: factor rounding
+    feeds back into later Schur complements amplified by cond(K) (measured
+    to break the posterior mean outright).  W's padded-row entries are
+    ~1/sqrt(pad_noise) — small, so f16-safe.  Returns an OOCModel."""
+    _warm_d2h_async()
+    xp, yp, np_, params, c, n, jitter = _pad_problem(
+        kernel, x, y, noise, params, panel=panel, pad_noise=pad_noise,
+        dtype=dtype,
+    )
+    dtype = xp.dtype
     extra = initial_jitter if initial_jitter is not None else 0.0
+    tsw = min(sweep, 2) if trsm_sweep is None else trsm_sweep
     budget = DeviceBudget(
         device_budget if device_budget is not None
-        else _hbm_budget(panel, c, jnp.dtype(dtype).itemsize)
+        else _hbm_budget(panel, c, jnp.dtype(dtype).itemsize,
+                         sweep=max(sweep, tsw + 1))
     )
     for attempt in range(max_jitter_retries + 1):
-        st = _make_store(store, budget)
-        if ooc_cholesky(kernel, xp, np_ + extra, params, st, panel=panel,
-                        block=block, width_quant=width_quant):
+        st = _make_store(store, budget, spill_dir=spill_dir)
+        ok, u = ooc_cholesky(kernel, xp, np_ + extra, params, st, panel=panel,
+                             block=block, width_quant=width_quant,
+                             sweep=sweep, y=yp)
+        if ok:
             np_ = np_ + extra
             break
         st.clear()
@@ -817,15 +1049,112 @@ def ooc_fit(kernel, x, y, noise, params, *, panel: int, block: int = 256,
         raise FloatingPointError(
             f"out-of-core Cholesky failed even with jitter {extra:.2e}"
         )
-    alpha = ooc_solve_alpha(st, yp, panel=panel, block=block)
+    alpha = ooc_alpha_backward(st, u, panel=panel)
     # W spill-only compression: device-resident W panels stay f32 (the
     # left-looking recursion reads EARLY panels most, and they inherit L's
     # device residency one-for-one since L_j is freed right before W_j is
     # stored), so f16 rounding enters only through the rarely-reread
     # spilled tail — measured to keep the variance at the 1e-3 level where
     # a fully-f16 store compounded to ~3e-2 with negative variances.
-    wstore = _make_store(store, budget, spill_dtype=w_dtype)
+    wstore = _make_store(store, budget, spill_dtype=w_dtype,
+                         spill_dir=spill_dir)
     ooc_trsm(st, wstore, yp, panel=panel, block=block,
-             accumulate_alpha=False, width_quant=width_quant)
+             accumulate_alpha=False, width_quant=width_quant, sweep=tsw)
     return OOCModel(kernel=kernel, x=xp, y=yp, noise=np_, params=params,
                     alpha=alpha, wstore=wstore, panel=panel, n_real=n)
+
+
+# ------------------------------------------------- process-split phases
+
+
+def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
+                     spill_dir: str, block: int = 256, sweep: int = 2,
+                     width_quant: int = 2, pad_noise: float = 1e10,
+                     dtype=None, max_jitter_retries: int = 3,
+                     initial_jitter: float | None = None,
+                     device_budget: int | None = None) -> None:
+    """Phase 1 of the process-split out-of-core fit: factorize, solve
+    alpha, persist the L store + problem state under `spill_dir`.
+
+    Why a process split: the axon TPU client retains the host copy of
+    EVERY h2d transfer in anonymous RSS (measured 1:1, never freed —
+    docs/PERF.md).  A 100k fit streams more panel bytes than the box has
+    RAM, but each phase alone fits; running factor and TRSM in separate
+    processes resets the retention budget between them.  The factor
+    crosses the boundary as disk files (np.memmap), whose pages are
+    page-cache — evictable, not anonymous."""
+    import os
+
+    _warm_d2h_async()
+    xp, yp, np_, params, c, n, jitter = _pad_problem(
+        kernel, x, y, noise, params, panel=panel, pad_noise=pad_noise,
+        dtype=dtype,
+    )
+    dtype = xp.dtype
+    budget = DeviceBudget(
+        device_budget if device_budget is not None
+        else _hbm_budget(panel, c, jnp.dtype(dtype).itemsize, sweep=sweep)
+    )
+    extra = initial_jitter if initial_jitter is not None else 0.0
+    ldir = os.path.join(spill_dir, "L")
+    for attempt in range(max_jitter_retries + 1):
+        st = TieredPanelStore(budget, spill_dir=ldir)
+        ok, u = ooc_cholesky(kernel, xp, np_ + extra, params, st, panel=panel,
+                             block=block, width_quant=width_quant,
+                             sweep=sweep, y=yp)
+        if ok:
+            np_ = np_ + extra
+            break
+        st.clear()
+        del st
+        extra = max(extra * 10.0, jitter)
+    else:
+        raise FloatingPointError(
+            f"out-of-core Cholesky failed even with jitter {extra:.2e}"
+        )
+    alpha = ooc_alpha_backward(st, u, panel=panel)
+    st.evict_all()
+    st.save_manifest()
+    state = {"x": np.asarray(xp), "y": np.asarray(yp),
+             "noise": np.asarray(np_), "alpha": np.asarray(alpha),
+             "kernel": kernel, "panel": panel, "n_real": n,
+             "block": block, "width_quant": width_quant}
+    for k, v in params.items():
+        state[f"param_{k}"] = np.asarray(v)
+    np.savez(os.path.join(spill_dir, "state.npz"), **state)
+
+
+def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
+                    trsm_sweep: int = 1,
+                    device_budget: int | None = None) -> OOCModel:
+    """Phase 2 of the process-split fit: reattach the persisted L store,
+    run the panel-consuming TRSM (W replaces L on disk), and return the
+    query-ready OOCModel.  Run in a FRESH process (see ooc_factor_phase)."""
+    import os
+
+    _warm_d2h_async()
+    d = np.load(os.path.join(spill_dir, "state.npz"), allow_pickle=False)
+    kernel = str(d["kernel"])
+    panel = int(d["panel"])
+    block = int(d["block"])
+    width_quant = int(d["width_quant"])
+    xp = jnp.asarray(d["x"])
+    yp = jnp.asarray(d["y"])
+    np_ = jnp.asarray(d["noise"])
+    alpha = jnp.asarray(d["alpha"])
+    params = {k[len("param_"):]: jnp.asarray(d[k])
+              for k in d.files if k.startswith("param_")}
+    c = xp.shape[0]
+    budget = DeviceBudget(
+        device_budget if device_budget is not None
+        else _hbm_budget(panel, c, xp.dtype.itemsize, sweep=trsm_sweep + 1)
+    )
+    lst = TieredPanelStore.open_dir(budget, os.path.join(spill_dir, "L"))
+    wstore = TieredPanelStore(budget, spill_dtype=w_dtype,
+                              spill_dir=os.path.join(spill_dir, "W"))
+    ooc_trsm(lst, wstore, yp, panel=panel, block=block,
+             accumulate_alpha=False, width_quant=width_quant,
+             sweep=trsm_sweep)
+    return OOCModel(kernel=kernel, x=xp, y=yp, noise=np_, params=params,
+                    alpha=alpha, wstore=wstore, panel=panel,
+                    n_real=int(d["n_real"]))

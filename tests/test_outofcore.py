@@ -68,8 +68,8 @@ def test_gemm_nt_prefix_matches(problem):
 def test_ooc_cholesky_matches_dense(problem, store_kind):
     x, y, noise, params = problem
     st = ooc.HostPanelStore() if store_kind == "host" else ooc.DevicePanelStore()
-    ok = ooc.ooc_cholesky("rbf", x, noise, params, st, panel=B)
-    assert ok
+    ok, u = ooc.ooc_cholesky("rbf", x, noise, params, st, panel=B)
+    assert ok and u is None
     l_ooc = _assemble(st, C)
     want = np.asarray(jnp.linalg.cholesky(kg.gram("rbf", x, params, noise=noise)))
     np.testing.assert_allclose(l_ooc, want, atol=1e-9)
@@ -78,7 +78,7 @@ def test_ooc_cholesky_matches_dense(problem, store_kind):
 def test_ooc_trsm_and_alpha(problem):
     x, y, noise, params = problem
     st = ooc.HostPanelStore()
-    assert ooc.ooc_cholesky("rbf", x, noise, params, st, panel=B)
+    assert ooc.ooc_cholesky("rbf", x, noise, params, st, panel=B)[0]
     wst = ooc.HostPanelStore()
     alpha = ooc.ooc_trsm(st, wst, y, panel=B)
     # L panels were consumed.
@@ -173,3 +173,87 @@ def test_ooc_jitter_ladder(problem):
     mean, var = m.predict(q, chunk=32)
     assert np.isfinite(np.asarray(mean)).all()
     assert np.isfinite(np.asarray(var)).all()
+
+
+@pytest.mark.parametrize("sweep", [2, 3])
+def test_ooc_cholesky_sweep_matches_dense(problem, sweep):
+    """Sweep-blocked factorization (r row panels per outer step, fetched
+    panels reused across the sweep) must equal the dense factor; the inline
+    forward-substitution u must equal L^{-1} y.  sweep=3 exercises the
+    ragged last sweep (4 panels -> 3+1)."""
+    x, y, noise, params = problem
+    st = ooc.HostPanelStore()
+    ok, u = ooc.ooc_cholesky("rbf", x, noise, params, st, panel=B,
+                             sweep=sweep, y=y)
+    assert ok
+    l_ooc = _assemble(st, C)
+    k = kg.gram("rbf", x, params, noise=noise)
+    want = np.asarray(jnp.linalg.cholesky(k))
+    np.testing.assert_allclose(l_ooc, want, atol=1e-9)
+    u_ref = np.linalg.solve(want, np.asarray(y))
+    np.testing.assert_allclose(np.asarray(u), u_ref, atol=1e-8)
+    # Backward pass completes alpha = K^{-1} y.
+    alpha = ooc.ooc_alpha_backward(st, u, panel=B)
+    np.testing.assert_allclose(np.asarray(k) @ np.asarray(alpha),
+                               np.asarray(y), atol=1e-7)
+
+
+def test_ooc_fit_disk_spill(problem, tmp_path):
+    """spill_dir routes spilled panels to disk files (np.memmap) — parity
+    unchanged, files cleaned up by clear()."""
+    import os
+
+    x, y, noise, params = problem
+    m = ooc.ooc_fit("rbf", x, y, noise, params, panel=B, store="tiered",
+                    device_budget=2 * B * C * 8,
+                    spill_dir=str(tmp_path / "spill"))
+    spilled = [j for j, (on_dev, _) in m.wstore._meta.items() if not on_dev]
+    assert spilled, "expected spilled panels with a 2-panel budget"
+    assert isinstance(m.wstore.get(spilled[0]), ooc._DiskPanel)
+    q = jnp.asarray(np.random.default_rng(23).normal(size=(128, 3)) * 0.8)
+    mean, var = m.predict(q, chunk=128)
+    ref = gpr.fit("rbf", x, y, noise, params, block=B, touch_capacity=0)
+    mean_r, var_r = gpr.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
+    files = os.listdir(tmp_path / "spill")
+    assert files
+    m.wstore.clear()
+    assert not os.listdir(tmp_path / "spill")
+
+
+@pytest.mark.parametrize("sweep", [2, 3])
+def test_ooc_trsm_sweep_matches(problem, sweep):
+    """Sweep-blocked TRSM (earlier W panels fetched once per sweep, intra-
+    sweep coupling solved by the (R,R) diagonal trisolve) must produce the
+    exact W = L^{-1} and alpha."""
+    x, y, noise, params = problem
+    st = ooc.HostPanelStore()
+    assert ooc.ooc_cholesky("rbf", x, noise, params, st, panel=B)[0]
+    wst = ooc.HostPanelStore()
+    alpha = ooc.ooc_trsm(st, wst, y, panel=B, sweep=sweep)
+    k = kg.gram("rbf", x, params, noise=noise)
+    l = np.asarray(jnp.linalg.cholesky(k))
+    w = _assemble(wst, C)
+    np.testing.assert_allclose(w @ l, np.eye(C), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(k) @ np.asarray(alpha),
+                               np.asarray(y), atol=1e-7)
+
+
+def test_ooc_phase_split_roundtrip(problem, tmp_path):
+    """Process-split phases (factor+alpha persisted to disk, TRSM reattached
+    from the manifest) must reproduce the single-call ooc_fit posterior —
+    the state crossing the 'process boundary' is exercised in-process here;
+    the bench driver runs each phase in its own interpreter."""
+    x, y, noise, params = problem
+    sd = str(tmp_path / "split")
+    ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=B, spill_dir=sd,
+                         device_budget=2 * B * C * 8)
+    m = ooc.ooc_solve_phase(sd, device_budget=2 * B * C * 8)
+    assert m.capacity == C and m.n_real == C
+    q = jnp.asarray(np.random.default_rng(29).normal(size=(128, 3)) * 0.8)
+    mean, var = m.predict(q, chunk=128)
+    ref = gpr.fit("rbf", x, y, noise, params, block=B, touch_capacity=0)
+    mean_r, var_r = gpr.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
