@@ -97,6 +97,16 @@ def make_server(session: ObjectModelSession, host: str = "127.0.0.1", port: int 
                     elif self.path == "/save":
                         session.save(req["path"])
                         self._send(200, {"ok": True, "path": req["path"]})
+                    elif self.path == "/load":
+                        # Crash-recovery restart (SURVEY.md §6): reattach a
+                        # /save checkpoint to this (possibly fresh) node and
+                        # continue serving queries/updates from it.
+                        session.restore(req["path"])
+                        self._send(200, {
+                            "ok": True,
+                            "capacity": int(session.model.capacity),
+                            "n_touch": int(getattr(session.model, "n_touch", 0)),
+                        })
                     elif self.path == "/hyperopt":
                         kw = {"steps": int(req.get("steps", 100))}
                         if req.get("method"):  # "distributed" on sharded models

@@ -278,6 +278,15 @@ class ObjectModelSession:
             tx = np.concatenate([t[0] for t in self._touches])
             ty = np.concatenate([t[1] for t in self._touches])
             ts = self.training
+            if ts is None:
+                raise ValueError(
+                    "joint touch slots overflowed in a restored session: the "
+                    "original training set is not part of the checkpoint, so "
+                    "accumulated touches cannot be folded into the core. "
+                    "Restart from the original cloud (start()) or refit with "
+                    "a larger touch_capacity; bordering updates within "
+                    "capacity work fine after restore()."
+                )
             n_s = ts.n_surface
             c0 = ts.x.shape[0]
             x = jnp.concatenate([ts.x, jnp.asarray(tx, ts.x.dtype)])
@@ -483,9 +492,23 @@ class ObjectModelSession:
     @classmethod
     def load(cls, path: str, config: ModelConfig | None = None, **kw):
         sess = cls(config, **kw)
-        sess.model = ckpt.load_model(path)
+        return sess.restore(path)
+
+    def restore(self, path: str):
+        """Load a checkpoint into THIS session (crash-recovery drill,
+        SURVEY.md §6: fit -> touch -> save -> crash -> load -> replay the
+        pending touches).  The HTTP node keeps one session object across
+        its lifetime, so /load routes here; incremental updates continue
+        from the checkpointed factor (the W carry is stored), and any
+        touch that arrived after the checkpoint is simply replayed through
+        update()."""
+        self.model = ckpt.load_model(path)
         d = np.load(path + ".frame.npz")
-        sess.frame = gpis.Frame(
+        self.frame = gpis.Frame(
             centroid=jnp.asarray(d["centroid"]), scale=jnp.asarray(d["scale"])
         )
-        return sess
+        # Pre-crash bookkeeping does not survive; the joint overflow-refit
+        # path re-derives it from the model's slots on the next overflow.
+        self.training = None
+        self._touches = []
+        return self
