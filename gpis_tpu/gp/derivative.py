@@ -114,18 +114,13 @@ def fit_with_normals(
     jitter0 = 4.0 * eps * (4 * c + t) * abs(k0)
     extra = 0.0
     for attempt in range(max_jitter_retries + 1):
-        k = kd.joint_gram(kernel, xp, params, noise_f=npf + extra, noise_g=npg + extra)
-        if t:
-            # Border the tactile slots onto the joint system by blocks; the
-            # big (4C, 4C) block keeps its Pallas assembly path.  D is the
-            # true kernel among slot points (origin duplicates get k(0)
-            # off-diagonal — same padding semantics as gp.model, and the
-            # same K the bordering update recomputes).
-            from gpis_tpu.kernels import gram as kg_mod
-
-            b = kd.cross_cov_value(kernel, tx, xp, params)  # (T, 4C)
-            d = kg_mod.gram_reference(kernel, tx, params, noise=tn + extra)
-            k = jnp.block([[k, b.T], [b, d]])
+        # The whole (4C+T, 4C+T) system assembles in one call (one Pallas
+        # launch on TPU); touch slots are inert origin points with pad
+        # noise — k(0) off-diagonal among them, same padding semantics as
+        # gp.model and the same K the bordering update recomputes.
+        k = kd.joint_gram(kernel, xp, params, noise_f=npf + extra,
+                          noise_g=npg + extra, touch_x=tx,
+                          touch_noise=None if tn is None else tn + extra)
         l = lin.cholesky(k)
         if not bool(jnp.isnan(jnp.diagonal(l)).any()):
             break
@@ -174,8 +169,40 @@ def joint_cross_value(model: DerivGPModel, q):
     return kq
 
 
+def _use_fused_joint_query(model: DerivGPModel, q) -> bool:
+    """Route to the fused joint query kernel: TPU, W attached, tiled joint
+    size, built-in r2-form kernel, and enough work to pay for the launch."""
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    j = model.chol.shape[0]
+    return (
+        backend == "tpu"
+        and model.linv is not None
+        and model.kernel in kf.KERNEL_NAMES
+        and set(model.params) == {"lengthscale", "signal_variance"}
+        and j % 256 == 0
+        and q.shape[0] * j >= 1 << 22
+    )
+
+
 def predict(model: DerivGPModel, q):
-    """Posterior mean and variance of f at q (M, 3)."""
+    """Posterior mean and variance of f at q (M, 3).
+
+    On TPU with W = chol^{-1} attached, large queries run the fused Pallas
+    kernel (kernels/pallas_joint.py): the (M, J) cross-covariance is
+    generated in VMEM against W tiles and never exists in HBM — the joint
+    mirror of the value model's fused query path (the round-2 HIGHEST-GEMM
+    chain ran ~1 actual TFLOP/s on this backend)."""
+    if _use_fused_joint_query(model, q):
+        from gpis_tpu.kernels.pallas_joint import fused_joint_query_pallas
+
+        mean, quad = fused_joint_query_pallas(
+            model.kernel, q, model.x, model.params, model.alpha, model.linv,
+            touch_x=model.touch_x,
+        )
+        return mean, kf.k_diag0(model.kernel, model.params) - quad
     kq = joint_cross_value(model, q)  # (M, J)
     mean = jnp.dot(kq, model.alpha, precision=jax.lax.Precision.HIGHEST)
     if model.linv is not None:

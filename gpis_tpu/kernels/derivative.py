@@ -33,8 +33,12 @@ def _diff_r2(x, z):
     return d, jnp.sum(d * d, axis=-1)
 
 
-def joint_gram(name: str, x, params, noise_f=None, noise_g=None):
-    """(4C, 4C) joint Gram over values+gradients at x (C, 3), dimension-major.
+def joint_gram(name: str, x, params, noise_f=None, noise_g=None,
+               touch_x=None, touch_noise=None):
+    """(J, J) joint Gram over values+gradients at x (C, 3), dimension-major,
+    J = 4C + T with optional trailing value-only touch slots (touch_x (T,3)
+    with touch_noise (T,) — the preallocated tactile tail of
+    gp/derivative.fit_with_normals).
 
     noise_f: per-point value-observation variance (C,) or scalar.
     noise_g: per-point gradient-observation variance (shared by the 3 dims).
@@ -44,18 +48,29 @@ def joint_gram(name: str, x, params, noise_f=None, noise_g=None):
     c = x.shape[0]
     dt = x.dtype
     if c * c >= 1 << 22 and noise_f is not None:
-        # Large blocks on TPU: tiled Pallas assembly (no (C,C,3) broadcast
-        # intermediates; 13 unique block kernels).
+        # Large blocks on TPU: the single flag-blended tile kernel (ONE
+        # Mosaic compile; the round-2 13-block assembly cost ~8 min of
+        # one-time remote compile at ~5k points).
         try:
             import jax
 
             if jax.default_backend() == "tpu":
-                from gpis_tpu.kernels import pallas_deriv as pd
+                from gpis_tpu.kernels import pallas_joint as pj
 
-                return pd.joint_gram_pallas(name, x, params, noise_f, noise_g)
+                return pj.joint_gram_fused_pallas(
+                    name, x, params, noise_f, noise_g,
+                    touch_x=touch_x, touch_noise=touch_noise,
+                )
         except Exception:
             pass
-    return joint_gram_reference(name, x, params, noise_f=noise_f, noise_g=noise_g)
+    k = joint_gram_reference(name, x, params, noise_f=noise_f, noise_g=noise_g)
+    if touch_x is None:
+        return k
+    from gpis_tpu.kernels import gram as kg_mod
+
+    b = cross_cov_value(name, touch_x, x, params)  # (T, 4C)
+    d = kg_mod.gram_reference(name, touch_x, params, noise=touch_noise)
+    return jnp.block([[k, b.T], [b, d]])
 
 
 def joint_gram_reference(name: str, x, params, noise_f=None, noise_g=None):
@@ -110,12 +125,9 @@ def cross_cov_value(name: str, q, x, params):
             import jax
 
             if jax.default_backend() == "tpu":
-                from gpis_tpu.kernels import pallas_deriv as pd
-                from gpis_tpu.kernels import pallas_gram as pg
+                from gpis_tpu.kernels import pallas_joint as pj
 
-                kqf = pg.cross_cov_pallas(name, q, x, params)
-                kqg = [pd.kfg_pallas(name, q, x, params, e) for e in range(3)]
-                return jnp.concatenate([kqf] + kqg, axis=1)
+                return pj.joint_cross_value_pallas(name, q, x, params)
         except Exception:
             pass
     d, r2 = _diff_r2(q, x)

@@ -484,6 +484,21 @@ def _use_pallas_small() -> bool:
         return False
 
 
+def _trace_enabled() -> bool:
+    """GPIS_OOC_TRACE=1 prints per-panel stage timings (gram / ksteps /
+    diag / writeback) with blocking synchronization — diagnostic only, it
+    defeats the async overlap it measures."""
+    import os
+
+    return os.environ.get("GPIS_OOC_TRACE", "") == "1"
+
+
+def _tlog(msg: str) -> None:
+    import time
+
+    print(f"[ooc {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
 def _potrf(a, block):
     if a.shape[0] % block == 0 and (a.shape[0] // block) >= 1:
         from gpis_tpu.linalg.pallas_chol import pallas_blocked_cholesky
@@ -761,8 +776,12 @@ def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256,
     alpha = jnp.zeros((c,), dt) if accumulate_alpha else None
     writer = _AsyncWriter(wstore)
     dev = _compute_device()
+    trace = _trace_enabled()
+    import time as _time
+
     j = 0
     while j < nb:
+        t_start = _time.perf_counter()
         r = min(max(int(sweep), 1), nb - j)
         j0 = j * panel
         rows = r * panel
@@ -772,9 +791,17 @@ def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256,
             lj = jnp.concatenate(
                 [_fetch(lstore, j + rr, dev, pad_to=c) for rr in range(r)]
             )
+        if trace:
+            jax.block_until_ready(lj)
+            t_fetch = _time.perf_counter()
         u = jnp.zeros((rows, c), dt)
         for k, wk in _Prefetcher(wstore, range(j), pad_to=c):
             u = _trsm_kstep(u, lj, wk, k * panel, (k + 1) * panel)
+        if trace:
+            jax.block_until_ready(u)
+            t_kstep = _time.perf_counter()
+            _tlog(f"trsm panel {j}..{j + r - 1}/{nb}: Lfetch "
+                  f"{t_fetch - t_start:.1f}s ksteps({j}) {t_kstep - t_fetch:.1f}s")
         # Only the (R, R) diagonal block survives into the finish — free
         # the full-width L rows first (HBM headroom at 100k).
         ljj = jax.block_until_ready(_diag_block(lj, j0, res=rows))
@@ -787,10 +814,16 @@ def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256,
         if accumulate_alpha:
             alpha = _alpha_accum(alpha, wj, y)
         jax.block_until_ready(wj)
+        if trace:
+            t_fin = _time.perf_counter()
         for rr in range(r):
             writer.drain()
             w = _store_width(j + rr, panel, c, width_quant)
             writer.put(j + rr, _dyn_rows(wj, rr * panel, size=panel)[:, :w])
+        if trace:
+            writer.drain()
+            _tlog(f"trsm panel {j}..{j + r - 1}: finish "
+                  f"{t_fin - t_kstep:.1f}s put {_time.perf_counter() - t_fin:.1f}s")
         j += r
     writer.drain()
     return jax.block_until_ready(alpha) if accumulate_alpha else None
@@ -853,15 +886,25 @@ def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
     x = jnp.asarray(x)
     noisep = jnp.asarray(noisep, x.dtype)
     u = None if y is None else jnp.zeros((c,), x.dtype)
+    trace = _trace_enabled()
+    import time as _time
+
     j = 0
     while j < nb:
+        t_start = _time.perf_counter()
         r = min(max(int(sweep), 1), nb - j)
         j0 = j * panel
         rows = r * panel
         cur = _gram_band(kernel, _dyn_rows(x, j0, size=rows), x, params,
                          _dyn_rows(noisep, j0, size=rows), j0)
+        if trace:
+            jax.block_until_ready(cur)
+            t_gram = _time.perf_counter()
         for k, lk in _Prefetcher(store, range(j), pad_to=c):
             cur = _chol_kstep(cur, lk, k * panel, block=block)
+        if trace:
+            jax.block_until_ready(cur)
+            t_kstep = _time.perf_counter()
         cur = _chol_diag(cur, j0, block=block)
         if bool(_diag_nan(cur, j0)):
             writer.drain()
@@ -869,9 +912,18 @@ def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
         cur = _mask_cols(cur, j0 + rows)
         if u is not None:
             u = _fwd_sub_step(u, cur, y, j0)
+        if trace:
+            jax.block_until_ready(cur)
+            t_diag = _time.perf_counter()
         for rr in range(r):
             w = _store_width(j + rr, panel, c, width_quant)
             writer.put(j + rr, _dyn_rows(cur, rr * panel, size=panel)[:, :w])
+        if trace:
+            writer.drain()
+            t_put = _time.perf_counter()
+            _tlog(f"chol panel {j}..{j + r - 1}/{nb}: gram {t_gram - t_start:.1f}s "
+                  f"ksteps({j}) {t_kstep - t_gram:.1f}s diag+sub "
+                  f"{t_diag - t_kstep:.1f}s put {t_put - t_diag:.1f}s")
         j += r
     writer.drain()
     return True, (None if u is None else jax.block_until_ready(u))

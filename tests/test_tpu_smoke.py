@@ -144,16 +144,63 @@ def test_fused_query_compiled(prob):
 
 
 def test_joint_gram_pallas_compiled(prob):
+    """The SINGLE flag-blended joint kernel compiles once and serves the
+    whole (4C+T)^2 assembly — with a wall-clock gate on the cold compile
+    (the round-2 13-block assembly cost ~8 min of one-time Mosaic compile;
+    the replacement must stay interactive)."""
+    import time
+
     from gpis_tpu.kernels import derivative as kd
-    from gpis_tpu.kernels import pallas_deriv as pd
+    from gpis_tpu.kernels import gram as kg_mod
+    from gpis_tpu.kernels import pallas_joint as pj
 
     x, noise, params = prob
     xs = x[:256]
     nf = noise[:256]
     ng = jnp.full((256,), 1e-2, DT)
-    got = np.asarray(pd.joint_gram_pallas("rbf", xs, params, nf, ng))
-    want = np.asarray(kd.joint_gram_reference("rbf", xs, params, noise_f=nf, noise_g=ng))
+    tx = x[256:320]
+    tn = jnp.full((64,), 1e-2, DT)
+    t0 = time.perf_counter()
+    got = np.asarray(pj.joint_gram_fused_pallas(
+        "rbf", xs, params, nf, ng, touch_x=tx, touch_noise=tn))
+    cold = time.perf_counter() - t0
+    want4 = kd.joint_gram_reference("rbf", xs, params, noise_f=nf, noise_g=ng)
+    b = kd.cross_cov_value("rbf", tx, xs, params)
+    d = kg_mod.gram_reference("rbf", tx, params, noise=tn)
+    want = np.asarray(jnp.block([[want4, b.T], [b, d]]))
     np.testing.assert_allclose(got, want, atol=2e-4)
+    assert cold < 120.0, f"joint gram cold compile took {cold:.0f}s"
+
+
+def test_fused_joint_query_compiled(prob):
+    """Fused joint query (mean, quad) compiled on the real chip vs the
+    HIGHEST-GEMM chain."""
+    from gpis_tpu.gp import derivative as gpd
+
+    x, noise, params = prob
+    n = 192
+    xs = x[:n] / jnp.linalg.norm(x[:n], axis=1, keepdims=True)
+    nrm = xs
+    y = jnp.zeros((n,), DT)
+    # c=192 -> 4C=768; T=256 makes J=1024, a 256-multiple (the fused gate).
+    model = gpd.fit_with_normals("rbf", xs, y, nrm, 1e-4, 1e-4, params,
+                                 block=64, touch_capacity=256)
+    model = gpd.with_linv_joint(model)
+    q = jnp.asarray(np.random.default_rng(5).normal(size=(4096, 3)), DT)
+    assert gpd._use_fused_joint_query(model, q)
+    mean, var = gpd.predict(model, q)
+    kq = gpd.joint_cross_value(model, q)
+    mean_ref = jnp.dot(kq, model.alpha, precision=jax.lax.Precision.HIGHEST)
+    v = jnp.dot(model.linv, kq.T, precision=jax.lax.Precision.HIGHEST)
+    from gpis_tpu.kernels import functions as kf_mod
+
+    var_ref = kf_mod.k_diag0("rbf", model.params) - jnp.sum(v * v, axis=0)
+    # Speed-path grade (single-pass bf16 MXU dots, f32 accumulation): the
+    # joint kq carries dk-scaled gradient columns ~1/ls^2 larger than the
+    # value kernel's, so the absolute mean tolerance is wider than the
+    # value-model fused gate (2e-3).
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref), atol=5e-2)
 
 
 def test_sharded_pallas_panels_mesh1_compiled(prob):
