@@ -489,3 +489,148 @@ def test_sharded_joint_jitter_fold(mesh):
                                m.noise_g, mesh, c=m.n0)
     ll = np.asarray(m.l) @ np.asarray(m.l).T
     np.testing.assert_allclose(ll, np.asarray(a), atol=1e-8)
+
+
+def test_sharded_signal_variance_grad_matches_dense(mesh):
+    """The free dK/d(log sv) = K - D identity (VERDICT r2 item 4) matches
+    jax.grad of the dense objective."""
+    from gpis_tpu.gp import regression as gpr
+    from gpis_tpu.gp import sharded_hyperopt as sho
+
+    rng = np.random.default_rng(23)
+    c, n_real = 256, 200
+    x = jnp.asarray(rng.normal(size=(c, 3)))
+    x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+    y = jnp.zeros((c,)).at[:n_real].set(jnp.asarray(rng.normal(size=n_real) * 0.2))
+    noise = jnp.full((c,), 1e10).at[:n_real].set(1e-3)
+    params = kf.kernel_params(0.7, 1.3)
+
+    _, g = sho.sharded_mll_and_grad(
+        "rbf", x, y, noise, params, mesh, block=32, n_real=n_real,
+        noise_scale=1.2,
+    )
+    real = jnp.arange(c) < n_real
+
+    def dense_mll(log_sv):
+        prm = dict(params, signal_variance=jnp.exp(log_sv))
+        nz = jnp.where(real, noise * 1.2, noise)
+        return gpr.log_marginal_likelihood("rbf", x, y, nz, prm, n_real=n_real)
+
+    g_sv = jax.grad(dense_mll)(jnp.log(params["signal_variance"]))
+    np.testing.assert_allclose(float(g["log_sv"]), float(g_sv), rtol=1e-7)
+
+
+def _joint_problem(c, t, n_real, n_touch, seed=31):
+    rng = np.random.default_rng(seed)
+    xc = rng.normal(size=(c, 3))
+    xc /= np.linalg.norm(xc, axis=1, keepdims=True)
+    nrm = jnp.zeros((c, 3)).at[:n_real].set(jnp.asarray(xc[:n_real]))
+    xc = jnp.zeros((c, 3)).at[:n_real].set(jnp.asarray(xc[:n_real]))
+    y = jnp.zeros((c,)).at[:n_real].set(jnp.asarray(rng.normal(size=n_real) * 0.1))
+    nf = jnp.full((c,), 1e10).at[:n_real].set(1e-3)
+    ng = jnp.full((c,), 1e10).at[:n_real].set(2e-3)
+    tx = jnp.zeros((t, 3))
+    tnf = jnp.full((t,), 1e10)
+    ty = jnp.zeros((t,))
+    if n_touch:
+        tpts = rng.normal(size=(n_touch, 3))
+        tpts /= np.linalg.norm(tpts, axis=1, keepdims=True)
+        tx = tx.at[:n_touch].set(jnp.asarray(tpts * 1.02))
+        tnf = tnf.at[:n_touch].set(5e-4)
+        ty = ty.at[:n_touch].set(0.05)
+    x_all = jnp.concatenate([xc, tx]) if t else xc
+    nf_all = jnp.concatenate([nf, tnf]) if t else nf
+    yj = jnp.concatenate([y, nrm[:, 0], nrm[:, 1], nrm[:, 2], ty]) if t else \
+        jnp.concatenate([y, nrm[:, 0], nrm[:, 1], nrm[:, 2]])
+    return x_all, yj, nf_all, ng
+
+
+@pytest.mark.parametrize("c,t,n_touch", [(64, 0, 0), (56, 32, 2)])
+def test_sharded_joint_mll_and_grad_matches_dense(mesh, c, t, n_touch):
+    """Distributed JOINT hyperopt gradients (VERDICT r2 item 4): the
+    assembly-agnostic identities over _joint_band_rows match jax.grad
+    through the dense joint objective, at rtol 1e-7, with and without
+    occupied touch slots."""
+    from gpis_tpu.gp import sharded_hyperopt as sho
+    from gpis_tpu.kernels import derivative as kd
+    from gpis_tpu.linalg import cholesky as lin_mod
+
+    n_real = c - 10
+    x_all, yj, nf_all, ng = _joint_problem(c, t, n_real, n_touch)
+    params = kf.kernel_params(0.7, 1.3)
+    scale = 1.4
+    j_tot = 4 * c + t
+
+    mll_s, g = sho.sharded_joint_mll_and_grad(
+        "rbf", x_all, yj, nf_all, ng, params, mesh, c=c, block=32,
+        n_real=n_real, n_touch=n_touch, noise_scale=scale,
+    )
+
+    core_real = jnp.arange(c) < n_real
+
+    def dense_mll(log_ls, log_s, log_sv):
+        prm = {"lengthscale": jnp.exp(log_ls),
+               "signal_variance": jnp.exp(log_sv)}
+        nf_eff = jnp.where(core_real, nf_all[:c] * jnp.exp(log_s), nf_all[:c])
+        k = kd.joint_gram_reference("rbf", x_all[:c], prm,
+                                    noise_f=nf_eff, noise_g=ng)
+        if t:
+            b = kd.cross_cov_value("rbf", x_all[c:], x_all[:c], prm)
+            d = kg.gram_reference("rbf", x_all[c:], prm, noise=nf_all[c:])
+            k = jnp.block([[k, b.T], [b, d]])
+        l = jnp.linalg.cholesky(k)
+        alpha = lin.cho_solve(l, yj)
+        mll = (-0.5 * jnp.dot(yj, alpha) - jnp.sum(jnp.log(jnp.diagonal(l)))
+               - 0.5 * j_tot * jnp.log(2.0 * jnp.pi))
+        # Same (theta-independent) padding correction the sharded value adds.
+        real_j = jnp.concatenate(
+            [core_real] * 4 + ([jnp.arange(t) < n_touch] if t else [])
+        )
+        n_eff_j = jnp.concatenate(
+            [nf_eff, ng, ng, ng] + ([nf_all[c:]] if t else []))
+        return mll + jnp.sum(jnp.where(
+            real_j, 0.0, 0.5 * jnp.log(2.0 * jnp.pi * n_eff_j)))
+
+    args = (jnp.log(params["lengthscale"]), jnp.log(jnp.asarray(scale)),
+            jnp.log(params["signal_variance"]))
+    want = dense_mll(*args)
+    g_ls, g_s, g_sv = jax.grad(dense_mll, argnums=(0, 1, 2))(*args)
+    np.testing.assert_allclose(float(mll_s), float(want), rtol=1e-8)
+    np.testing.assert_allclose(float(g["log_ls"]), float(g_ls), rtol=1e-7)
+    np.testing.assert_allclose(float(g["log_noise_scale"]), float(g_s), rtol=1e-7)
+    np.testing.assert_allclose(float(g["log_sv"]), float(g_sv), rtol=1e-7)
+
+
+@pytest.mark.slow
+def test_session_sharded_joint_distributed_hyperopt():
+    """session.optimize_hyperparameters(method='distributed') on a sharded
+    JOINT model runs the true distributed objective (no silent subsample
+    downgrade — VERDICT r2 weak 2), refits, and stays queryable; unknown
+    methods and unsupported subsample options raise."""
+    from gpis_tpu.api.session import ObjectModelSession
+    from gpis_tpu.config import MeshConfig, ModelConfig
+
+    rng = np.random.default_rng(9)
+    pts = rng.normal(size=(60, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    nrm = pts.copy()
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.9, noise_surface=1e-4,
+                      touch_capacity=8)
+    s = ObjectModelSession(cfg, mesh=MeshConfig(n_devices=8, block=16))
+    s.start(pts, normals=nrm)
+    assert hasattr(s.model, "mesh") and s.model.normals is not None
+
+    res = s.optimize_hyperparameters(method="distributed", steps=3,
+                                     learning_rate=0.05, learn_signal=True)
+    assert np.isfinite(res.mll)
+    assert float(res.params["lengthscale"]) > 0
+    # Refit model still serves queries and updates.
+    q = rng.normal(size=(8, 3))
+    mean, var = s.query(q)
+    assert np.isfinite(np.asarray(mean)).all()
+    s.update(np.asarray([[0.0, 0.0, -1.02]]))
+
+    with pytest.raises(ValueError, match="unknown hyperopt method"):
+        s.optimize_hyperparameters(method="nope")
+    with pytest.raises(ValueError, match="learn_signal"):
+        s.optimize_hyperparameters(learn_signal=True)
