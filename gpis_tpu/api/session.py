@@ -391,12 +391,6 @@ class ObjectModelSession:
                     f"unknown hyperopt method {method!r} for a sharded joint "
                     "model (use 'subsample' or 'distributed')"
                 )
-            if kw.pop("learn_signal", False):
-                raise ValueError(
-                    "learn_signal on a sharded joint model requires "
-                    "method='distributed' (the subsample objective learns "
-                    "lengthscale and value-noise scale only)"
-                )
             # Subsample method: optimize the joint MLL on a single-chip
             # core-point subsample, then refit the sharded joint system.
             sub = int(kw.pop("subsample", 1024))

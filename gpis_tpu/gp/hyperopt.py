@@ -126,13 +126,16 @@ def optimize_joint(
     steps: int = 100,
     learning_rate: float = 0.05,
     learn_noise: bool = False,
+    learn_signal: bool = False,
 ) -> HyperoptResult:
     """MLL hyperparameter optimization for the joint (value + normals)
     system — config 3 applied to the config 2 model.  Lengthscale by
     default; `learn_noise=True` adds one multiplicative scale on the
     value-observation noise of real rows (the gradient-noise family stays
     fixed — learning both scales jointly is under-determined on typical
-    scans, where the normal observations pin the gradient scale)."""
+    scans, where the normal observations pin the gradient scale);
+    `learn_signal=True` adds the signal variance (AD through the joint
+    assembly — every block is linear in sv, so this is well-posed)."""
     from gpis_tpu.kernels import derivative as kd
     from gpis_tpu.linalg import cholesky as lin_mod
 
@@ -142,11 +145,16 @@ def optimize_joint(
     theta0 = {"log_ls": jnp.log(jnp.asarray(init_params["lengthscale"], dt))}
     if learn_noise:
         theta0["log_noise_scale"] = jnp.zeros((), dt)
+    if learn_signal:
+        theta0["log_sv"] = jnp.log(jnp.asarray(init_params["signal_variance"], dt))
 
     def loss(theta):
         params = {
             "lengthscale": jnp.exp(theta["log_ls"]),
-            "signal_variance": jnp.asarray(init_params["signal_variance"], dt),
+            "signal_variance": (
+                jnp.exp(theta["log_sv"]) if learn_signal
+                else jnp.asarray(init_params["signal_variance"], dt)
+            ),
         }
         scale = jnp.exp(theta.get("log_noise_scale", jnp.zeros((), dt)))
         nf = jnp.where(real_f > 0, noise_f * scale, noise_f)
@@ -180,7 +188,10 @@ def optimize_joint(
         theta = new_theta
     params = {
         "lengthscale": jnp.exp(best_theta["log_ls"]),
-        "signal_variance": jnp.asarray(init_params["signal_variance"], dt),
+        "signal_variance": (
+            jnp.exp(best_theta["log_sv"]) if learn_signal
+            else jnp.asarray(init_params["signal_variance"], dt)
+        ),
     }
     scale = jnp.exp(best_theta.get("log_noise_scale", jnp.zeros((), dt)))
     noise_out = jnp.where(real_f > 0, noise_f * scale, noise_f)

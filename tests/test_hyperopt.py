@@ -78,3 +78,24 @@ def test_optimize_joint_recovers_lengthscale():
     # The refit model still behaves like a GPIS.
     mean, _ = sess.query(np.array([[0.0, 0.0, 0.0]]))
     assert mean[0] < -0.5
+
+
+@pytest.mark.slow
+def test_optimize_joint_learn_signal():
+    """optimize_joint can learn the signal variance too (AD through the
+    joint assembly, every block linear in sv)."""
+    from gpis_tpu.data import gpis as gpis_mod
+
+    pts = gpis_mod.fibonacci_sphere(48, radius=1.0)
+    normals = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    x = jnp.asarray(pts)
+    res = ho.optimize_joint(
+        "rbf", x, jnp.zeros(x.shape[0]), jnp.asarray(normals),
+        jnp.full((x.shape[0],), 1e-4), jnp.full((x.shape[0],), 1e-4),
+        kf.kernel_params(0.8, 0.2), n_real=x.shape[0], steps=40,
+        learn_noise=True, learn_signal=True,
+    )
+    assert np.isfinite(res.mll)
+    sv = float(res.params["signal_variance"])
+    assert sv > 0 and sv != pytest.approx(0.2)  # actually moved
+    assert res.history[-1] >= res.history[0] - 1e-6

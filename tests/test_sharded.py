@@ -632,5 +632,3 @@ def test_session_sharded_joint_distributed_hyperopt():
 
     with pytest.raises(ValueError, match="unknown hyperopt method"):
         s.optimize_hyperparameters(method="nope")
-    with pytest.raises(ValueError, match="learn_signal"):
-        s.optimize_hyperparameters(learn_signal=True)
