@@ -48,7 +48,6 @@ __all__ = [
     "sharded_solve_lower_vec",
     "sharded_solve_lower_t_vec",
     "sharded_cho_solve_vec",
-    "sharded_predict",
     "sharded_update_tail",
     "sharded_linv_ll",
 ]
@@ -590,57 +589,3 @@ def sharded_update_tail(name: str, params, x, noise, l, w, mesh, *, axis: str = 
 # --------------------------------------------------------- sharded query
 
 
-@functools.partial(jax.jit, static_argnames=("name", "mesh", "axis"))
-def sharded_predict(name: str, q, x, params, alpha, kinv, mesh, *, axis: str = "row"):
-    """Posterior mean + variance at queries, sharded by query rows.
-
-    mean is embarrassingly parallel (x and alpha replicated: C*4 bytes).
-    variance rides the ring-attention pattern (SURVEY.md §6 long-context
-    row): the *query block* rotates around the ICI ring (M/P x 3 floats per
-    hop — tiny) while each device contributes its Kinv row band's share of
-    the quadratic form, recomputing the visiting block's cross-covariance
-    locally from the replicated coordinates (O(M C / P) — free next to the
-    O(M C^2 / P^2) GEMM).  Kinv never moves.
-    """
-    m = q.shape[0]
-    c = x.shape[0]
-    p = mesh.shape[axis]
-    if m % p:
-        raise ValueError(f"query count {m} not divisible by mesh size {p}")
-    rows_per = c // p
-
-    def body(q_loc, x_full, alpha_full, kinv_loc):
-        me = lax.axis_index(axis)
-        kq_own = kg.cross_cov(name, q_loc, x_full, params)  # (M/P, C) local
-        mean = jnp.dot(kq_own, alpha_full, precision=lax.Precision.HIGHEST)
-
-        perm = [(i, (i + 1) % p) for i in range(p)]
-
-        def ring_step(s, carry):
-            q_vis, quad_vis = carry
-            # The visiting block currently belongs to device (me - s) % p.
-            kq = kg.cross_cov(name, q_vis, x_full, params)  # recompute, cheap
-            cols0 = me * rows_per
-            kq_blk = lax.dynamic_slice(
-                kq, (jnp.zeros((), cols0.dtype), cols0), (kq.shape[0], rows_per)
-            )
-            t = jnp.dot(kq_blk, kinv_loc, precision=lax.Precision.HIGHEST)  # (M/P, C)
-            quad_vis = quad_vis + jnp.sum(t * kq, axis=1)
-            # Pass the block (and its running sum) to the right neighbor.
-            q_vis = lax.ppermute(q_vis, axis, perm)
-            quad_vis = lax.ppermute(quad_vis, axis, perm)
-            return q_vis, quad_vis
-
-        quad0 = lax.pcast(jnp.zeros((q_loc.shape[0],), kq_own.dtype), (axis,), to="varying")
-        q_back, quad = lax.fori_loop(0, p, ring_step, (q_loc, quad0))
-        # After p hops the block is home with its complete quadratic form.
-        k0 = kf.k_diag0(name, params).astype(kq_own.dtype)
-        return mean, k0 - quad
-
-    fn = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(), P(), P(axis, None)),
-        out_specs=(P(axis), P(axis)),
-    )
-    return fn(q, x, alpha, kinv)

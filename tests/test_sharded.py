@@ -109,13 +109,6 @@ def test_sharded_predict_paths(mesh, problem):
     np.testing.assert_allclose(np.asarray(mean1), np.asarray(mean_ref), atol=1e-8)
     np.testing.assert_allclose(np.asarray(var1), np.asarray(var_ref), atol=1e-8)
 
-    # Ring path with kinv (kinv = W^T W, formed densely here for the test).
-    kinv = jnp.asarray(np.asarray(w).T @ np.asarray(w))
-    kinv_sh = jax.device_put(kinv, pm.row_sharding(mesh))
-    mean2, var2 = sh.sharded_predict("rbf", q, x, params, alpha, kinv_sh, mesh)
-    np.testing.assert_allclose(np.asarray(mean2), np.asarray(mean_ref), atol=1e-8)
-    np.testing.assert_allclose(np.asarray(var2), np.asarray(var_ref), atol=1e-7)
-
 
 @pytest.mark.slow
 def test_sharded_update_matches_refit(mesh):
