@@ -1,0 +1,188 @@
+"""The N=100k judge configuration on ONE chip: process-split out-of-core
+GP fit + dense-grid query (BASELINE.md rows 1/3; SURVEY.md §7).
+
+Why processes: the axon TPU client retains the host copy of every h2d
+transfer in anonymous RSS (~1:1, never freed — docs/PERF.md).  A 100k fit
+streams more panel bytes than the box has RAM; each phase alone fits, so
+the factorization and the TRSM run in separate processes with the factor
+crossing the boundary as disk files (np.memmap, page-cache — evictable).
+
+    python bench/ooc_staged.py run 100000 /tmp/ooc_100k     # orchestrate
+    python bench/ooc_staged.py phase1 100000 /tmp/ooc_100k  # factor+alpha
+    python bench/ooc_staged.py phase2 /tmp/ooc_100k         # TRSM+query
+
+`run` spawns phase1/phase2 subprocesses and prints ONE JSON line:
+{"metric": "ooc_fit_query_100k", "n": ..., "fit_s": ..., "query_s": ...,
+ "rmse": ..., "ok": true}.  Tunables via env: OOC_PANEL (4096), OOC_SWEEP
+(2, factor), OOC_TRSM_SWEEP (2), GPIS_OOC_TRACE=1 for per-panel timings.
+
+Measured on the shared axon tunnel the sustained host<->device rate is
+~25-35 MB/s (far below the 1.3 GB/s microbenchmark), so the refetch terms
+dominate wall-clock; both sweeps trade HBM working set for refetch volume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+
+def _watchdog(s: float) -> None:
+    def fire():
+        time.sleep(s)
+        print("WATCHDOG exit", flush=True)
+        os._exit(2)
+
+    threading.Thread(target=fire, daemon=True).start()
+
+
+def _rss_gb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1e6
+    return 0.0
+
+
+def _problem(n: int):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpis_tpu.config import ModelConfig
+    from gpis_tpu.data import gpis
+    from gpis_tpu.kernels import functions as kf
+
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.4, noise_surface=1e-3,
+                      n_external=127, n_internal=1, block=128,
+                      touch_capacity=0)
+    pts = gpis.fibonacci_sphere(n, radius=1.0).astype(np.float32)
+    ts = gpis.build_training_set(pts, cfg)
+    params = {k: jnp.asarray(v, jnp.float32) for k, v in
+              kf.kernel_params(cfg.lengthscale, cfg.signal_variance).items()}
+    return (jnp.asarray(ts.x, jnp.float32), jnp.asarray(ts.y, jnp.float32),
+            jnp.asarray(ts.noise, jnp.float32), params)
+
+
+def phase1(n: int, spill_dir: str) -> None:
+    """Factor + alpha; persists the L store + state under spill_dir."""
+    from gpis_tpu.linalg import outofcore as ooc
+
+    x, y, noise, params = _problem(n)
+    print(f"[phase1] n={x.shape[0]} rss={_rss_gb():.1f}GB", flush=True)
+    t0 = time.perf_counter()
+    ooc.ooc_factor_phase(
+        "rbf", x, y, noise, params,
+        panel=int(os.environ.get("OOC_PANEL", "4096")), spill_dir=spill_dir,
+        sweep=int(os.environ.get("OOC_SWEEP", "2")),
+    )
+    dt = time.perf_counter() - t0
+    print(f"PHASE1 OK n={x.shape[0]} t={dt:.1f}s rss={_rss_gb():.1f}GB",
+          flush=True)
+    with open(os.path.join(spill_dir, "phase1.json"), "w") as f:
+        json.dump({"n": int(x.shape[0]), "fit_factor_s": dt}, f)
+
+
+def phase2(spill_dir: str, *, grid_res: int = 64) -> None:
+    """TRSM (W replaces L on disk) + dense-grid query + RMSE gate.  Run in
+    a FRESH process (see module docstring)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpis_tpu.linalg import outofcore as ooc
+    from gpis_tpu.surface import grid as grid_mod
+    from gpis_tpu.surface import marching
+
+    # The TRSM CONSUMES L panels (unlinks them as W replaces them);
+    # hardlink a backup first so a crash mid-TRSM doesn't redo phase 1.
+    lb = os.path.join(spill_dir, "L_backup")
+    if not os.path.isdir(lb):
+        subprocess.run(["cp", "-al", os.path.join(spill_dir, "L"), lb],
+                       check=True)
+    tsw = int(os.environ.get("OOC_TRSM_SWEEP", "2"))
+    t0 = time.perf_counter()
+    m = ooc.ooc_solve_phase(spill_dir, w_dtype=jnp.float16, trsm_sweep=tsw)
+    trsm_s = time.perf_counter() - t0
+    print(f"PHASE2 trsm={trsm_s:.1f}s sweep={tsw} rss={_rss_gb():.1f}GB",
+          flush=True)
+
+    coords, axis = grid_mod.make_grid(grid_res, 1.5, dtype=jnp.float32)
+    t0 = time.perf_counter()
+    mean, var = m.predict(coords)
+    jax.block_until_ready((mean, var))
+    query_s = time.perf_counter() - t0
+    field = np.asarray(mean).reshape(grid_res, grid_res, grid_res)
+    verts, _ = marching.marching_tetrahedra(field, np.asarray(axis))
+    r = np.linalg.norm(verts, axis=1)
+    rmse = float(np.sqrt(np.mean((r - 1.0) ** 2))) if len(verts) else float("nan")
+    print(f"PHASE2 query={query_s:.1f}s rmse={rmse:.2e} "
+          f"varmin={float(jnp.min(var)):.1e} varmax={float(jnp.max(var)):.2e} "
+          f"rss={_rss_gb():.1f}GB", flush=True)
+    with open(os.path.join(spill_dir, "phase2.json"), "w") as f:
+        json.dump({"trsm_s": trsm_s, "query_s": query_s, "rmse": rmse,
+                   "grid": grid_res}, f)
+    m.wstore.clear()
+
+
+def run(n: int, spill_dir: str, *, wd1: int = 7100, wd2: int = 7100) -> int:
+    """Orchestrate both phases as subprocesses; print the ONE JSON line."""
+    os.makedirs(spill_dir, exist_ok=True)
+    me = os.path.abspath(__file__)
+    t0 = time.perf_counter()
+    r1 = subprocess.run([sys.executable, me, "phase1", str(n), spill_dir,
+                         str(wd1)], timeout=wd1 + 120)
+    if r1.returncode != 0:
+        print(json.dumps({"metric": f"ooc_fit_query_{n}", "ok": False,
+                          "error": f"phase1 rc={r1.returncode}"}))
+        return 1
+    r2 = subprocess.run([sys.executable, me, "phase2", spill_dir, str(wd2)],
+                        timeout=wd2 + 120)
+    total = time.perf_counter() - t0
+    if r2.returncode != 0:
+        print(json.dumps({"metric": f"ooc_fit_query_{n}", "ok": False,
+                          "error": f"phase2 rc={r2.returncode}"}))
+        return 1
+    with open(os.path.join(spill_dir, "phase1.json")) as f:
+        p1 = json.load(f)
+    with open(os.path.join(spill_dir, "phase2.json")) as f:
+        p2 = json.load(f)
+    ok = p2["rmse"] < 0.01
+    print(json.dumps({
+        "metric": f"ooc_fit_query_{n}", "n": p1["n"],
+        "fit_s": round(p1["fit_factor_s"] + p2["trsm_s"], 1),
+        "query_s": round(p2["query_s"], 1), "total_s": round(total, 1),
+        "rmse": p2["rmse"], "ok": bool(ok),
+    }))
+    return 0 if ok else 1
+
+
+def main(argv: list[str]) -> int:
+    if os.environ.get("GPIS_OOC_CPU"):
+        # CPU smoke mode (tests, or while another client owns the TPU);
+        # env JAX_PLATFORMS is snapshotted before scripts run (docs/PERF.md)
+        # so the platform pin must go through jax.config.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    cmd = argv[0] if argv else "run"
+    if cmd == "phase1":
+        _watchdog(float(argv[3]) if len(argv) > 3 else 7100.0)
+        phase1(int(argv[1]), argv[2])
+        return 0
+    if cmd == "phase2":
+        _watchdog(float(argv[2]) if len(argv) > 2 else 7100.0)
+        phase2(argv[1])
+        return 0
+    if cmd == "run":
+        return run(int(argv[1]), argv[2])
+    print(f"unknown command {cmd!r}", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    raise SystemExit(main(sys.argv[1:]))
