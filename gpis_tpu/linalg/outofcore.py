@@ -232,17 +232,39 @@ class TieredPanelStore(_PanelStoreBase):
     factor, and reads (h2d) stay cheap either way."""
 
     def __init__(self, budget: DeviceBudget, spill_dtype=None,
-                 device_dtype=None, spill_dir: str | None = None):
+                 device_dtype=None, spill_dir: str | None = None,
+                 write_through: bool = False):
         super().__init__()
         self._budget = budget
         self._spill_dtype = jnp.dtype(spill_dtype) if spill_dtype else None
         self._device_dtype = jnp.dtype(device_dtype) if device_dtype else None
         self._spill_dir = spill_dir
+        # write_through mirrors EVERY panel (device-resident ones included)
+        # to a disk file at put time, so the store is durable at any moment
+        # — the resumable factor phase checkpoints on top of this.  Costs
+        # one extra d2h per device-resident panel; serving still hits HBM.
+        self._write_through = bool(write_through and spill_dir)
         if spill_dir is not None:
             import os
             os.makedirs(spill_dir, exist_ok=True)
         self.compute_dtype = None
         self._meta: dict[int, tuple[bool, int]] = {}  # j -> (on_device, bytes)
+
+    def _to_disk(self, j: int, arr) -> "_DiskPanel":
+        import os
+
+        if self._spill_dtype is not None and arr.dtype != self._spill_dtype:
+            # Compress on device before the slow d2h leg.
+            arr = arr.astype(self._spill_dtype)
+        cpu = _host_device()
+        host = (jax.block_until_ready(jax.device_put(arr, cpu))
+                if cpu is not None else np.asarray(arr))
+        path = os.path.join(self._spill_dir, f"panel_{j}.bin")
+        mm = np.memmap(path, dtype=host.dtype, mode="w+", shape=host.shape)
+        mm[:] = np.asarray(host)
+        mm.flush()
+        del mm
+        return _DiskPanel(path, host.shape, host.dtype)
 
     def _store(self, j: int, arr):
         arr = jnp.asarray(arr)
@@ -261,25 +283,21 @@ class TieredPanelStore(_PanelStoreBase):
         with self._cv:
             self._meta[j] = (on_dev, size)
         if on_dev:
-            return jax.block_until_ready(arr)
-        if self._spill_dtype is not None and arr.dtype != self._spill_dtype:
-            # Compress on device before the slow d2h leg (~35 MB/s measured
-            # vs 1.3 GB/s h2d).
-            arr = arr.astype(self._spill_dtype)
-        cpu = _host_device()
-        host = (jax.block_until_ready(jax.device_put(arr, cpu))
-                if cpu is not None else np.asarray(arr))
+            arr = jax.block_until_ready(arr)
+            if self._write_through:
+                self._to_disk(j, arr)
+            return arr
         if self._spill_dir is None:
-            return host
-        import os
-        path = os.path.join(self._spill_dir, f"panel_{j}.bin")
-        mm = np.memmap(path, dtype=host.dtype, mode="w+", shape=host.shape)
-        mm[:] = np.asarray(host)
-        mm.flush()
-        del mm
-        return _DiskPanel(path, host.shape, host.dtype)
+            cpu = _host_device()
+            if self._spill_dtype is not None and arr.dtype != self._spill_dtype:
+                arr = arr.astype(self._spill_dtype)
+            return (jax.block_until_ready(jax.device_put(arr, cpu))
+                    if cpu is not None else np.asarray(arr))
+        return self._to_disk(j, arr)
 
     def free(self, j: int) -> None:
+        import os
+
         with self._cv:
             a = self._p.pop(j, None)
             on_dev, size = self._meta.pop(j, (False, 0))
@@ -287,8 +305,12 @@ class TieredPanelStore(_PanelStoreBase):
             self._budget.give(size)
         if isinstance(a, jax.Array):
             a.delete()
+            if self._write_through:
+                try:
+                    os.unlink(os.path.join(self._spill_dir, f"panel_{j}.bin"))
+                except OSError:
+                    pass
         elif isinstance(a, _DiskPanel):
-            import os
             try:
                 os.unlink(a.path)
             except OSError:
@@ -310,24 +332,42 @@ class TieredPanelStore(_PanelStoreBase):
                     arr = self._p.pop(j)
                     _, size = self._meta.pop(j)
                 self._budget.give(size)
-                self.put(j, arr)   # limit 0 -> routes to the spill tier
+                if self._write_through:
+                    # The disk mirror already exists: pure metadata swap.
+                    import os
+
+                    path = os.path.join(self._spill_dir, f"panel_{j}.bin")
+                    dp = _DiskPanel(path, arr.shape,
+                                    self._spill_dtype or arr.dtype)
+                    with self._cv:
+                        self._p[j] = dp
+                        self._meta[j] = (False, 0)
+                        self._cv.notify_all()
+                else:
+                    self.put(j, arr)   # limit 0 -> routes to the spill tier
                 arr.delete()
         finally:
             self._budget.limit = old_limit
 
     def save_manifest(self) -> None:
         """Write panel metadata next to the spilled files so open_dir can
-        reattach the store in another process.  All panels must be on the
-        disk tier (call evict_all first)."""
+        reattach the store in another process.  Panels must be durable on
+        disk: either evicted, or mirrored by write_through (where a
+        device-resident panel\'s file already exists)."""
         import json
         import os
 
         meta = {}
+        sp = self._spill_dtype
         with self._cv:
             for j, v in self._p.items():
-                if not isinstance(v, _DiskPanel):
+                if isinstance(v, _DiskPanel):
+                    meta[str(j)] = [list(v.shape), str(v.dtype)]
+                elif self._write_through and isinstance(v, jax.Array):
+                    meta[str(j)] = [list(v.shape),
+                                    str(np.dtype(sp or v.dtype))]
+                else:
                     raise ValueError(f"panel {j} is not on disk; evict first")
-                meta[str(j)] = [list(v.shape), str(v.dtype)]
         doc = {"panels": meta, "compute_dtype": str(np.dtype(self.compute_dtype))}
         with open(os.path.join(self._spill_dir, "manifest.json"), "w") as f:
             json.dump(doc, f)
@@ -862,7 +902,7 @@ def _mean_chunk(name, q, x, params, alpha):
 
 def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
                  block: int = 256, width_quant: int = 2, sweep: int = 1,
-                 y=None):
+                 y=None, start_panel: int = 0, u0=None, progress_cb=None):
     """Row-panel bordering Cholesky of K(x) + diag(noise) into `store`
     (trimmed panels at quantized widths, tail-zeroed).  Returns (ok, u):
     ok=False if the factor came back NaN (caller escalates jitter); with
@@ -877,7 +917,14 @@ def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
     panel, dividing the dominant re-fetch traffic (and its RSS retention)
     by the sweep factor.  The sweep's (sweep*B, sweep*B) diagonal block is
     factored in-core; stored panels stay at B-row granularity so the
-    TRSM/alpha/query consumers are unchanged."""
+    TRSM/alpha/query consumers are unchanged.
+
+    Resumability: `start_panel`/`u0` continue a factorization whose panels
+    [0, start_panel) are already in the store (a write-through tiered store
+    reattached via open_dir); `progress_cb(next_j, u)` fires after each
+    outer sweep is DURABLY stored (writer drained), so the caller can
+    checkpoint — the shared TPU tunnel stalls for minutes at a time and a
+    100k factorization must survive being killed mid-run."""
     c = x.shape[0]
     if c % panel:
         raise ValueError(f"capacity {c} must be a multiple of panel {panel}")
@@ -885,11 +932,14 @@ def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
     writer = _AsyncWriter(store)
     x = jnp.asarray(x)
     noisep = jnp.asarray(noisep, x.dtype)
-    u = None if y is None else jnp.zeros((c,), x.dtype)
+    if u0 is not None:
+        u = jnp.asarray(u0, x.dtype)
+    else:
+        u = None if y is None else jnp.zeros((c,), x.dtype)
     trace = _trace_enabled()
     import time as _time
 
-    j = 0
+    j = int(start_panel)
     while j < nb:
         t_start = _time.perf_counter()
         r = min(max(int(sweep), 1), nb - j)
@@ -925,6 +975,9 @@ def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
                   f"ksteps({j}) {t_kstep - t_gram:.1f}s diag+sub "
                   f"{t_diag - t_kstep:.1f}s put {t_put - t_diag:.1f}s")
         j += r
+        if progress_cb is not None:
+            writer.drain()  # everything through panel j-1 is durably stored
+            progress_cb(j, None if u is None else jax.block_until_ready(u))
     writer.drain()
     return True, (None if u is None else jax.block_until_ready(u))
 
@@ -1124,7 +1177,8 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
                      width_quant: int = 2, pad_noise: float = 1e10,
                      dtype=None, max_jitter_retries: int = 3,
                      initial_jitter: float | None = None,
-                     device_budget: int | None = None) -> None:
+                     device_budget: int | None = None,
+                     resume: bool = True) -> None:
     """Phase 1 of the process-split out-of-core fit: factorize, solve
     alpha, persist the L store + problem state under `spill_dir`.
 
@@ -1134,7 +1188,16 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
     RAM, but each phase alone fits; running factor and TRSM in separate
     processes resets the retention budget between them.  The factor
     crosses the boundary as disk files (np.memmap), whose pages are
-    page-cache — evictable, not anonymous."""
+    page-cache — evictable, not anonymous.
+
+    Crash tolerance: the L store runs write-through (every panel mirrored
+    to disk at put time) and a progress checkpoint (forward-sub vector u +
+    next panel + jitter) lands after every durable sweep; with
+    resume=True a rerun reattaches the store and continues from the last
+    completed sweep instead of refactoring from scratch (the shared
+    tunnel stalls for minutes and sessions get killed — a ~1 h 100k
+    factorization must survive both)."""
+    import json
     import os
 
     _warm_d2h_async()
@@ -1149,16 +1212,46 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
     )
     extra = initial_jitter if initial_jitter is not None else 0.0
     ldir = os.path.join(spill_dir, "L")
+    prog_path = os.path.join(spill_dir, "progress.npz")
+
+    start_panel, u0, st0 = 0, None, None
+    if resume and os.path.exists(prog_path) and os.path.exists(
+            os.path.join(ldir, "manifest.json")):
+        d = np.load(prog_path)
+        if (int(d["c"]) == c and int(d["panel"]) == panel
+                and str(d["kernel"]) == kernel):
+            start_panel = int(d["next_panel"])
+            u0 = jnp.asarray(d["u"], dtype)
+            extra = float(d["extra"])
+            st0 = TieredPanelStore.open_dir(budget, ldir, write_through=True)
+            _tlog(f"resuming factorization at panel {start_panel} "
+                  f"(jitter {extra:.1e})")
+
+    def checkpoint(next_j, u_now):
+        st_cur.save_manifest()
+        np.savez(prog_path, next_panel=next_j, u=np.asarray(u_now),
+                 extra=extra, c=c, panel=panel, kernel=kernel)
+
     for attempt in range(max_jitter_retries + 1):
-        st = TieredPanelStore(budget, spill_dir=ldir)
-        ok, u = ooc_cholesky(kernel, xp, np_ + extra, params, st, panel=panel,
-                             block=block, width_quant=width_quant,
-                             sweep=sweep, y=yp)
+        st_cur = st0 if st0 is not None else TieredPanelStore(
+            budget, spill_dir=ldir, write_through=True)
+        st0 = None
+        ok, u = ooc_cholesky(kernel, xp, np_ + extra, params, st_cur,
+                             panel=panel, block=block,
+                             width_quant=width_quant, sweep=sweep, y=yp,
+                             start_panel=start_panel, u0=u0,
+                             progress_cb=checkpoint)
         if ok:
             np_ = np_ + extra
+            st = st_cur
             break
-        st.clear()
-        del st
+        st_cur.clear()
+        del st_cur
+        start_panel, u0 = 0, None  # a NaN factor restarts from scratch
+        try:
+            os.unlink(prog_path)
+        except OSError:
+            pass
         extra = max(extra * 10.0, jitter)
     else:
         raise FloatingPointError(
@@ -1174,6 +1267,10 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
     for k, v in params.items():
         state[f"param_{k}"] = np.asarray(v)
     np.savez(os.path.join(spill_dir, "state.npz"), **state)
+    try:
+        os.unlink(prog_path)
+    except OSError:
+        pass
 
 
 def ooc_solve_phase(spill_dir: str, *, w_dtype=None,

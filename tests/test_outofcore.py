@@ -257,3 +257,55 @@ def test_ooc_phase_split_roundtrip(problem, tmp_path):
     mean_r, var_r = gpr.predict(ref, q)
     np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r), atol=1e-6)
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
+
+
+def test_ooc_factor_phase_resumes_after_crash(problem, tmp_path, monkeypatch):
+    """Kill the factorization mid-run (after the first durable sweep) and
+    rerun: ooc_factor_phase(resume=True) must continue from the progress
+    checkpoint — not refactor panel 0 — and produce the same posterior."""
+    x, y, noise, params = problem
+    sd = str(tmp_path / "crash")
+
+    calls = {"n": 0}
+    real_diag = ooc._chol_diag
+
+    def dying_diag(cur, j0, *, block):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("simulated mid-factorization kill")
+        return real_diag(cur, j0, block=block)
+
+    monkeypatch.setattr(ooc, "_chol_diag", dying_diag)
+    with pytest.raises(RuntimeError, match="simulated"):
+        ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=B,
+                             spill_dir=sd, device_budget=2 * B * C * 8,
+                             sweep=1)
+    monkeypatch.setattr(ooc, "_chol_diag", real_diag)
+
+    import json
+    import os
+
+    assert os.path.exists(os.path.join(sd, "progress.npz"))
+    d = np.load(os.path.join(sd, "progress.npz"))
+    assert int(d["next_panel"]) >= 1  # at least one durable sweep
+
+    resumed_from = {}
+    real_chol = ooc.ooc_cholesky
+
+    def spying_chol(*a, **kw):
+        resumed_from["panel"] = kw.get("start_panel", 0)
+        return real_chol(*a, **kw)
+
+    monkeypatch.setattr(ooc, "ooc_cholesky", spying_chol)
+    ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=B, spill_dir=sd,
+                         device_budget=2 * B * C * 8, sweep=1)
+    assert resumed_from["panel"] >= 1, "resume did not skip completed panels"
+    assert not os.path.exists(os.path.join(sd, "progress.npz"))
+
+    m = ooc.ooc_solve_phase(sd, device_budget=2 * B * C * 8)
+    q = jnp.asarray(np.random.default_rng(5).normal(size=(64, 3)) * 0.8)
+    mean, var = m.predict(q, chunk=64)
+    ref = gpr.fit("rbf", x, y, noise, params, block=B, touch_capacity=0)
+    mean_r, var_r = gpr.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
