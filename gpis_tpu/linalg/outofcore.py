@@ -902,7 +902,8 @@ def _mean_chunk(name, q, x, params, alpha):
 
 def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
                  block: int = 256, width_quant: int = 2, sweep: int = 1,
-                 y=None, start_panel: int = 0, u0=None, progress_cb=None):
+                 y=None, start_panel: int = 0, u0=None, progress_cb=None,
+                 end_panel: int | None = None):
     """Row-panel bordering Cholesky of K(x) + diag(noise) into `store`
     (trimmed panels at quantized widths, tail-zeroed).  Returns (ok, u):
     ok=False if the factor came back NaN (caller escalates jitter); with
@@ -924,11 +925,14 @@ def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
     reattached via open_dir); `progress_cb(next_j, u)` fires after each
     outer sweep is DURABLY stored (writer drained), so the caller can
     checkpoint — the shared TPU tunnel stalls for minutes at a time and a
-    100k factorization must survive being killed mid-run."""
+    100k factorization must survive being killed mid-run.  `end_panel`
+    stops after factoring panels [start_panel, end_panel) (chunked /
+    salvage runs); the inline u then covers rows < end_panel*panel only."""
     c = x.shape[0]
     if c % panel:
         raise ValueError(f"capacity {c} must be a multiple of panel {panel}")
     nb = c // panel
+    nb_stop = nb if end_panel is None else min(int(end_panel), nb)
     writer = _AsyncWriter(store)
     x = jnp.asarray(x)
     noisep = jnp.asarray(noisep, x.dtype)
@@ -940,9 +944,9 @@ def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
     import time as _time
 
     j = int(start_panel)
-    while j < nb:
+    while j < nb_stop:
         t_start = _time.perf_counter()
-        r = min(max(int(sweep), 1), nb - j)
+        r = min(max(int(sweep), 1), nb_stop - j)
         j0 = j * panel
         rows = r * panel
         cur = _gram_band(kernel, _dyn_rows(x, j0, size=rows), x, params,
