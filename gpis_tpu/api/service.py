@@ -85,7 +85,14 @@ def make_server(session: ObjectModelSession, host: str = "127.0.0.1", port: int 
                 req = self._body()
                 with lock:
                     if self.path == "/start":
-                        session.start(np.asarray(req["points"], np.float64))
+                        kw = {}
+                        if req.get("normals") is not None:
+                            kw["normals"] = np.asarray(req["normals"], np.float64)
+                        if req.get("out_of_core"):
+                            # Panel-streamed 100k+ fit; the node then serves
+                            # /query //done /mesh from the live session.
+                            kw["out_of_core"] = True
+                        session.start(np.asarray(req["points"], np.float64), **kw)
                         self._send(200, {"ok": True, "capacity": session.model.capacity})
                     elif self.path == "/query":
                         mean, var = session.query(np.asarray(req["points"], np.float64))

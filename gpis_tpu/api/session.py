@@ -56,12 +56,21 @@ class ObjectModelSession:
 
     # ------------------------------------------------------------ start/fit
 
-    def start(self, points, *, normals=None, params=None):
+    def start(self, points, *, normals=None, params=None,
+              out_of_core: bool = False):
         """Reference `start_process` (§4.1): downsample, normalize, label,
         fit.  `points` is an (N,3) world-frame cloud.  With `normals`
         (N,3), surface orientation becomes first-class derivative
         observations (config 2) and the model switches to the joint system
-        (`gpis_tpu.gp.derivative`)."""
+        (`gpis_tpu.gp.derivative`).
+
+        `out_of_core=True` fits through the panel-streamed factorization
+        (`linalg.outofcore`) whose Gram never has to fit HBM — the 100k+
+        single-chip path.  The resulting session serves query /
+        evaluate_grid / extract_surface / is_done; tactile updates,
+        exploration, hyperopt and checkpointing need an in-core or sharded
+        model (use `bench/ooc_staged.py` for the process-split 100k
+        pipeline with crash resume)."""
         import time as _time
 
         _t0 = _time.perf_counter()
@@ -83,6 +92,27 @@ class ObjectModelSession:
         self.training = ts
         self.frame = ts.frame
         params = params or kf.kernel_params(cfg.lengthscale, cfg.signal_variance)
+        if out_of_core:
+            if normals is not None or (
+                    self.mesh_config is not None
+                    and self.mesh_config.n_devices > 1):
+                raise ValueError(
+                    "out_of_core fits the value-only single-chip model; "
+                    "use the sharded pipeline for config 2/5 at scale"
+                )
+            from gpis_tpu.linalg import outofcore as ooc
+
+            n = ts.x.shape[0]
+            panel = 4096 if n > 20480 else (1024 if n > 2048 else 256)
+            self.model = ooc.ooc_fit(
+                cfg.kernel, ts.x, ts.y, ts.noise, params, panel=panel,
+                pad_noise=cfg.pad_noise,
+            )
+            self.stats["fit_s"] = _time.perf_counter() - _t0
+            log.info("fit(out-of-core): %d pts -> capacity %d (panel %d) "
+                     "in %.3fs", len(points), self.model.capacity, panel,
+                     self.stats["fit_s"])
+            return self
         if normals is not None:
             from gpis_tpu.gp import derivative as gpd
 
@@ -160,6 +190,16 @@ class ObjectModelSession:
                  ", +normals" if normals is not None else "", self.stats["fit_s"])
         return self
 
+    def _reject_ooc(self, op: str) -> None:
+        if hasattr(self.model, "wstore"):
+            raise ValueError(
+                f"{op} is not supported on an out-of-core model (its factor "
+                "lives in a panel store, not on device); query/evaluate_grid/"
+                "extract_surface/is_done work — for tactile exploration fit "
+                "in-core or sharded, and for the 100k pipeline with "
+                "persistence use bench/ooc_staged.py"
+            )
+
     def _require_model(self):
         if self.model is None:
             raise RuntimeError("no model fitted yet; call start(points) first")
@@ -218,6 +258,7 @@ class ObjectModelSession:
         """Reference `get_next_best_path` (§4.4): returns an
         ExplorationResult with world-frame poses."""
         self._require_model()
+        self._reject_ooc('next_best_path')
         seed = None
         if seed_world is not None:
             seed = np.asarray(self.frame.to_normalized(jnp.asarray(seed_world)))
@@ -240,6 +281,7 @@ class ObjectModelSession:
         """Reference `update` service (§4.5): append tactile points (label 0,
         low touch noise) and refit incrementally."""
         self._require_model()
+        self._reject_ooc('update')
         if hasattr(self.model, "mesh"):
             # Both sharded models (value-only and joint) implement the
             # tail-band bordering update; touch points land in preallocated
@@ -349,6 +391,7 @@ class ObjectModelSession:
         """MLL optimization (config 3) in place; refits with the optimum.
         Dispatches to the joint objective when the model carries normals."""
         self._require_model()
+        self._reject_ooc('optimize_hyperparameters')
         m = self.model
         if hasattr(m, "mesh") and getattr(m, "normals", None) is not None:
             from gpis_tpu.gp import sharded_joint as gsj
@@ -518,6 +561,7 @@ class ObjectModelSession:
     def save(self, path: str):
         """Checkpoint model + frame (SURVEY.md §6 checkpoint/resume)."""
         self._require_model()
+        self._reject_ooc('save')
         ckpt.save_model(path, self.model)
         np.savez(path + ".frame.npz",
                  centroid=np.asarray(self.frame.centroid),

@@ -238,6 +238,8 @@ def predict(model: GPModel, q, *, precision=None):
     force a specific GEMM path."""
     if hasattr(model, "mesh"):  # sharded models (value-only or joint)
         return model.predict(q)
+    if hasattr(model, "wstore"):  # out-of-core model (panel-streamed W)
+        return model.predict(q)
     if hasattr(model, "normals"):  # DerivGPModel: joint value+gradient system
         from gpis_tpu.gp import derivative as gpd
 

@@ -309,3 +309,29 @@ def test_ooc_factor_phase_resumes_after_crash(problem, tmp_path, monkeypatch):
     mean_r, var_r = gpr.predict(ref, q)
     np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r), atol=1e-6)
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
+
+
+def test_session_out_of_core_surface(problem):
+    """session.start(out_of_core=True) serves query/grid/is_done; mutation
+    verbs reject with a clear message."""
+    from gpis_tpu.api.session import ObjectModelSession
+    from gpis_tpu.config import ModelConfig
+
+    rng = np.random.default_rng(77)
+    pts = rng.normal(size=(300, 3))
+    pts = (pts / np.linalg.norm(pts, axis=1, keepdims=True)).astype(np.float32)
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.7, noise_surface=1e-4)
+    s = ObjectModelSession(cfg)
+    s.start(pts, out_of_core=True)
+    assert hasattr(s.model, "wstore")
+
+    q = np.array([[0, 0, 0], [0, 0, 1.0], [0, 0, 1.6]], np.float32)
+    mean, var = s.query(q)
+    assert mean[0] < -0.5 and abs(mean[1]) < 0.1 and mean[2] > 0.1
+    assert np.isfinite(var).all()
+    assert isinstance(s.is_done(), bool)
+    for call in (lambda: s.update(q[:1]), lambda: s.save("/tmp/x.npz"),
+                 lambda: s.next_best_path(),
+                 lambda: s.optimize_hyperparameters()):
+        with pytest.raises(ValueError, match="out-of-core"):
+            call()

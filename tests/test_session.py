@@ -359,3 +359,46 @@ def test_session_distributed_hyperopt():
     # The refit model still answers queries sanely.
     mean, _ = sess.query(np.array([[0.0, 0.0, 0.0], [0.5, 0.0, 0.0]]))
     assert mean[0] < -0.5 and abs(mean[1]) < 0.05
+
+
+def test_service_start_normals_and_out_of_core():
+    """/start accepts normals (config-2 joint fit) and out_of_core (panel-
+    streamed fit) options; the node serves /query from both."""
+    import json as json_mod
+    import threading
+    import urllib.request
+
+    from gpis_tpu.api.service import make_server
+    from gpis_tpu.api.session import ObjectModelSession
+    from gpis_tpu.config import ModelConfig
+
+    def call(port, path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", json_mod.dumps(payload).encode(),
+            {"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json_mod.loads(r.read())
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(150, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.7, noise_surface=1e-4,
+                      touch_capacity=8)
+
+    srv = make_server(ObjectModelSession(cfg), port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        out = call(port, "/start", {"points": pts.tolist(),
+                                    "normals": pts.tolist()})
+        assert out["ok"]
+        got = call(port, "/query", {"points": [[0.0, 0.0, 0.0]]})
+        assert got["mean"][0] < -0.5  # joint fit sees the inside
+
+        out = call(port, "/start", {"points": pts.tolist(),
+                                    "out_of_core": True})
+        assert out["ok"]
+        got = call(port, "/query", {"points": [[0.0, 0.0, 0.0]]})
+        assert got["mean"][0] < -0.5
+    finally:
+        srv.shutdown()
