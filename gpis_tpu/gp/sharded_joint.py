@@ -125,11 +125,29 @@ def sharded_joint_gram(name: str, x_all, params, nf_all, ng, mesh, *,
         raise ValueError(f"joint size {j_tot} not divisible by mesh size {p}")
     rows_per = j_tot // p
     dt = x_all.dtype
+    # The jnp band assembly materializes a (band, J, 3) broadcast per
+    # device; on TPU the flag-blended Pallas kernel generates tiles in VMEM
+    # instead (the value path learned this the hard way in r2: generic
+    # dispatch silently falls back to jnp INSIDE shard_map — the kernel
+    # must be invoked explicitly).  row0 is scalar-prefetched, so one
+    # Mosaic compile serves every device band.
+    use_pallas = (jax.default_backend() == "tpu"
+                  and name in kf.KERNEL_NAMES
+                  and rows_per * j_tot >= 1 << 22)  # kernel pads both dims
 
     def body(x_full, nf, ng_):
         me = lax.axis_index(axis)
-        grows = me * rows_per + jax.lax.broadcasted_iota(jnp.int32, (rows_per,), 0)
-        return _joint_band_rows(name, x_full, params, nf, ng_, grows, c)
+        r0 = me * rows_per
+        grows = r0 + jax.lax.broadcasted_iota(jnp.int32, (rows_per,), 0)
+        if not use_pallas:
+            return _joint_band_rows(name, x_full, params, nf, ng_, grows, c)
+        from gpis_tpu.kernels import pallas_joint as pj
+
+        coords, dirs, flag = pj.joint_meta(x_full[:c], x_full[c:] if t_slots else None)
+        rmeta = (coords[grows], dirs[grows], flag[grows])
+        dn = pj._joint_noise(c, nf[:c], ng_, nf[c:] if t_slots else None, dt)
+        return pj.joint_rows_pallas(name, rmeta, (coords, dirs, flag),
+                                    params, noise_col=dn, row0=r0)
 
     fn = shard_map(
         body, mesh=mesh,

@@ -126,3 +126,29 @@ def test_fused_joint_query_parity(rng):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(quad), np.asarray(want_quad),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_joint_band_rows_parity(rng):
+    """The Pallas band path used inside sharded_joint_gram (row0 offset +
+    per-joint-index diagonal noise) matches the jnp band assembly."""
+    from gpis_tpu.gp.sharded_joint import _joint_band_rows
+
+    c, t = 18, 6
+    x = jnp.asarray(rng.normal(size=(c, 3)), jnp.float32)
+    tx = jnp.asarray(rng.normal(size=(t, 3)), jnp.float32)
+    x_all = jnp.concatenate([x, tx])
+    params = _params()
+    nf = jnp.asarray(rng.uniform(0.01, 0.02, c + t), jnp.float32)
+    ng = jnp.asarray(rng.uniform(0.02, 0.03, c), jnp.float32)
+    j_tot = 4 * c + t
+    band = 26  # deliberately unaligned
+    for r0 in (0, band, j_tot - band):
+        grows = r0 + jnp.arange(band)
+        want = _joint_band_rows("rbf", x_all, params, nf, ng, grows, c)
+        coords, dirs, flag = pj.joint_meta(x, tx)
+        dn = pj._joint_noise(c, nf[:c], ng, nf[c:], jnp.float32)
+        got = pj.joint_rows_pallas(
+            "rbf", (coords[grows], dirs[grows], flag[grows]),
+            (coords, dirs, flag), params, noise_col=dn, row0=r0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-6, atol=2e-6)
