@@ -209,9 +209,19 @@ def main():
     nan_frac = float(np.isnan(field).mean())
     ok = np.isfinite(total) and nan_frac == 0.0 and rmse < 0.02
 
+    # HBM high-water (SURVEY.md §6 metrics row); absent on CPU backends.
+    hbm_peak = None
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in stats:
+            hbm_peak = round(stats["peak_bytes_in_use"] / 1e9, 2)
+    except Exception:
+        pass
+
     result = {
         "metric": f"gpis fit+64^3 grid query wall-clock, N={c} single chip "
                   "(speedup vs measured CPU oracle at N=10k)",
+        "hbm_peak_gb": hbm_peak,
         "value": round(total, 3),
         "unit": "s",
         "vs_baseline": round(ORACLE_CPU_10K_TOTAL_S / total, 1) if ok else 0.0,
