@@ -183,7 +183,12 @@ def test_fused_joint_query_compiled(prob):
     nrm = xs
     y = jnp.zeros((n,), DT)
     # c=192 -> 4C=768; T=256 makes J=1024, a 256-multiple (the fused gate).
-    model = gpd.fit_with_normals("rbf", xs, y, nrm, 1e-4, 1e-4, params,
+    # Noise well above n*eps*||K|| (same reasoning as the fixture): this
+    # tier checks Mosaic compilation and tile plumbing — an
+    # ill-conditioned factor inflates ||alpha|| and the single-pass-bf16
+    # dots' absolute error with it, which is the jitter ladder's domain,
+    # not this gate's.
+    model = gpd.fit_with_normals("rbf", xs, y, nrm, 1e-2, 2e-2, params,
                                  block=64, touch_capacity=256)
     model = gpd.with_linv_joint(model)
     q = jnp.asarray(np.random.default_rng(5).normal(size=(4096, 3)), DT)
