@@ -98,11 +98,27 @@ def phase2(spill_dir: str, *, grid_res: int = 64) -> None:
     from gpis_tpu.surface import marching
 
     # The TRSM CONSUMES L panels (unlinks them as W replaces them);
-    # hardlink a backup first so a crash mid-TRSM doesn't redo phase 1.
+    # hardlink a backup first so a crash mid-TRSM doesn't redo phase 1 —
+    # and on a rerun, restore any consumed panels from that backup.
+    ldir = os.path.join(spill_dir, "L")
     lb = os.path.join(spill_dir, "L_backup")
     if not os.path.isdir(lb):
-        subprocess.run(["cp", "-al", os.path.join(spill_dir, "L"), lb],
-                       check=True)
+        subprocess.run(["cp", "-al", ldir, lb], check=True)
+    else:
+        restored = 0
+        for f in os.listdir(lb):
+            dst = os.path.join(ldir, f)
+            if not os.path.exists(dst):
+                os.link(os.path.join(lb, f), dst)
+                restored += 1
+        wdir = os.path.join(spill_dir, "W")
+        if restored and os.path.isdir(wdir):
+            # A partial W store is inconsistent with the restored L; redo.
+            for f in os.listdir(wdir):
+                os.unlink(os.path.join(wdir, f))
+        if restored:
+            print(f"restored {restored} consumed L panels from backup",
+                  flush=True)
     tsw = int(os.environ.get("OOC_TRSM_SWEEP", "2"))
     t0 = time.perf_counter()
     m = ooc.ooc_solve_phase(spill_dir, w_dtype=jnp.float16, trsm_sweep=tsw)
