@@ -99,7 +99,9 @@ def phase2(spill_dir: str, *, grid_res: int = 64) -> None:
 
     # The TRSM CONSUMES L panels (unlinks them as W replaces them);
     # hardlink a backup first so a crash mid-TRSM doesn't redo phase 1 —
-    # and on a rerun, restore any consumed panels from that backup.
+    # and on a rerun, restore any consumed panels from that backup.  The
+    # completed W prefix stays: ooc_solve_phase(resume=True) continues the
+    # TRSM at the first missing W panel (it never re-reads consumed L).
     ldir = os.path.join(spill_dir, "L")
     lb = os.path.join(spill_dir, "L_backup")
     if not os.path.isdir(lb):
@@ -111,11 +113,6 @@ def phase2(spill_dir: str, *, grid_res: int = 64) -> None:
             if not os.path.exists(dst):
                 os.link(os.path.join(lb, f), dst)
                 restored += 1
-        wdir = os.path.join(spill_dir, "W")
-        if restored and os.path.isdir(wdir):
-            # A partial W store is inconsistent with the restored L; redo.
-            for f in os.listdir(wdir):
-                os.unlink(os.path.join(wdir, f))
         if restored:
             print(f"restored {restored} consumed L panels from backup",
                   flush=True)

@@ -795,7 +795,8 @@ def ooc_solve_alpha(lstore, y, *, panel: int, block: int = 256):
 
 def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256,
              accumulate_alpha: bool = True, width_quant: int = 2,
-             sweep: int = 1):
+             sweep: int = 1, start_panel: int = 0,
+             end_panel: int | None = None, progress_cb=None):
     """W = L^{-1} by left-looking row panels, consuming L panels as it goes
     (L panel j is freed once W panel j is computed).  Returns alpha =
     W^T (W y) accumulated per panel — or None with accumulate_alpha=False
@@ -808,10 +809,22 @@ def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256,
     retained in RSS — docs/PERF.md).  The intra-sweep coupling is handled
     exactly by the (R, R) diagonal-block trisolve in _trsm_finish.  Keep
     sweep <= 2 at 100k-class sizes: the u/lj working buffers scale with it
-    and must fit HBM next to the device-resident tier."""
+    and must fit HBM next to the device-resident tier.
+
+    Resumability: unlike the factorization, the TRSM carries NO vector
+    state between panels when accumulate_alpha=False — the complete W
+    panels [0, start_panel) in `wstore` (reattached via open_dir) are the
+    whole checkpoint.  `progress_cb(next_j)` fires after each sweep's W
+    panels are durably stored; `end_panel` stops after panel range
+    [start_panel, end_panel) for chunked runs.  A resumed run needs L
+    panels [start_panel, nb) only (earlier ones were consumed)."""
+    if accumulate_alpha and start_panel:
+        raise ValueError("alpha accumulation cannot resume mid-run; "
+                         "use accumulate_alpha=False (substitution alpha)")
     y = jnp.asarray(y)
     c = y.shape[0]
     nb = c // panel
+    nb_stop = nb if end_panel is None else min(int(end_panel), nb)
     dt = y.dtype
     alpha = jnp.zeros((c,), dt) if accumulate_alpha else None
     writer = _AsyncWriter(wstore)
@@ -819,10 +832,10 @@ def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256,
     trace = _trace_enabled()
     import time as _time
 
-    j = 0
-    while j < nb:
+    j = int(start_panel)
+    while j < nb_stop:
         t_start = _time.perf_counter()
-        r = min(max(int(sweep), 1), nb - j)
+        r = min(max(int(sweep), 1), nb_stop - j)
         j0 = j * panel
         rows = r * panel
         if r == 1:
@@ -865,6 +878,9 @@ def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256,
             _tlog(f"trsm panel {j}..{j + r - 1}: finish "
                   f"{t_fin - t_kstep:.1f}s put {_time.perf_counter() - t_fin:.1f}s")
         j += r
+        if progress_cb is not None:
+            writer.drain()      # panels durable before the checkpoint says so
+            progress_cb(j)
     writer.drain()
     return jax.block_until_ready(alpha) if accumulate_alpha else None
 
@@ -1279,10 +1295,21 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
 
 def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
                     trsm_sweep: int = 1,
-                    device_budget: int | None = None) -> OOCModel:
+                    device_budget: int | None = None,
+                    resume: bool = True,
+                    stop_after: int | None = None) -> OOCModel | None:
     """Phase 2 of the process-split fit: reattach the persisted L store,
     run the panel-consuming TRSM (W replaces L on disk), and return the
-    query-ready OOCModel.  Run in a FRESH process (see ooc_factor_phase)."""
+    query-ready OOCModel.  Run in a FRESH process (see ooc_factor_phase).
+
+    Crash tolerance mirrors phase 1's: the W store runs write-through with
+    a manifest saved after every durable sweep, and — the TRSM carrying no
+    vector state — the contiguous W-panel prefix on disk IS the checkpoint.
+    With resume=True a rerun reattaches W and continues at the first
+    missing panel (the caller must restore the consumed L panels >= that
+    index, e.g. from a hardlink backup — bench/ooc_staged.py does).
+    `stop_after` ends the run after that many total W panels and returns
+    None (chunked runs / tests); a later call finishes the job."""
     import os
 
     _warm_d2h_async()
@@ -1298,16 +1325,31 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
     params = {k[len("param_"):]: jnp.asarray(d[k])
               for k in d.files if k.startswith("param_")}
     c = xp.shape[0]
+    nb = c // panel
     budget = DeviceBudget(
         device_budget if device_budget is not None
         else _hbm_budget(panel, c, xp.dtype.itemsize, sweep=trsm_sweep + 1)
     )
     lst = TieredPanelStore.open_dir(budget, os.path.join(spill_dir, "L"))
-    wstore = TieredPanelStore(budget, spill_dtype=w_dtype,
-                              spill_dir=os.path.join(spill_dir, "W"))
-    ooc_trsm(lst, wstore, yp, panel=panel, block=block,
-             accumulate_alpha=False, width_quant=width_quant,
-             sweep=trsm_sweep)
+    wdir = os.path.join(spill_dir, "W")
+    start = 0
+    if resume and os.path.exists(os.path.join(wdir, "manifest.json")):
+        wstore = TieredPanelStore.open_dir(budget, wdir, spill_dtype=w_dtype,
+                                           write_through=True)
+        while start in wstore:
+            start += 1
+        if start:
+            _tlog(f"resuming TRSM at panel {start}/{nb}")
+    else:
+        wstore = TieredPanelStore(budget, spill_dtype=w_dtype,
+                                  spill_dir=wdir, write_through=True)
+    if start < nb:
+        ooc_trsm(lst, wstore, yp, panel=panel, block=block,
+                 accumulate_alpha=False, width_quant=width_quant,
+                 sweep=trsm_sweep, start_panel=start, end_panel=stop_after,
+                 progress_cb=lambda _j: wstore.save_manifest())
+    if stop_after is not None and stop_after < nb:
+        return None
     return OOCModel(kernel=kernel, x=xp, y=yp, noise=np_, params=params,
                     alpha=alpha, wstore=wstore, panel=panel,
                     n_real=int(d["n_real"]))

@@ -311,6 +311,44 @@ def test_ooc_factor_phase_resumes_after_crash(problem, tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
 
 
+def test_ooc_solve_phase_resumes_after_crash(problem, tmp_path, monkeypatch):
+    """Interrupt the TRSM phase after one durable W panel and rerun:
+    ooc_solve_phase(resume=True) must continue at the first missing W panel
+    — never re-reading the consumed L panel 0 (its file is gone, exactly as
+    after a real mid-TRSM kill) — and reproduce the dense posterior."""
+    import os
+
+    x, y, noise, params = problem
+    sd = str(tmp_path / "trsm_crash")
+    ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=B, spill_dir=sd,
+                         device_budget=2 * B * C * 8)
+
+    # "Crash" after W panel 0 is durable; L panel 0 is already consumed.
+    assert ooc.ooc_solve_phase(sd, device_budget=2 * B * C * 8,
+                               stop_after=1) is None
+    assert os.path.exists(os.path.join(sd, "W", "manifest.json"))
+    assert os.path.exists(os.path.join(sd, "W", "panel_0.bin"))
+    assert not os.path.exists(os.path.join(sd, "L", "panel_0.bin"))
+
+    resumed_from = {}
+    real_trsm = ooc.ooc_trsm
+
+    def spying_trsm(*a, **kw):
+        resumed_from["panel"] = kw.get("start_panel", 0)
+        return real_trsm(*a, **kw)
+
+    monkeypatch.setattr(ooc, "ooc_trsm", spying_trsm)
+    m = ooc.ooc_solve_phase(sd, device_budget=2 * B * C * 8)
+    assert resumed_from["panel"] == 1, "resume did not skip the durable panel"
+
+    q = jnp.asarray(np.random.default_rng(41).normal(size=(64, 3)) * 0.8)
+    mean, var = m.predict(q, chunk=64)
+    ref = gpr.fit("rbf", x, y, noise, params, block=B, touch_capacity=0)
+    mean_r, var_r = gpr.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
+
+
 def test_session_out_of_core_surface(problem):
     """session.start(out_of_core=True) serves query/grid/is_done; mutation
     verbs reject with a clear message."""
