@@ -59,6 +59,28 @@ def _watchdog(seconds: float):
 
 
 def main():
+    if "--ooc" in sys.argv:
+        # Out-of-core judge configuration (BASELINE.md rows 1/3): delegate
+        # to the process-split staged driver — the Gram does not fit HBM at
+        # N=100k on one chip, so fit/TRSM run as separate processes with
+        # crash resume (bench/ooc_staged.py docstring).  Usage:
+        #   python bench.py --ooc [N] [SPILL_DIR]
+        # (import by path: this file shadows the bench/ package name)
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "ooc_staged",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench", "ooc_staged.py"))
+        ooc_staged = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ooc_staged)
+
+        rest = [a for a in sys.argv[1:] if a != "--ooc"]
+        n = int(rest[0]) if rest else 100_000
+        sd = rest[1] if len(rest) > 1 else f"/tmp/ooc_bench_{n}"
+        raise SystemExit(ooc_staged.run(n, sd))
+
     import jax
     import jax.numpy as jnp
 
