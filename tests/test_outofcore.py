@@ -311,6 +311,26 @@ def test_ooc_factor_phase_resumes_after_crash(problem, tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
 
 
+@pytest.mark.parametrize("kernel", ["thin_plate", "laplace"])
+def test_ooc_fit_other_kernels(problem, kernel):
+    """The out-of-core path is kernel-generic (the panel assembly goes
+    through the same registry as the dense Gram) — parity for the
+    non-RBF covariance families too."""
+    x, y, noise, params = problem
+    if kernel == "thin_plate":
+        # Conditionally PD: R (the lengthscale slot) must exceed the cloud
+        # diameter and the noise must absorb the O(1) indefiniteness.
+        params = kf.kernel_params(3.0, SV)
+        noise = noise * 10.0 + 1e-3
+    m = ooc.ooc_fit(kernel, x, y, noise, params, panel=B)
+    q = jnp.asarray(np.random.default_rng(17).normal(size=(96, 3)) * 0.8)
+    mean, var = m.predict(q, chunk=96)
+    ref = gpr.fit(kernel, x, y, noise, params, block=B, touch_capacity=0)
+    mean_r, var_r = gpr.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
+
+
 def test_ooc_solve_phase_resumes_after_crash(problem, tmp_path, monkeypatch):
     """Interrupt the TRSM phase after one durable W panel and rerun:
     ooc_solve_phase(resume=True) must continue at the first missing W panel
