@@ -72,12 +72,12 @@ def _ring_trace(dk_loc, w_loc, me, p, band, axis):
     return lax.psum(jnp.sum(wdk * w_loc), axis)
 
 
-def _mll_and_grad_collective(kernel, x, y, noisep, real_mask, theta, mesh,
-                             *, axis: str = "row"):
+def _mll_and_grad_collective(kernel, x, theta, mesh, *, axis: str = "row"):
     """One shard_map pass: MLL pieces + gradients w.r.t. theta =
     (log_ls, log_noise_scale).  Returns (mll_core, g_logls, g_lognoise).
     mll_core excludes the constant -C/2 log(2pi) and padding correction
-    (added by the host caller)."""
+    (added by the host caller).  `x` supplies shape/dtype only at
+    construction; all data arrives at call time."""
     c = x.shape[0]
     p = mesh.shape[axis]
     band = c // p
@@ -175,7 +175,7 @@ def sharded_mll_and_grad(kernel, xp, yp, noisep, params, mesh, *,
         "signal_variance": jnp.asarray(params["signal_variance"], dt),
         "noise_scale": scale,
     }
-    fn = _mll_and_grad_collective(kernel, xp, yp, noise_eff, real, theta, mesh)
+    fn = _mll_and_grad_collective(kernel, xp, theta, mesh)
     mll_core, g_ls, g_ns, g_sv = fn(xp, yp, noisep, real, alpha, l, w)
 
     mll = mll_core - 0.5 * c * jnp.log(2.0 * jnp.pi).astype(dt)
@@ -187,20 +187,17 @@ def sharded_mll_and_grad(kernel, xp, yp, noisep, params, mesh, *,
     return mll, {"log_ls": g_ls, "log_noise_scale": g_ns, "log_sv": g_sv}
 
 
-def optimize_sharded(kernel, xp, yp, noisep, init_params, mesh, *,
-                     block: int = 256, n_real: int | None = None,
-                     steps: int = 25, learning_rate: float = 0.1,
-                     learn_noise: bool = True, learn_signal: bool = False):
-    """Distributed MLL ascent over (log lengthscale[, log noise scale]
-    [, log signal variance]) — config 3 at config 5 scale, no subsampling.
-    Each step is one sharded fit + one gradient collective; Adam on the
-    host (theta is <= 3 scalars).
+def _mll_ascent(eval_fn, kernel, init_params, dt, *, steps, learning_rate,
+                learn_noise, learn_signal):
+    """Shared Adam ascent driver for the distributed optimizers: theta is
+    <= 3 host scalars (log lengthscale[, log noise scale][, log signal
+    variance]); `eval_fn(prm, scale) -> (mll, grads)` runs one sharded fit
+    + one gradient collective.  Tracks the best-MLL iterate (the gradient
+    pairs with the theta it was evaluated at — ADVICE r1).
 
     learn_signal uses the free dK/d(log sv) = K - D identity, exact for
     kernels linear in signal_variance (all built-ins); custom registry
-    kernels are rejected.
-
-    Returns a dict: params (optimal), noise_scale, mll, history."""
+    kernels are rejected."""
     import optax
 
     if learn_signal and kernel not in kf.KERNEL_NAMES:
@@ -209,7 +206,6 @@ def optimize_sharded(kernel, xp, yp, noisep, init_params, mesh, *,
             f"custom kernel {kernel!r} is not certified for the "
             f"dK/d(log sv) = K - D identity"
         )
-    dt = xp.dtype
     theta = {"log_ls": jnp.log(jnp.asarray(init_params["lengthscale"], dt))}
     if learn_noise:
         theta["log_noise_scale"] = jnp.zeros((), dt)
@@ -226,10 +222,7 @@ def optimize_sharded(kernel, xp, yp, noisep, init_params, mesh, *,
             "signal_variance": jnp.exp(theta["log_sv"]) if learn_signal else sv0,
         }
         scale = jnp.exp(theta.get("log_noise_scale", jnp.zeros((), dt)))
-        mll, g = sharded_mll_and_grad(
-            kernel, xp, yp, noisep, prm, mesh, block=block, n_real=n_real,
-            noise_scale=scale,
-        )
+        mll, g = eval_fn(prm, scale)
         v = float(mll)
         history.append(v)
         if v > best_val:
@@ -254,16 +247,35 @@ def optimize_sharded(kernel, xp, yp, noisep, init_params, mesh, *,
     }
 
 
+def optimize_sharded(kernel, xp, yp, noisep, init_params, mesh, *,
+                     block: int = 256, n_real: int | None = None,
+                     steps: int = 25, learning_rate: float = 0.1,
+                     learn_noise: bool = True, learn_signal: bool = False):
+    """Distributed MLL ascent — config 3 at config 5 scale, no subsampling.
+    Each step is one sharded fit + one gradient collective (see
+    _mll_ascent).  Returns a dict: params (optimal), noise_scale, mll,
+    history."""
+    def eval_fn(prm, scale):
+        return sharded_mll_and_grad(
+            kernel, xp, yp, noisep, prm, mesh, block=block, n_real=n_real,
+            noise_scale=scale,
+        )
+
+    return _mll_ascent(eval_fn, kernel, init_params, xp.dtype, steps=steps,
+                       learning_rate=learning_rate, learn_noise=learn_noise,
+                       learn_signal=learn_signal)
+
+
 # ------------------------------------------------------ joint (config 2)
 
 
-def _joint_collective(kernel, x_all, nf_all, ng, theta, mesh, c, *,
-                      axis: str = "row"):
+def _joint_collective(kernel, x_all, theta, mesh, c, *, axis: str = "row"):
     """Gradient collective for the JOINT system (J = 4C + T): identical
     identities, the band jvp targets `sharded_joint._joint_band_rows`
     (assembly-agnostic — VERDICT r2 item 4).  Noise/sv directions arrive as
     precomputed joint-length diagonal vectors (dn = d(noise diag)/d(log
-    value-noise-scale), n_eff = the effective noise diagonal)."""
+    value-noise-scale), n_eff = the effective noise diagonal); `x_all`
+    supplies shape/dtype only at construction."""
     from gpis_tpu.gp.sharded_joint import _joint_band_rows
 
     j_tot = 3 * c + x_all.shape[0]  # 3C gradient rows + (C+T) value rows
@@ -371,7 +383,7 @@ def sharded_joint_mll_and_grad(kernel, x_all, yj, nf_all, ng, params, mesh,
         "lengthscale": jnp.asarray(params["lengthscale"], dt),
         "signal_variance": jnp.asarray(params["signal_variance"], dt),
     }
-    fn = _joint_collective(kernel, x_all, nf_eff, ng, theta, mesh, c)
+    fn = _joint_collective(kernel, x_all, theta, mesh, c)
     mll_core, g_ls, g_ns, g_sv = fn(x_all, nf_eff, ng, yj, dn, n_eff,
                                     alpha, l, w)
 
@@ -395,53 +407,12 @@ def optimize_sharded_joint(kernel, x_all, yj, nf_all, ng, init_params, mesh,
     scale) — no subsampling, exact gradients over the mesh.  The
     value-noise scale multiplies real core rows; the gradient-noise family
     stays fixed (see optimize_joint's under-determination note)."""
-    import optax
-
-    if learn_signal and kernel not in kf.KERNEL_NAMES:
-        raise ValueError(
-            f"learn_signal requires a kernel linear in signal_variance; "
-            f"custom kernel {kernel!r} is not certified"
-        )
-    dt = x_all.dtype
-    theta = {"log_ls": jnp.log(jnp.asarray(init_params["lengthscale"], dt))}
-    if learn_noise:
-        theta["log_noise_scale"] = jnp.zeros((), dt)
-    if learn_signal:
-        theta["log_sv"] = jnp.log(jnp.asarray(init_params["signal_variance"], dt))
-    opt = optax.adam(learning_rate)
-    opt_state = opt.init(theta)
-    sv0 = jnp.asarray(init_params["signal_variance"], dt)
-
-    best_theta, best_val, history = dict(theta), -np.inf, []
-    for _ in range(steps):
-        prm = {
-            "lengthscale": jnp.exp(theta["log_ls"]),
-            "signal_variance": jnp.exp(theta["log_sv"]) if learn_signal else sv0,
-        }
-        scale = jnp.exp(theta.get("log_noise_scale", jnp.zeros((), dt)))
-        mll, g = sharded_joint_mll_and_grad(
+    def eval_fn(prm, scale):
+        return sharded_joint_mll_and_grad(
             kernel, x_all, yj, nf_all, ng, prm, mesh, c=c, block=block,
             n_real=n_real, n_touch=n_touch, noise_scale=scale,
         )
-        v = float(mll)
-        history.append(v)
-        if v > best_val:
-            best_theta, best_val = dict(theta), v
-        grad = {"log_ls": -g["log_ls"]}
-        if learn_noise:
-            grad["log_noise_scale"] = -g["log_noise_scale"]
-        if learn_signal:
-            grad["log_sv"] = -g["log_sv"]
-        updates, opt_state = opt.update(grad, opt_state)
-        theta = optax.apply_updates(theta, updates)
 
-    return {
-        "params": {
-            "lengthscale": jnp.exp(best_theta["log_ls"]),
-            "signal_variance": (jnp.exp(best_theta["log_sv"])
-                                if learn_signal else sv0),
-        },
-        "noise_scale": jnp.exp(best_theta.get("log_noise_scale", jnp.zeros((), dt))),
-        "mll": best_val,
-        "history": history,
-    }
+    return _mll_ascent(eval_fn, kernel, init_params, x_all.dtype,
+                       steps=steps, learning_rate=learning_rate,
+                       learn_noise=learn_noise, learn_signal=learn_signal)

@@ -369,8 +369,13 @@ class TieredPanelStore(_PanelStoreBase):
                 else:
                     raise ValueError(f"panel {j} is not on disk; evict first")
         doc = {"panels": meta, "compute_dtype": str(np.dtype(self.compute_dtype))}
-        with open(os.path.join(self._spill_dir, "manifest.json"), "w") as f:
+        # Atomic replace: a kill mid-write must not truncate the manifest
+        # (that would brick the resume this file exists to enable).
+        path = os.path.join(self._spill_dir, "manifest.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(doc, f)
+        os.replace(tmp, path)
 
     @classmethod
     def open_dir(cls, budget: "DeviceBudget", spill_dir: str, **kw):
@@ -818,9 +823,17 @@ def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256,
     panels are durably stored; `end_panel` stops after panel range
     [start_panel, end_panel) for chunked runs.  A resumed run needs L
     panels [start_panel, nb) only (earlier ones were consumed)."""
-    if accumulate_alpha and start_panel:
-        raise ValueError("alpha accumulation cannot resume mid-run; "
-                         "use accumulate_alpha=False (substitution alpha)")
+    if accumulate_alpha and (start_panel or end_panel is not None):
+        raise ValueError("alpha accumulation cannot run over a panel "
+                         "sub-range (the partial sum would silently pose as "
+                         "the full alpha); use accumulate_alpha=False "
+                         "(substitution alpha)")
+    if panel % block:
+        # _trsm_finish's blocked trisolve has no ragged-tail fallback (its
+        # fori_loop would simply skip the remainder rows, returning raw
+        # unsolved W entries) — reject up front.
+        raise ValueError(f"panel ({panel}) must be a multiple of "
+                         f"block ({block})")
     y = jnp.asarray(y)
     c = y.shape[0]
     nb = c // panel
@@ -870,7 +883,6 @@ def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256,
         if trace:
             t_fin = _time.perf_counter()
         for rr in range(r):
-            writer.drain()
             w = _store_width(j + rr, panel, c, width_quant)
             writer.put(j + rr, _dyn_rows(wj, rr * panel, size=panel)[:, :w])
         if trace:
@@ -1234,12 +1246,31 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
     ldir = os.path.join(spill_dir, "L")
     prog_path = os.path.join(spill_dir, "progress.npz")
 
+    # The resume gate must prove the checkpointed panels came from THIS
+    # Gram: same shape is not enough (a rerun with new hyperparameters or a
+    # re-sampled cloud of identical size would splice panels of two
+    # different matrices into one "factor").  Hash the padded problem.
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(np.asarray(xp).tobytes())
+    h.update(np.asarray(np_).tobytes())
+    for k in sorted(params):
+        h.update(k.encode())
+        h.update(np.asarray(params[k]).tobytes())
+    problem_tag = h.hexdigest()
+
     start_panel, u0, st0 = 0, None, None
     if resume and os.path.exists(prog_path) and os.path.exists(
             os.path.join(ldir, "manifest.json")):
-        d = np.load(prog_path)
-        if (int(d["c"]) == c and int(d["panel"]) == panel
-                and str(d["kernel"]) == kernel):
+        try:
+            d = np.load(prog_path)
+            match = (int(d["c"]) == c and int(d["panel"]) == panel
+                     and str(d["kernel"]) == kernel
+                     and str(d["problem"]) == problem_tag)
+        except Exception:
+            match = False  # corrupt/legacy checkpoint: refactor from scratch
+        if match:
             start_panel = int(d["next_panel"])
             u0 = jnp.asarray(d["u"], dtype)
             extra = float(d["extra"])
@@ -1249,8 +1280,13 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
 
     def checkpoint(next_j, u_now):
         st_cur.save_manifest()
-        np.savez(prog_path, next_panel=next_j, u=np.asarray(u_now),
-                 extra=extra, c=c, panel=panel, kernel=kernel)
+        # Atomic replace: a kill mid-savez must not leave a truncated
+        # progress file that raises on the resume attempt.
+        tmp = prog_path + ".tmp.npz"
+        np.savez(tmp, next_panel=next_j, u=np.asarray(u_now),
+                 extra=extra, c=c, panel=panel, kernel=kernel,
+                 problem=problem_tag)
+        os.replace(tmp, prog_path)
 
     for attempt in range(max_jitter_retries + 1):
         st_cur = st0 if st0 is not None else TieredPanelStore(

@@ -311,6 +311,70 @@ def test_ooc_factor_phase_resumes_after_crash(problem, tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
 
 
+def test_ooc_factor_resume_rejects_changed_problem(problem, tmp_path,
+                                                   monkeypatch):
+    """A resume checkpoint from a DIFFERENT Gram (changed hyperparameters,
+    same shapes) must be ignored — splicing panels of two matrices into one
+    'factor' would be silently wrong (problem-hash gate)."""
+    import os
+
+    x, y, noise, params = problem
+    sd = str(tmp_path / "stale")
+
+    calls = {"n": 0}
+    real_diag = ooc._chol_diag
+
+    def dying_diag(cur, j0, *, block):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("simulated kill")
+        return real_diag(cur, j0, block=block)
+
+    monkeypatch.setattr(ooc, "_chol_diag", dying_diag)
+    with pytest.raises(RuntimeError):
+        ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=B,
+                             spill_dir=sd, device_budget=2 * B * C * 8,
+                             sweep=1)
+    monkeypatch.setattr(ooc, "_chol_diag", real_diag)
+    assert os.path.exists(os.path.join(sd, "progress.npz"))
+
+    resumed_from = {}
+    real_chol = ooc.ooc_cholesky
+
+    def spying_chol(*a, **kw):
+        resumed_from["panel"] = kw.get("start_panel", 0)
+        return real_chol(*a, **kw)
+
+    monkeypatch.setattr(ooc, "ooc_cholesky", spying_chol)
+    params2 = kf.kernel_params(0.9, 1.3)  # different Gram, same shapes
+    ooc.ooc_factor_phase("rbf", x, y, noise, params2, panel=B, spill_dir=sd,
+                         device_budget=2 * B * C * 8, sweep=1)
+    assert resumed_from["panel"] == 0, \
+        "stale panels from a different problem were reused"
+
+    m = ooc.ooc_solve_phase(sd, device_budget=2 * B * C * 8)
+    q = jnp.asarray(np.random.default_rng(9).normal(size=(64, 3)) * 0.8)
+    mean, var = m.predict(q, chunk=64)
+    ref = gpr.fit("rbf", x, y, noise, params2, block=B, touch_capacity=0)
+    mean_r, var_r = gpr.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
+
+
+def test_ooc_trsm_rejects_partial_alpha_and_ragged_block():
+    """Guards: alpha accumulation over a panel sub-range and panel sizes
+    _trsm_finish cannot solve (panel % block != 0) raise up front instead
+    of returning silently-wrong results."""
+    st = ooc.HostPanelStore()
+    y = jnp.zeros((512,))
+    with pytest.raises(ValueError, match="sub-range"):
+        ooc.ooc_trsm(st, ooc.HostPanelStore(), y, panel=256,
+                     accumulate_alpha=True, end_panel=1)
+    with pytest.raises(ValueError, match="multiple of"):
+        ooc.ooc_trsm(st, ooc.HostPanelStore(), y, panel=128, block=256,
+                     accumulate_alpha=False)
+
+
 @pytest.mark.parametrize("kernel", ["thin_plate", "laplace"])
 def test_ooc_fit_other_kernels(problem, kernel):
     """The out-of-core path is kernel-generic (the panel assembly goes
