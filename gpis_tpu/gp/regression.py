@@ -313,12 +313,13 @@ def predict_mean(model: GPModel, q):
 
         if hasattr(model, "mesh"):
             # ShardedJointModel: model.x is (C+T, 3) with touch slots at the
-            # tail; alpha is (4C+T,) (ADVICE r2 high #2).
-            c = model.n0
-            kq = kd.cross_cov_value(model.kernel, q, model.x[:c], model.params)
-            if model.x.shape[0] > c:
-                kt = kg.cross_cov(model.kernel, q, model.x[c:], model.params)
-                kq = jnp.concatenate([kq, kt], axis=1)
+            # tail; alpha is (4C+T,) (ADVICE r2 high #2).  The column layout
+            # lives in ONE place — sharded_joint._joint_cross_fn — shared
+            # with ShardedJointModel.predict.
+            from gpis_tpu.gp.sharded_joint import _joint_cross_fn
+
+            kq = _joint_cross_fn(model.n0)(model.kernel, q, model.x,
+                                           model.params)
             return kq @ model.alpha
         if getattr(model, "touch_x", None) is not None:
             from gpis_tpu.gp import derivative as gpd

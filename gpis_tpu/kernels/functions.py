@@ -148,8 +148,23 @@ def dk_dr2(name: str, r2, params: Params):
     if name == "laplace":
         r = _safe_sqrt(r2)
         return -0.5 * sv * jnp.exp(-r / ls) / (ls * r)
-    if name in _REGISTRY and _REGISTRY[name]["dk_dr2"] is not None:
-        return _REGISTRY[name]["dk_dr2"](r2, params)
+    if name in _REGISTRY:
+        fn = _REGISTRY[name]["dk_dr2"]
+        if fn is not None:
+            return fn(r2, params)
+        # dk_dr2 is optional at registration; k_r2 is elementwise in r2, so
+        # forward-mode AD recovers the derivative exactly.  This keeps
+        # custom kernels working through every dk_dr2 consumer (gram_ad's
+        # banded MLL pullback, the projector's normals) without forcing the
+        # user to hand-derive it.  Derivative OBSERVATIONS still require an
+        # explicit dk/d2k pair (supports_derivatives) — the 4x4 joint
+        # blocks also need d2k, where the same trick would hide the
+        # laplace-style r=0 singularity instead of rejecting it.
+        import jax
+
+        _, d = jax.jvp(lambda t: _REGISTRY[name]["k_r2"](t, params),
+                       (r2,), (jnp.ones_like(r2),))
+        return d
     raise ValueError(f"unknown kernel {name!r}")
 
 

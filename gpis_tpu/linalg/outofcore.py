@@ -233,9 +233,13 @@ class TieredPanelStore(_PanelStoreBase):
 
     def __init__(self, budget: DeviceBudget, spill_dtype=None,
                  device_dtype=None, spill_dir: str | None = None,
-                 write_through: bool = False):
+                 write_through: bool = False, tag: str | None = None):
         super().__init__()
         self._budget = budget
+        # Provenance tag persisted in the manifest: callers that resume from
+        # a directory of panel files use it to prove those panels belong to
+        # THIS problem (same shapes are not enough — see ooc_solve_phase).
+        self.tag = tag
         self._spill_dtype = jnp.dtype(spill_dtype) if spill_dtype else None
         self._device_dtype = jnp.dtype(device_dtype) if device_dtype else None
         self._spill_dir = spill_dir
@@ -316,6 +320,20 @@ class TieredPanelStore(_PanelStoreBase):
             except OSError:
                 pass
 
+    def clear(self) -> None:
+        """Free every panel AND the manifest: free() unlinks panel files,
+        and a manifest left behind would otherwise make a later open_dir
+        claim panels that no longer exist (the resume-from-stale-manifest
+        bug: a rerun skipped the whole TRSM and crashed at read time)."""
+        super().clear()
+        if self._spill_dir is not None:
+            import os
+
+            try:
+                os.unlink(os.path.join(self._spill_dir, "manifest.json"))
+            except OSError:
+                pass
+
     def evict_all(self) -> None:
         """Move every device-resident panel to the spill tier (disk files
         when spill_dir is set).  Used by the phase-split driver to persist
@@ -344,7 +362,13 @@ class TieredPanelStore(_PanelStoreBase):
                         self._meta[j] = (False, 0)
                         self._cv.notify_all()
                 else:
+                    # put() re-runs _store, which would overwrite
+                    # compute_dtype with this panel's (possibly
+                    # device_dtype-compressed) dtype — restore it so later
+                    # fetches still widen back to the true compute dtype.
+                    cd = self.compute_dtype
                     self.put(j, arr)   # limit 0 -> routes to the spill tier
+                    self.compute_dtype = cd
                 arr.delete()
         finally:
             self._budget.limit = old_limit
@@ -369,6 +393,8 @@ class TieredPanelStore(_PanelStoreBase):
                 else:
                     raise ValueError(f"panel {j} is not on disk; evict first")
         doc = {"panels": meta, "compute_dtype": str(np.dtype(self.compute_dtype))}
+        if self.tag is not None:
+            doc["tag"] = self.tag
         # Atomic replace: a kill mid-write must not truncate the manifest
         # (that would brick the resume this file exists to enable).
         path = os.path.join(self._spill_dir, "manifest.json")
@@ -378,18 +404,35 @@ class TieredPanelStore(_PanelStoreBase):
         os.replace(tmp, path)
 
     @classmethod
-    def open_dir(cls, budget: "DeviceBudget", spill_dir: str, **kw):
-        """Reattach a store persisted by save_manifest (fresh process)."""
+    def open_dir(cls, budget: "DeviceBudget", spill_dir: str,
+                 expect_tag: str | None = None, **kw):
+        """Reattach a store persisted by save_manifest (fresh process).
+
+        Manifest entries whose backing panel file is missing are SKIPPED —
+        clear()/free() unlink files, and a manifest written before a later
+        deletion must not claim panels it can no longer serve (a blocked
+        get() or FileNotFoundError at read time, depending on timing).
+        With `expect_tag`, a manifest whose tag differs raises ValueError —
+        the panels belong to a different problem and silently serving them
+        would corrupt the posterior."""
         import json
         import os
 
         st = cls(budget, spill_dir=spill_dir, **kw)
         with open(os.path.join(spill_dir, "manifest.json")) as f:
             doc = json.load(f)
+        if expect_tag is not None and doc.get("tag") != expect_tag:
+            raise ValueError(
+                f"panel store at {spill_dir} was written for a different "
+                f"problem (tag {doc.get('tag')!r} != expected {expect_tag!r})"
+            )
+        st.tag = doc.get("tag")
         st.compute_dtype = jnp.dtype(doc["compute_dtype"])
         with st._cv:
             for j, (shape, dt) in doc["panels"].items():
                 path = os.path.join(spill_dir, f"panel_{int(j)}.bin")
+                if not os.path.exists(path):
+                    continue
                 st._p[int(j)] = _DiskPanel(path, tuple(shape), dt)
                 st._meta[int(j)] = (False, 0)
             st._cv.notify_all()
@@ -1254,6 +1297,7 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
 
     h = hashlib.sha1()
     h.update(np.asarray(xp).tobytes())
+    h.update(np.asarray(yp).tobytes())  # u = L^{-1} y is checkpointed too
     h.update(np.asarray(np_).tobytes())
     for k in sorted(params):
         h.update(k.encode())
@@ -1368,17 +1412,38 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
     )
     lst = TieredPanelStore.open_dir(budget, os.path.join(spill_dir, "L"))
     wdir = os.path.join(spill_dir, "W")
-    start = 0
+
+    # Resume gate: W panels are only valid for THIS factor.  alpha pins the
+    # whole upstream problem (it changes with x, y, noise, params, jitter),
+    # so a tag over the solved state proves provenance; phase 1 has the
+    # same gate on its progress checkpoint.  A mismatched or file-less
+    # manifest falls through to a fresh TRSM instead of silently serving
+    # stale W (wrong variance) or skipping to a crash at read time.
+    import hashlib
+
+    h = hashlib.sha1()
+    for arr in (d["x"], d["y"], d["noise"], d["alpha"]):
+        h.update(np.asarray(arr).tobytes())
+    h.update(f"{kernel}:{panel}".encode())
+    w_tag = h.hexdigest()
+
+    start, wstore = 0, None
     if resume and os.path.exists(os.path.join(wdir, "manifest.json")):
-        wstore = TieredPanelStore.open_dir(budget, wdir, spill_dtype=w_dtype,
-                                           write_through=True)
-        while start in wstore:
-            start += 1
-        if start:
-            _tlog(f"resuming TRSM at panel {start}/{nb}")
-    else:
+        try:
+            wstore = TieredPanelStore.open_dir(
+                budget, wdir, expect_tag=w_tag, spill_dtype=w_dtype,
+                write_through=True, tag=w_tag)
+        except ValueError as e:
+            _tlog(f"ignoring stale W store: {e}")
+        else:
+            while start in wstore:
+                start += 1
+            if start:
+                _tlog(f"resuming TRSM at panel {start}/{nb}")
+    if wstore is None:
         wstore = TieredPanelStore(budget, spill_dtype=w_dtype,
-                                  spill_dir=wdir, write_through=True)
+                                  spill_dir=wdir, write_through=True,
+                                  tag=w_tag)
     if start < nb:
         ooc_trsm(lst, wstore, yp, panel=panel, block=block,
                  accumulate_alpha=False, width_quant=width_quant,

@@ -33,7 +33,6 @@ from gpis_tpu.kernels.pallas_gram import _interpret
 __all__ = ["panel_update_pallas", "pallas_blocked_cholesky",
            "row_update_pallas", "pallas_blocked_linv",
            "band_trail_update_pallas", "gemm_nt_masked_pallas",
-           "gemm_nt_prefix_pallas", "gemm_nn_acc_pallas",
            "gemm_nn_acc_masked_pallas"]
 
 _TN = 256
@@ -255,99 +254,6 @@ def gemm_nt_masked_pallas(a, b, s, k0):
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(jnp.asarray([k0], jnp.int32), a, b, s)
-
-
-def _gemm_nt_prefix_kernel(a_ref, b_ref, s_ref, out_ref):
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        out_ref[...] = s_ref[...]
-
-    out_ref[...] -= _dot3(
-        a_ref[...], b_ref[...], (((1,), (1,)), ((), ()))
-    ).astype(out_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("k0",))
-def gemm_nt_prefix_pallas(a, b, s, *, k0: int):
-    """S - A[:, :k0] @ B[:, :k0]^T with a STATIC prefix width: the k-grid
-    simply stops at k0, so columns >= k0 of either operand are never read —
-    no masking, no padding of trimmed panels to a common width.  This is the
-    out-of-core factorization's panel-pair update (`linalg/outofcore.py`):
-    the streamed panel is trimmed (width k0 + B) and the row buffer is full
-    width; both just need >= k0 columns.  One compile per distinct
-    (shape, k0) — nb panel widths total, each reused across every later
-    panel."""
-    if k0 == 0:
-        return s
-    r = a.shape[0]
-    sdim = b.shape[0]
-    if r % _TN or sdim % _TN or k0 % _TK:
-        return s - lax.dot_general(
-            a[:, :k0], b[:, :k0],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
-        )
-    grid = (r // _TN, sdim // _TN, k0 // _TK)
-    return pl.pallas_call(
-        _gemm_nt_prefix_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((_TN, _TK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TN, _TK), lambda i, j, k: (j, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TN, _TN), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (_TN, _TN), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((r, sdim), s.dtype),
-        interpret=_interpret(),
-    )(a, b, s)
-
-
-def _gemm_nn_acc_kernel(a_ref, b_ref, u_ref, out_ref):
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        out_ref[...] = u_ref[...]
-
-    out_ref[...] += _dot3(
-        a_ref[...], b_ref[...], (((1,), (0,)), ((), ()))
-    ).astype(out_ref.dtype)
-
-
-@jax.jit
-def gemm_nn_acc_pallas(u, a, b):
-    """U + A @ B with the in-kernel bf16x3 split.  Exists because the
-    XLA-level split (`matmul_bf16x3`) is NOT safe inside a larger jit on
-    this backend: the algebraic simplifier re-fuses hi+lo back into one
-    single-pass-bf16 dot (measured 0.038 absolute error on a product whose
-    standalone _mm3 error is 7e-5).  Only in-kernel splits survive
-    composition."""
-    r, kd = a.shape
-    n = b.shape[1]
-    if r % _TN or n % _TN or kd % _TK:
-        return u + lax.dot_general(
-            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,
-        )
-    grid = (r // _TN, n // _TN, kd // _TK)
-    return pl.pallas_call(
-        _gemm_nn_acc_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((_TN, _TK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TK, _TN), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TN, _TN), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (_TN, _TN), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((r, n), u.dtype),
-        interpret=_interpret(),
-    )(a, b, u)
 
 
 def _gemm_nn_masked_kernel(w_ref, a_ref, b_ref, u_ref, out_ref):

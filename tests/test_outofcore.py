@@ -51,19 +51,6 @@ def test_gemm_nt_masked_matches(problem):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-10)
 
 
-def test_gemm_nt_prefix_matches(problem):
-    from gpis_tpu.linalg.pallas_chol import gemm_nt_prefix_pallas
-
-    rng = np.random.default_rng(5)
-    a = jnp.asarray(rng.normal(size=(256, 1024)))
-    b = jnp.asarray(rng.normal(size=(512, 768)))
-    s = jnp.asarray(rng.normal(size=(256, 512)))
-    for k0 in (0, 256, 300, 768):
-        got = gemm_nt_prefix_pallas(a, b, s, k0=k0)
-        want = s - a[:, :k0] @ b[:, :k0].T
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-10)
-
-
 @pytest.mark.parametrize("store_kind", ["host", "device"])
 def test_ooc_cholesky_matches_dense(problem, store_kind):
     x, y, noise, params = problem
@@ -457,3 +444,138 @@ def test_session_out_of_core_surface(problem):
                  lambda: s.optimize_hyperparameters()):
         with pytest.raises(ValueError, match="out-of-core"):
             call()
+
+def test_ooc_factor_resume_rejects_changed_y(problem, tmp_path, monkeypatch):
+    """The progress checkpoint carries u = L^{-1} y, so a resume must also
+    be rejected when only the TARGETS changed (same cloud, same params):
+    splicing u from the old y with forward-sub against the new y silently
+    corrupts alpha and the posterior mean (review r3 finding 1)."""
+    import os
+
+    x, y, noise, params = problem
+    sd = str(tmp_path / "stale_y")
+
+    calls = {"n": 0}
+    real_diag = ooc._chol_diag
+
+    def dying_diag(cur, j0, *, block):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("simulated kill")
+        return real_diag(cur, j0, block=block)
+
+    monkeypatch.setattr(ooc, "_chol_diag", dying_diag)
+    with pytest.raises(RuntimeError):
+        ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=B,
+                             spill_dir=sd, device_budget=2 * B * C * 8,
+                             sweep=1)
+    monkeypatch.setattr(ooc, "_chol_diag", real_diag)
+    assert os.path.exists(os.path.join(sd, "progress.npz"))
+
+    resumed_from = {}
+    real_chol = ooc.ooc_cholesky
+
+    def spying_chol(*a, **kw):
+        resumed_from["panel"] = kw.get("start_panel", 0)
+        return real_chol(*a, **kw)
+
+    monkeypatch.setattr(ooc, "ooc_cholesky", spying_chol)
+    y2 = -2.0 * y + 0.1  # same shapes, different targets
+    ooc.ooc_factor_phase("rbf", x, y2, noise, params, panel=B, spill_dir=sd,
+                         device_budget=2 * B * C * 8, sweep=1)
+    assert resumed_from["panel"] == 0, \
+        "u from a different y was spliced into the factorization"
+
+    m = ooc.ooc_solve_phase(sd, device_budget=2 * B * C * 8)
+    q = jnp.asarray(np.random.default_rng(9).normal(size=(64, 3)) * 0.8)
+    mean, _ = m.predict(q, chunk=64)
+    ref = gpr.fit("rbf", x, y2, noise, params, block=B, touch_capacity=0)
+    mean_r, _ = gpr.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r), atol=1e-6)
+
+
+def test_ooc_solve_rejects_stale_w_store(problem, tmp_path, monkeypatch):
+    """W panels are only valid for the factor that produced them: after the
+    problem is refit in place (new hyperparameters, same shapes), a rerun of
+    ooc_solve_phase must IGNORE the surviving W store (provenance tag) and
+    redo the TRSM — silently serving the stale W gives the wrong posterior
+    variance with no error (review r3 finding 2)."""
+    x, y, noise, params = problem
+    sd = str(tmp_path / "stale_w")
+    ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=B, spill_dir=sd,
+                         device_budget=2 * B * C * 8)
+    ooc.ooc_solve_phase(sd, device_budget=2 * B * C * 8)  # W now durable
+
+    params2 = kf.kernel_params(0.9, 1.3)  # refit IN PLACE, same shapes
+    ooc.ooc_factor_phase("rbf", x, y, noise, params2, panel=B, spill_dir=sd,
+                         device_budget=2 * B * C * 8)
+
+    resumed_from = {}
+    real_trsm = ooc.ooc_trsm
+
+    def spying_trsm(*a, **kw):
+        resumed_from["panel"] = kw.get("start_panel", 0)
+        return real_trsm(*a, **kw)
+
+    monkeypatch.setattr(ooc, "ooc_trsm", spying_trsm)
+    m = ooc.ooc_solve_phase(sd, device_budget=2 * B * C * 8)
+    assert resumed_from["panel"] == 0, "stale W store was resumed"
+
+    q = jnp.asarray(np.random.default_rng(17).normal(size=(64, 3)) * 0.8)
+    mean, var = m.predict(q, chunk=64)
+    ref = gpr.fit("rbf", x, y, noise, params2, block=B, touch_capacity=0)
+    mean_r, var_r = gpr.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
+
+
+def test_tiered_store_clear_removes_manifest(tmp_path):
+    """clear() unlinks panel files, so it must unlink the manifest too — a
+    manifest listing deleted panels made a later open_dir skip the whole
+    TRSM and crash at read time (review r3 finding 2, repro path)."""
+    import os
+
+    st = ooc.TieredPanelStore(ooc.DeviceBudget(1 << 30),
+                              spill_dir=str(tmp_path / "S"),
+                              write_through=True)
+    st.put(0, jnp.ones((4, 4), jnp.float32))
+    st.save_manifest()
+    st.clear()
+    assert not os.path.exists(tmp_path / "S" / "manifest.json")
+    assert not os.path.exists(tmp_path / "S" / "panel_0.bin")
+
+
+def test_open_dir_skips_missing_panel_files(tmp_path):
+    """A manifest entry whose backing file is gone must not be served: it
+    would block get() forever or raise FileNotFoundError mid-pipeline."""
+    import os
+
+    st = ooc.TieredPanelStore(ooc.DeviceBudget(0),  # force the disk tier
+                              spill_dir=str(tmp_path / "M"))
+    st.put(0, jnp.ones((4, 4), jnp.float32))
+    st.put(1, 2.0 * jnp.ones((4, 4), jnp.float32))
+    st.save_manifest()
+    os.unlink(tmp_path / "M" / "panel_0.bin")
+    st2 = ooc.TieredPanelStore.open_dir(ooc.DeviceBudget(0),
+                                        str(tmp_path / "M"))
+    assert 0 not in st2
+    assert 1 in st2
+
+
+def test_evict_all_preserves_compute_dtype(tmp_path):
+    """evict_all on a device_dtype-compressed store must not overwrite the
+    recorded compute dtype with the compressed one — later fetches would
+    skip the f32 restore and feed f16 into the GEMMs silently (review r3
+    finding 4)."""
+    import jax
+
+    st = ooc.TieredPanelStore(ooc.DeviceBudget(1 << 30),
+                              device_dtype=jnp.float16,
+                              spill_dir=str(tmp_path / "E"))
+    a = jnp.asarray(np.random.default_rng(0).normal(size=(8, 8)), jnp.float32)
+    st.put(0, a)
+    assert st.compute_dtype == jnp.float32
+    st.evict_all()
+    assert st.compute_dtype == jnp.float32
+    got = ooc._fetch(st, 0, jax.devices()[0])
+    assert got.dtype == jnp.float32
