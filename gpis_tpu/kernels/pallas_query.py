@@ -36,52 +36,69 @@ __all__ = ["fused_query_pallas", "fused_quad_band_pallas"]
 # (~1 GB x M/TQ per chunk); TQ=1024 amortizes W 4x and leaves the MXU
 # (lower-triangular tiles only) as the critical path.  VMEM per step:
 # W tile 256 KB + kq 1 MB + v_scr 1 MB + outputs — well under budget.
-_TQ = 1024
-_TI = 256
-_TC = 256
+#
+# TI taller than TC cuts the kq-generation bill: kq depends on (mq, c)
+# only, yet is re-formed per i-plane — C/TI times — and its exp() chain is
+# VPU work that competes with the MXU for the critical path.  Env overrides
+# (GPIS_QTILE_Q/I/C) exist for on-hardware sweeps.
+import os as _os
+
+_TQ = int(_os.environ.get("GPIS_QTILE_Q", "1024"))
+_TI = int(_os.environ.get("GPIS_QTILE_I", "512"))
+_TC = int(_os.environ.get("GPIS_QTILE_C", "256"))
+# The sharded ring's band kernel keeps fixed tiles: per-chip W bands are
+# C/n_devices rows, frequently smaller than the single-chip TI sweep above.
+_TQB, _TIB, _TCB = 1024, 256, 256
 
 
 def _kernel(q0, q1, q2, x0, x1, x2, w_ref, alpha_ref, ls_ref, sv_ref,
-            mean_ref, quad_ref, v_scr, *, name):
+            mean_ref, quad_ref, v_scr, *, name, ti, tc):
     i = pl.program_id(1)
     c = pl.program_id(2)
     nc = pl.num_programs(2)
-
-    d0 = q0[...] - x0[...]
-    d1 = q1[...] - x1[...]
-    d2 = q2[...] - x2[...]
-    r2 = d0 * d0 + d1 * d1 + d2 * d2
-    params = {"lengthscale": ls_ref[0, 0], "signal_variance": sv_ref[0, 0]}
-    kq = kf.k_r2(name, r2, params)  # (TQ, TC)
 
     @pl.when(c == 0)
     def _():
         v_scr[...] = jnp.zeros_like(v_scr)
 
-    # W is lower-triangular: tiles with c > i are identically zero (TI ==
-    # TC), so the MXU skips the strict upper half — 2x fewer FLOPs on the
-    # dominant contraction.  kq is still formed every step (VPU, cheap):
-    # the mean accumulation on the i == 0 plane needs every c tile.
-    @pl.when(c <= i)
+    @pl.when((i == 0) & (c == 0))
     def _():
-        v_scr[...] += jax.lax.dot_general(
-            w_ref[...], kq,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(v_scr.dtype)  # (TI, TQ)
+        mean_ref[...] = jnp.zeros_like(mean_ref)
+        quad_ref[...] = jnp.zeros_like(quad_ref)
 
-    @pl.when(i == 0)
+    # W is lower-triangular: tiles whose columns all exceed the tile's last
+    # row are identically zero, so the MXU skips the strict upper half — 2x
+    # fewer FLOPs on the dominant contraction.  The kq tile (r2 + exp chain,
+    # VPU) is ALSO gated: it used to be formed unconditionally, but the VPU
+    # generation is re-run per i-plane and competes with the MXU for the
+    # critical path; only the live half plus the i == 0 mean plane needs it.
+    live = c * tc < (i + 1) * ti
+
+    @pl.when(live | (i == 0))
     def _():
-        @pl.when(c == 0)
+        d0 = q0[...] - x0[...]
+        d1 = q1[...] - x1[...]
+        d2 = q2[...] - x2[...]
+        r2 = d0 * d0 + d1 * d1 + d2 * d2
+        params = {"lengthscale": ls_ref[0, 0],
+                  "signal_variance": sv_ref[0, 0]}
+        kq = kf.k_r2(name, r2, params)  # (TQ, TC)
+
+        @pl.when(live)
         def _():
-            mean_ref[...] = jnp.zeros_like(mean_ref)
-            quad_ref[...] = jnp.zeros_like(quad_ref)
+            v_scr[...] += jax.lax.dot_general(
+                w_ref[...], kq,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(v_scr.dtype)  # (TI, TQ)
 
-        mean_ref[...] += jax.lax.dot_general(
-            kq, alpha_ref[...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(mean_ref.dtype).T  # (1, TQ)
+        @pl.when(i == 0)
+        def _():
+            mean_ref[...] += jax.lax.dot_general(
+                kq, alpha_ref[...],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(mean_ref.dtype).T  # (1, TQ)
 
     @pl.when(c == nc - 1)
     def _():
@@ -103,7 +120,7 @@ def _band_quad_kernel(row0_ref, q0, q1, q2, x0, x1, x2, w_ref, ls_ref, sv_ref,
 
     # W band rows sit at global rows [row0 + i*TI, row0 + (i+1)*TI); tiles
     # whose columns all exceed the last global row are zero (W lower-tri).
-    @pl.when(c * _TC < row0 + (i + 1) * _TI)
+    @pl.when(c * _TCB < row0 + (i + 1) * _TIB)
     def _():
         d0 = q0[...] - x0[...]
         d1 = q1[...] - x1[...]
@@ -138,30 +155,30 @@ def fused_quad_band_pallas(name: str, q, x, params, w_band, row0):
     m, c = q.shape[0], x.shape[0]
     r = w_band.shape[0]
     dt = q.dtype
-    if c % _TI or c % _TC or r % _TI:
+    if c % _TIB or c % _TCB or r % _TIB:
         raise ValueError(
-            f"W band ({r}, {c}) must tile into {_TI} x {_TC} blocks"
+            f"W band ({r}, {c}) must tile into {_TIB} x {_TCB} blocks"
         )
-    qc, _ = _coord_split(q.astype(dt), _TQ)
-    _, xr = _coord_split(x.astype(dt), _TC)
+    qc, _ = _coord_split(q.astype(dt), _TQB)
+    _, xr = _coord_split(x.astype(dt), _TCB)
     mp = qc[0].shape[0]
     ls = jnp.asarray(params["lengthscale"], dt).reshape(1, 1)
     sv = jnp.asarray(params["signal_variance"], dt).reshape(1, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(mp // _TQ, r // _TI, c // _TC),
+        grid=(mp // _TQB, r // _TIB, c // _TCB),
         in_specs=[
-            *[pl.BlockSpec((_TQ, 1), lambda mq, i, cc, s: (mq, 0), memory_space=pltpu.VMEM)] * 3,
-            *[pl.BlockSpec((1, _TC), lambda mq, i, cc, s: (0, cc), memory_space=pltpu.VMEM)] * 3,
-            pl.BlockSpec((_TI, _TC), lambda mq, i, cc, s: (i, cc), memory_space=pltpu.VMEM),
+            *[pl.BlockSpec((_TQB, 1), lambda mq, i, cc, s: (mq, 0), memory_space=pltpu.VMEM)] * 3,
+            *[pl.BlockSpec((1, _TCB), lambda mq, i, cc, s: (0, cc), memory_space=pltpu.VMEM)] * 3,
+            pl.BlockSpec((_TIB, _TCB), lambda mq, i, cc, s: (i, cc), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda mq, i, cc, s: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda mq, i, cc, s: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, _TQ), lambda mq, i, cc, s: (0, mq), memory_space=pltpu.VMEM
+            (1, _TQB), lambda mq, i, cc, s: (0, mq), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((_TI, _TQ), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((_TIB, _TQB), jnp.float32)],
     )
     quad = pl.pallas_call(
         functools.partial(_band_quad_kernel, name=name),
@@ -177,18 +194,25 @@ def fused_query_pallas(name: str, q, x, params, alpha, w):
     """(mean, quad) at queries q (M,3); w = L^{-1} (C,C); alpha (C,)."""
     m, c = q.shape[0], x.shape[0]
     dt = q.dtype
-    if c % _TI or c % _TC:
-        raise ValueError(f"capacity {c} must be a multiple of {max(_TI, _TC)}")
+    if c % 128:
+        raise ValueError(f"capacity {c} must be a multiple of 128")
+    # Clamp the sweep-tunable tiles down to divisors of this capacity (the
+    # parity tests run at C=256..1024; the headline sizes take the defaults).
+    ti, tc = _TI, _TC
+    while c % ti:
+        ti //= 2
+    while c % tc:
+        tc //= 2
     qc, _ = _coord_split(q.astype(dt), _TQ)
-    _, xr = _coord_split(x.astype(dt), _TC)
+    _, xr = _coord_split(x.astype(dt), tc)
     mp = qc[0].shape[0]
     ls = jnp.asarray(params["lengthscale"], dt).reshape(1, 1)
     sv = jnp.asarray(params["signal_variance"], dt).reshape(1, 1)
     alpha_row = jnp.asarray(alpha, dt)[None, :]  # (1, C)
 
-    grid = (mp // _TQ, c // _TI, c // _TC)
+    grid = (mp // _TQ, c // ti, c // tc)
     mean, quad = pl.pallas_call(
-        functools.partial(_kernel, name=name),
+        functools.partial(_kernel, name=name, ti=ti, tc=tc),
         out_shape=(
             jax.ShapeDtypeStruct((1, mp), dt),
             jax.ShapeDtypeStruct((1, mp), dt),
@@ -196,9 +220,20 @@ def fused_query_pallas(name: str, q, x, params, alpha, w):
         grid=grid,
         in_specs=[
             *[pl.BlockSpec((_TQ, 1), lambda mq, i, cc: (mq, 0), memory_space=pltpu.VMEM)] * 3,
-            *[pl.BlockSpec((1, _TC), lambda mq, i, cc: (0, cc), memory_space=pltpu.VMEM)] * 3,
-            pl.BlockSpec((_TI, _TC), lambda mq, i, cc: (i, cc), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TC), lambda mq, i, cc: (0, cc), memory_space=pltpu.VMEM),
+            *[pl.BlockSpec((1, tc), lambda mq, i, cc: (0, cc), memory_space=pltpu.VMEM)] * 3,
+            # W DMA elision on the dead upper half: tiles with
+            # c*TC >= (i+1)*TI are identically zero and never read (the
+            # kernel gates the dot), so their index maps to the LAST live
+            # column block of row i — consecutive grid steps with an
+            # unchanged block index skip the fetch entirely, halving W's
+            # HBM traffic (the BlockSpec DMA is otherwise unconditional,
+            # pl.when does not stop it).
+            pl.BlockSpec(
+                (ti, tc),
+                lambda mq, i, cc: (i, jnp.minimum(cc, ((i + 1) * ti - 1) // tc)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, tc), lambda mq, i, cc: (0, cc), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda mq, i, cc: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda mq, i, cc: (0, 0), memory_space=pltpu.SMEM),
         ],
@@ -206,7 +241,7 @@ def fused_query_pallas(name: str, q, x, params, alpha, w):
             pl.BlockSpec((1, _TQ), lambda mq, i, cc: (0, mq), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TQ), lambda mq, i, cc: (0, mq), memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((_TI, _TQ), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((ti, _TQ), jnp.float32)],
         interpret=_interpret(),
     )(*qc, *xr, w, alpha_row, ls, sv)
     return mean[0, :m], quad[0, :m]
