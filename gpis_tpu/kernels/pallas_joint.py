@@ -233,42 +233,48 @@ def _query_kernel(q0, q1, q2, z0, z1, z2, cu0, cu1, cu2, cf, w_ref,
     c = pl.program_id(2)
     nc = pl.num_programs(2)
 
-    d0 = q0[...] - z0[...]
-    d1 = q1[...] - z1[...]
-    d2 = q2[...] - z2[...]
-    r2 = d0 * d0 + d1 * d1 + d2 * d2
-    params = {"lengthscale": ls_ref[0, 0], "signal_variance": sv_ref[0, 0]}
-    # Value-query row (f=1, u=0) against a joint column: the blend
-    # collapses to  f_c k(r2) - 2 dk (u_c . diff).
-    vd = cu0[...] * d0 + cu1[...] * d1 + cu2[...] * d2
-    kq = (cf[...] * kf.k_r2(name, r2, params)
-          - 2.0 * kf.dk_dr2(name, r2, params) * vd)  # (TQ, TC)
-
     @pl.when(c == 0)
     def _():
         v_scr[...] = jnp.zeros_like(v_scr)
 
-    # W = chol^{-1} is lower-triangular: tiles with c > i are zero.
-    @pl.when(c <= i)
+    @pl.when((i == 0) & (c == 0))
     def _():
-        v_scr[...] += jax.lax.dot_general(
-            w_ref[...], kq,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(v_scr.dtype)  # (TI, TQ)
+        mean_ref[...] = jnp.zeros_like(mean_ref)
+        quad_ref[...] = jnp.zeros_like(quad_ref)
 
-    @pl.when(i == 0)
+    # W = chol^{-1} is lower-triangular: tiles with c > i are zero.  The kq
+    # blend (k_r2 + dk_dr2 chains, VPU) is gated like the dot — it is
+    # re-generated per i-plane and only the live half plus the i == 0 mean
+    # plane reads it (same optimization as pallas_query._kernel).
+    @pl.when((c <= i) | (i == 0))
     def _():
-        @pl.when(c == 0)
+        d0 = q0[...] - z0[...]
+        d1 = q1[...] - z1[...]
+        d2 = q2[...] - z2[...]
+        r2 = d0 * d0 + d1 * d1 + d2 * d2
+        params = {"lengthscale": ls_ref[0, 0],
+                  "signal_variance": sv_ref[0, 0]}
+        # Value-query row (f=1, u=0) against a joint column: the blend
+        # collapses to  f_c k(r2) - 2 dk (u_c . diff).
+        vd = cu0[...] * d0 + cu1[...] * d1 + cu2[...] * d2
+        kq = (cf[...] * kf.k_r2(name, r2, params)
+              - 2.0 * kf.dk_dr2(name, r2, params) * vd)  # (TQ, TC)
+
+        @pl.when(c <= i)
         def _():
-            mean_ref[...] = jnp.zeros_like(mean_ref)
-            quad_ref[...] = jnp.zeros_like(quad_ref)
+            v_scr[...] += jax.lax.dot_general(
+                w_ref[...], kq,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(v_scr.dtype)  # (TI, TQ)
 
-        mean_ref[...] += jax.lax.dot_general(
-            kq, alpha_ref[...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(mean_ref.dtype).T  # (1, TQ)
+        @pl.when(i == 0)
+        def _():
+            mean_ref[...] += jax.lax.dot_general(
+                kq, alpha_ref[...],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(mean_ref.dtype).T  # (1, TQ)
 
     @pl.when(c == nc - 1)
     def _():
@@ -314,7 +320,11 @@ def fused_joint_query_pallas(name: str, q, x, params, alpha, w,
                            memory_space=pltpu.VMEM)] * 3,
             *[pl.BlockSpec((1, _TC), lambda mq, i, cc: (0, cc),
                            memory_space=pltpu.VMEM)] * 7,
-            pl.BlockSpec((_TI, _TC), lambda mq, i, cc: (i, cc),
+            # Dead upper-triangle W tiles map to the diagonal block of
+            # their row: the repeated index elides the DMA (the kernel
+            # never reads them — same trick as pallas_query).
+            pl.BlockSpec((_TI, _TC),
+                         lambda mq, i, cc: (i, jnp.minimum(cc, i)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TC), lambda mq, i, cc: (0, cc),
                          memory_space=pltpu.VMEM),
