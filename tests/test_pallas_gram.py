@@ -54,12 +54,15 @@ def test_gram_pallas_f64(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
 
 
-def test_fused_query_pallas(rng):
-    """Fused assemble+GEMM query kernel == linv predict path."""
+@pytest.mark.parametrize("n", [256, 1024])
+def test_fused_query_pallas(rng, n):
+    """Fused assemble+GEMM query kernel == linv predict path.  n=256 clamps
+    the sweep-tunable tiles down to the capacity; n=1024 runs the default
+    TALL TI (TI=512 != TC) — covering the generalized liveness predicate
+    and the upper-triangle DMA-elision index map."""
     from gpis_tpu.gp import regression as gpr
     from gpis_tpu.kernels.pallas_query import fused_query_pallas
 
-    n = 256
     x = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
     y = jnp.asarray(rng.normal(size=n) * 0.2, jnp.float32)
     params = {k: v.astype(jnp.float32) for k, v in kf.kernel_params(0.8, 1.0).items()}
