@@ -171,7 +171,17 @@ def fused_quad_band_pallas(name: str, q, x, params, w_band, row0):
         in_specs=[
             *[pl.BlockSpec((_TQB, 1), lambda mq, i, cc, s: (mq, 0), memory_space=pltpu.VMEM)] * 3,
             *[pl.BlockSpec((1, _TCB), lambda mq, i, cc, s: (0, cc), memory_space=pltpu.VMEM)] * 3,
-            pl.BlockSpec((_TIB, _TCB), lambda mq, i, cc, s: (i, cc), memory_space=pltpu.VMEM),
+            # Columns beyond the band's last global row are zero (W is
+            # lower-triangular; trimmed panels are zero-padded): clamp the
+            # block index to the last live column so the repeated index
+            # elides those tiles' DMAs — the scalar-prefetched row0 makes
+            # the liveness bound available to the index map.
+            pl.BlockSpec(
+                (_TIB, _TCB),
+                lambda mq, i, cc, s: (
+                    i, jnp.minimum(cc, (s[0] + (i + 1) * _TIB - 1) // _TCB)),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((1, 1), lambda mq, i, cc, s: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda mq, i, cc, s: (0, 0), memory_space=pltpu.SMEM),
         ],
