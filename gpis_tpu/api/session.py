@@ -67,10 +67,11 @@ class ObjectModelSession:
         `out_of_core=True` fits through the panel-streamed factorization
         (`linalg.outofcore`) whose Gram never has to fit HBM — the 100k+
         single-chip path.  The resulting session serves query /
-        evaluate_grid / extract_surface / is_done; tactile updates,
-        exploration, hyperopt and checkpointing need an in-core or sharded
-        model (use `bench/ooc_staged.py` for the process-split 100k
-        pipeline with crash resume)."""
+        evaluate_grid / extract_surface / is_done AND tactile update()
+        (bordering with one W-panel stream per batch); exploration,
+        hyperopt and checkpointing need an in-core or sharded model (use
+        `bench/ooc_staged.py` for the process-split 100k pipeline with
+        crash resume)."""
         import time as _time
 
         _t0 = _time.perf_counter()
@@ -195,7 +196,7 @@ class ObjectModelSession:
             raise ValueError(
                 f"{op} is not supported on an out-of-core model (its factor "
                 "lives in a panel store, not on device); query/evaluate_grid/"
-                "extract_surface/is_done work — for tactile exploration fit "
+                "extract_surface/is_done/update work — for exploration fit "
                 "in-core or sharded, and for the 100k pipeline with "
                 "persistence use bench/ooc_staged.py"
             )
@@ -281,7 +282,22 @@ class ObjectModelSession:
         """Reference `update` service (§4.5): append tactile points (label 0,
         low touch noise) and refit incrementally."""
         self._require_model()
-        self._reject_ooc('update')
+        if hasattr(self.model, "wstore"):
+            # Out-of-core model: bordering with the factor streamed from the
+            # panel store (one W stream per batch, linalg.outofcore
+            # .ooc_update) — the in-core tail block holds up to
+            # touch_capacity points, then overflows with guidance.
+            pts = self.frame.to_normalized(
+                jnp.asarray(np.asarray(touch_points_world, self.config.dtype))
+            )
+            y = (jnp.zeros(pts.shape[0], pts.dtype) if targets is None
+                 else jnp.asarray(targets, pts.dtype))
+            cap = max(int(self.config.touch_capacity), 64)
+            self.model = self.model.update(
+                pts, y, self.config.noise_touch, tail_capacity=cap)
+            log.info("update(out-of-core): +%d touch points (%d/%d tail "
+                     "slots)", pts.shape[0], self.model.n_tail, cap)
+            return self
         if hasattr(self.model, "mesh"):
             # Both sharded models (value-only and joint) implement the
             # tail-band bordering update; touch points land in preallocated

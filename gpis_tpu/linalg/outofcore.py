@@ -95,7 +95,7 @@ def _mmh(a, b):
 __all__ = ["HostPanelStore", "DevicePanelStore", "TieredPanelStore",
            "DeviceBudget", "ooc_cholesky", "ooc_trsm", "ooc_solve_alpha",
            "ooc_alpha_backward", "ooc_factor_phase", "ooc_solve_phase",
-           "ooc_predict", "ooc_fit", "OOCModel"]
+           "ooc_predict", "ooc_fit", "ooc_update", "OOCModel"]
 
 
 # ------------------------------------------------------------ panel stores
@@ -968,6 +968,32 @@ def _mean_chunk(name, q, x, params, alpha):
     return _mmh(kq, alpha)
 
 
+@functools.partial(jax.jit, static_argnames=("name",))
+def _mean_tail_chunk(name, q, x, params, alpha, tail_x, tail_mask,
+                     tail_alpha, tail_a, tail_chol):
+    """Mean + tail variance correction for an updated model (one chunk).
+
+    The core kq is materialized once and reused for BOTH the mean GEMV and
+    s = kq A — the tail's share of the quadratic form: the bordered
+    factor's tail rows act on a query column as Lt^{-1}(kq2 - V^T W kq1),
+    and V^T W kq1 = (W^T V)^T kq1 = A^T kq1, so no second W stream is
+    needed.  Unused tail slots: masked kq2 columns, zero A columns, and
+    Lt's identity pad rows keep them exactly inert.  Returns (mean,
+    quad_tail)."""
+    if _use_pallas_small() and x.shape[0] % 256 == 0:
+        from gpis_tpu.kernels.pallas_gram import cross_cov_pallas
+
+        kq = cross_cov_pallas(name, q, x, params)
+    else:
+        kq = kg.cross_cov(name, q, x, params)
+    kq2 = kg.cross_cov(name, q, tail_x, params) * tail_mask[None, :]
+    mean = _mmh(kq, alpha) + _mmh(kq2, tail_alpha)
+    s = _mmh(kq, tail_a)                       # (chunk, T)
+    tv = jax.scipy.linalg.solve_triangular(
+        tail_chol, (kq2 - s).T, lower=True)    # (T, chunk)
+    return mean, jnp.sum(tv * tv, axis=0)
+
+
 # ----------------------------------------------------------------- phases
 
 
@@ -1082,9 +1108,21 @@ def ooc_predict(model: "OOCModel", q, *, chunk: int = 8192):
     qp = jnp.pad(q, ((0, pad), (0, 0))) if pad else q
     chunks = [qp[i:i + chunk] for i in range(0, qp.shape[0], chunk)]
 
-    means = [_mean_chunk(model.kernel, ch, model.x, model.params, model.alpha)
-             for ch in chunks]
-    quads = [jnp.zeros((chunk,), model.dtype) for _ in chunks]
+    if model.n_tail:
+        cap = model.tail_v.shape[1]
+        mask = (jnp.arange(cap) < model.n_tail).astype(model.dtype)
+        pairs = [_mean_tail_chunk(model.kernel, ch, model.x, model.params,
+                                  model.alpha, model.tail_x, mask,
+                                  model.tail_alpha, model.tail_a,
+                                  model.tail_chol)
+                 for ch in chunks]
+        means = [m for m, _ in pairs]
+        quads = [qt for _, qt in pairs]
+    else:
+        means = [_mean_chunk(model.kernel, ch, model.x, model.params,
+                             model.alpha)
+                 for ch in chunks]
+        quads = [jnp.zeros((chunk,), model.dtype) for _ in chunks]
     nb = c // model.panel
     for j, w_full in _Prefetcher(model.wstore, range(nb), pad_to=c):
         for i, ch in enumerate(chunks):
@@ -1109,7 +1147,14 @@ def ooc_predict(model: "OOCModel", q, *, chunk: int = 8192):
 @dataclasses.dataclass
 class OOCModel:
     """Query handle for an out-of-core fit: replicated small state on device,
-    W panels in the store."""
+    W panels in the store.
+
+    Tactile updates (`ooc_update`) border the factor WITHOUT touching the
+    panel store: the tail block lives in-core as V = W K(X, X_tail),
+    A = W^T V, and the tail Schur factor Lt — see ooc_update for the
+    algebra.  `u` (= L^{-1} y, accumulated free during the factorization)
+    is required for updates; fits persisted before it existed load with
+    u=None and reject update with guidance."""
 
     kernel: str
     x: jax.Array          # (C, 3)
@@ -1120,6 +1165,16 @@ class OOCModel:
     wstore: object        # PanelStore of W = L^{-1} trimmed row panels
     panel: int
     n_real: int
+    u: jax.Array | None = None       # L^{-1} y from the fit
+    alpha0: jax.Array | None = None  # pre-update core alpha (W^T u)
+    n_tail: int = 0
+    tail_x: jax.Array | None = None      # (T, 3)
+    tail_y: jax.Array | None = None      # (T,)
+    tail_noise: jax.Array | None = None  # (T,)
+    tail_v: jax.Array | None = None      # V = W K(X, X_tail)     (C, T)
+    tail_a: jax.Array | None = None      # A = W^T V = K^{-1} K(X, X_tail)
+    tail_chol: jax.Array | None = None   # Lt, identity on unused slots
+    tail_alpha: jax.Array | None = None  # (T,)
 
     @property
     def capacity(self) -> int:
@@ -1131,6 +1186,120 @@ class OOCModel:
 
     def predict(self, q, *, chunk: int = 8192):
         return ooc_predict(self, q, chunk=chunk)
+
+    def update(self, new_x, new_y, new_noise, *, tail_capacity: int = 256):
+        return ooc_update(self, new_x, new_y, new_noise,
+                          tail_capacity=tail_capacity)
+
+
+def ooc_update(model: OOCModel, new_x, new_y, new_noise, *,
+               tail_capacity: int = 256) -> OOCModel:
+    """Tactile bordering update of an out-of-core fit (reference §4.5
+    `cb_update`, at beyond-HBM scale).
+
+    The bordered factor is  L_full = [[L, 0], [V^T, Lt]]  with
+    V = W K(X, X_new) and Lt = chol(K_new + diag(noise) - V^T V): the panel
+    store is NEVER rewritten — the tail block stays in-core ((C, T) plus
+    (T, T), T = tail_capacity).  ONE streaming pass over the W panels per
+    touch batch computes both V's new columns and A = W^T V's (A feeds the
+    alpha correction and the query-time tail variance, where
+    V^T (W kq^T) = A^T kq^T reuses the mean path's materialized kq —
+    queries stay a single W stream).  Posteriors:
+
+        u_t     = Lt^{-1} (y_tail - V^T u),     u = L^{-1} y (from the fit)
+        alpha   = alpha0 - A Lt^{-T} u_t        (core rows)
+        alpha_t = Lt^{-T} u_t                   (tail rows)
+
+    Cost per batch: one W stream (the same traffic as one predict call) +
+    O(C·T) GEMMs.  Overflow past tail_capacity raises — fold the touches
+    into a refit at that point (session.update does).  Exact parity with
+    the dense bordering tested in tests/test_outofcore.py."""
+    if model.u is None:
+        raise ValueError(
+            "this out-of-core fit predates the stored forward-substitution "
+            "vector u; refit (ooc_fit / ooc_factor_phase) to enable updates"
+        )
+    dt = model.dtype
+    new_x = jnp.asarray(new_x, dt)
+    t = int(new_x.shape[0])
+    new_y = jnp.broadcast_to(jnp.asarray(new_y, dt), (t,))
+    new_noise = jnp.broadcast_to(jnp.asarray(new_noise, dt), (t,))
+    occ = int(model.n_tail)
+    cap = int(tail_capacity if model.tail_v is None
+              else model.tail_v.shape[1])
+    if occ + t > cap:
+        raise ValueError(
+            f"touch tail is full ({occ}+{t} > capacity {cap}); fold the "
+            f"tail into a refit (session.update does this automatically "
+            f"for in-core models) or raise tail_capacity"
+        )
+    c = model.capacity
+    if model.tail_v is None:
+        tail_x = jnp.zeros((cap, 3), dt)
+        tail_y = jnp.zeros((cap,), dt)
+        tail_noise = jnp.ones((cap,), dt)
+        tail_v = jnp.zeros((c, cap), dt)
+        tail_a = jnp.zeros((c, cap), dt)
+        tail_chol = jnp.eye(cap, dtype=dt)
+    else:
+        tail_x, tail_y, tail_noise = model.tail_x, model.tail_y, model.tail_noise
+        tail_v, tail_a, tail_chol = model.tail_v, model.tail_a, model.tail_chol
+    alpha0 = model.alpha0 if model.alpha0 is not None else model.alpha
+
+    # One pass over the W panels: rows of v_new land per panel; a_new
+    # accumulates the W^T contraction of the same product.
+    k_n = kg.cross_cov(model.kernel, model.x, new_x, model.params)  # (C, t)
+    v_rows = []
+    a_new = jnp.zeros((c, t), dt)
+    nb = c // model.panel
+    for j, w_full in _Prefetcher(model.wstore, range(nb), pad_to=c):
+        g = _mmh(w_full, k_n)            # (panel, t)
+        a_new = a_new + _mmh(w_full.T, g)
+        v_rows.append(g)
+        del w_full
+    v_new = jnp.concatenate(v_rows)      # (C, t)
+
+    # Tail Schur bordering (in-core, occupied slots only — occ is host-side
+    # so the slices are static).
+    s22 = (kg.gram_reference(model.kernel, new_x, model.params,
+                             noise=new_noise)
+           - _mmh(v_new.T, v_new))
+    if occ:
+        lt_occ = tail_chol[:occ, :occ]
+        s21 = (kg.cross_cov(model.kernel, new_x, tail_x[:occ], model.params)
+               - _mmh(v_new.T, tail_v[:, :occ]))
+        b21 = jax.scipy.linalg.solve_triangular(
+            lt_occ, s21.T, lower=True).T                       # (t, occ)
+        s22 = s22 - _mmh(b21, b21.T)
+        tail_chol = tail_chol.at[occ:occ + t, :occ].set(b21)
+    l22 = jnp.linalg.cholesky(s22)
+    if bool(jnp.isnan(l22).any()):
+        raise FloatingPointError(
+            "tail bordering Cholesky produced NaN — touch noise too small "
+            "for this dtype; raise noise_touch"
+        )
+    occ2 = occ + t
+    tail_chol = tail_chol.at[occ:occ2, occ:occ2].set(l22)
+    tail_x = tail_x.at[occ:occ2].set(new_x)
+    tail_y = tail_y.at[occ:occ2].set(new_y)
+    tail_noise = tail_noise.at[occ:occ2].set(new_noise)
+    tail_v = tail_v.at[:, occ:occ2].set(v_new)
+    tail_a = tail_a.at[:, occ:occ2].set(a_new)
+
+    # Posterior weights from the bordered factor.
+    lt = tail_chol[:occ2, :occ2]
+    u_t = jax.scipy.linalg.solve_triangular(
+        lt, tail_y[:occ2] - _mmh(tail_v[:, :occ2].T, model.u), lower=True)
+    z = jax.scipy.linalg.solve_triangular(lt.T, u_t, lower=False)
+    alpha_core = alpha0 - _mmh(tail_a[:, :occ2], z)
+    tail_alpha = jnp.zeros((cap,), dt).at[:occ2].set(z)
+
+    return dataclasses.replace(
+        model, alpha=jax.block_until_ready(alpha_core), alpha0=alpha0,
+        n_tail=occ2, tail_x=tail_x, tail_y=tail_y, tail_noise=tail_noise,
+        tail_v=tail_v, tail_a=tail_a, tail_chol=tail_chol,
+        tail_alpha=tail_alpha,
+    )
 
 
 def _hbm_budget(panel: int, c: int, itemsize: int, sweep: int = 1) -> int:
@@ -1241,7 +1410,8 @@ def ooc_fit(kernel, x, y, noise, params, *, panel: int, block: int = 256,
     ooc_trsm(st, wstore, yp, panel=panel, block=block,
              accumulate_alpha=False, width_quant=width_quant, sweep=tsw)
     return OOCModel(kernel=kernel, x=xp, y=yp, noise=np_, params=params,
-                    alpha=alpha, wstore=wstore, panel=panel, n_real=n)
+                    alpha=alpha, wstore=wstore, panel=panel, n_real=n,
+                    u=u)
 
 
 # ------------------------------------------------- process-split phases
@@ -1362,8 +1532,8 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
     st.save_manifest()
     state = {"x": np.asarray(xp), "y": np.asarray(yp),
              "noise": np.asarray(np_), "alpha": np.asarray(alpha),
-             "kernel": kernel, "panel": panel, "n_real": n,
-             "block": block, "width_quant": width_quant}
+             "u": np.asarray(u), "kernel": kernel, "panel": panel,
+             "n_real": n, "block": block, "width_quant": width_quant}
     for k, v in params.items():
         state[f"param_{k}"] = np.asarray(v)
     np.savez(os.path.join(spill_dir, "state.npz"), **state)
@@ -1453,4 +1623,5 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
         return None
     return OOCModel(kernel=kernel, x=xp, y=yp, noise=np_, params=params,
                     alpha=alpha, wstore=wstore, panel=panel,
-                    n_real=int(d["n_real"]))
+                    n_real=int(d["n_real"]),
+                    u=jnp.asarray(d["u"]) if "u" in d.files else None)

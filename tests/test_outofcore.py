@@ -439,7 +439,18 @@ def test_session_out_of_core_surface(problem):
     assert mean[0] < -0.5 and abs(mean[1]) < 0.1 and mean[2] > 0.1
     assert np.isfinite(var).all()
     assert isinstance(s.is_done(), bool)
-    for call in (lambda: s.update(q[:1]), lambda: s.save("/tmp/x.npz"),
+
+    # Tactile update works out-of-core: variance at the touch collapses.
+    touch = pts[:1] * 1.02
+    _, v0 = s.query(touch)
+    s.update(touch)
+    assert s.model.n_tail == 1
+    _, v1 = s.query(touch)
+    assert float(v1[0]) < float(v0[0])
+    mean2, _ = s.query(q)
+    assert mean2[0] < -0.5  # posterior still sane away from the touch
+
+    for call in (lambda: s.save("/tmp/x.npz"),
                  lambda: s.next_best_path(),
                  lambda: s.optimize_hyperparameters()):
         with pytest.raises(ValueError, match="out-of-core"):
@@ -579,3 +590,65 @@ def test_evict_all_preserves_compute_dtype(tmp_path):
     assert st.compute_dtype == jnp.float32
     got = ooc._fetch(st, 0, jax.devices()[0])
     assert got.dtype == jnp.float32
+
+def test_ooc_update_matches_incore_bordering(problem):
+    """Tactile bordering on the out-of-core model == the in-core bordering
+    update (same math, factor streamed): posterior parity after one and
+    after two touch batches, including variance at and away from the
+    touches."""
+    x, y, noise, params = problem
+    m = ooc.ooc_fit("rbf", x, y, noise, params, panel=B)
+    ref = gpr.fit("rbf", x, y, noise, params, block=B, touch_capacity=8)
+    ref = gpr.with_linv(ref, block=B)
+
+    rng = np.random.default_rng(23)
+    t1 = jnp.asarray(rng.normal(size=(3, 3)) * 0.8)
+    t2 = jnp.asarray(rng.normal(size=(2, 3)) * 0.8)
+    q = jnp.asarray(rng.normal(size=(64, 3)) * 0.9)
+
+    m1 = m.update(t1, 0.0, 1e-6, tail_capacity=8)
+    ref1 = gpr.update(ref, t1, jnp.zeros(3), 1e-6)
+    mean, var = m1.predict(q, chunk=64)
+    mean_r, var_r = gpr.predict(ref1, q)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
+
+    # Recursive bordering: the second batch borders against core + batch 1.
+    m2 = m1.update(t2, 0.0, 1e-6)
+    ref2 = gpr.update(ref1, t2, jnp.zeros(2), 1e-6)
+    mean, var = m2.predict(q, chunk=64)
+    mean_r, var_r = gpr.predict(ref2, q)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
+
+    # Variance at a touch point collapses toward the touch noise.
+    _, var_t = m2.predict(t1, chunk=64)
+    assert float(jnp.max(var_t)) < 1e-4
+
+    # The original model object is untouched (functional update).
+    mean0, var0 = m.predict(q, chunk=64)
+    mean_r0, var_r0 = gpr.predict(gpr.with_linv(
+        gpr.fit("rbf", x, y, noise, params, block=B, touch_capacity=0),
+        block=B), q)
+    np.testing.assert_allclose(np.asarray(mean0), np.asarray(mean_r0),
+                               atol=1e-6)
+
+
+def test_ooc_update_overflow_raises(problem):
+    x, y, noise, params = problem
+    m = ooc.ooc_fit("rbf", x, y, noise, params, panel=B)
+    rng = np.random.default_rng(5)
+    m = m.update(jnp.asarray(rng.normal(size=(3, 3))), 0.0, 1e-6,
+                 tail_capacity=4)
+    with pytest.raises(ValueError, match="tail is full"):
+        m.update(jnp.asarray(rng.normal(size=(2, 3))), 0.0, 1e-6)
+
+
+def test_ooc_update_requires_u(problem):
+    x, y, noise, params = problem
+    import dataclasses
+
+    m = ooc.ooc_fit("rbf", x, y, noise, params, panel=B)
+    m = dataclasses.replace(m, u=None)
+    with pytest.raises(ValueError, match="refit"):
+        m.update(jnp.zeros((1, 3)), 0.0, 1e-6)
