@@ -66,9 +66,11 @@ class ObjectModelSession:
 
         `out_of_core=True` fits through the panel-streamed factorization
         (`linalg.outofcore`) whose Gram never has to fit HBM — the 100k+
-        single-chip path.  The resulting session serves query /
-        evaluate_grid / extract_surface / is_done AND tactile update()
-        (bordering with one W-panel stream per batch); exploration,
+        single-chip path.  The resulting session serves the full
+        exploration loop — query / evaluate_grid / extract_surface /
+        is_done / next_best_path / tactile update() (bordering with one
+        W-panel stream per batch) — note each variance query streams the
+        spilled part of W, so exploration at 100k wants a fast host link;
         hyperopt and checkpointing need an in-core or sharded model (use
         `bench/ooc_staged.py` for the process-split 100k pipeline with
         crash resume)."""
@@ -196,9 +198,9 @@ class ObjectModelSession:
             raise ValueError(
                 f"{op} is not supported on an out-of-core model (its factor "
                 "lives in a panel store, not on device); query/evaluate_grid/"
-                "extract_surface/is_done/update work — for exploration fit "
-                "in-core or sharded, and for the 100k pipeline with "
-                "persistence use bench/ooc_staged.py"
+                "extract_surface/is_done/update/next_best_path work — for "
+                "hyperopt fit in-core or sharded, and for the 100k pipeline "
+                "with persistence use bench/ooc_staged.py"
             )
 
     def _require_model(self):
@@ -259,7 +261,6 @@ class ObjectModelSession:
         """Reference `get_next_best_path` (§4.4): returns an
         ExplorationResult with world-frame poses."""
         self._require_model()
-        self._reject_ooc('next_best_path')
         seed = None
         if seed_world is not None:
             seed = np.asarray(self.frame.to_normalized(jnp.asarray(seed_world)))

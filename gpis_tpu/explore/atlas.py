@@ -112,7 +112,9 @@ def project_and_chart(model: GPModel, x0, cfg: ExploreConfig, *, cid, parent):
     # traced jit arguments (ADVICE r2 high #1); their expansion runs the
     # same program eagerly — the while_loop/grad pieces still each compile
     # to one XLA program, and the shard_map predicts inside are jitted.
-    fn = _project_chart_impl if hasattr(model, "mesh") else _project_chart_device
+    fn = (_project_chart_impl
+          if hasattr(model, "mesh") or hasattr(model, "wstore")
+          else _project_chart_device)
     x, ok, n, var = fn(model, jnp.asarray(x0, model.dtype))
     if not bool(ok):
         return None

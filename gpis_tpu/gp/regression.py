@@ -239,7 +239,11 @@ def predict(model: GPModel, q, *, precision=None):
     if hasattr(model, "mesh"):  # sharded models (value-only or joint)
         return model.predict(q)
     if hasattr(model, "wstore"):  # out-of-core model (panel-streamed W)
-        return model.predict(q)
+        # Right-size the chunk: the planner probes a handful of points at a
+        # time, and the default 8192 pad would make every probe pay a full
+        # dense-grid chunk of MXU work.
+        m = q.shape[0]
+        return model.predict(q, chunk=min(8192, -(-m // 256) * 256))
     if hasattr(model, "normals"):  # DerivGPModel: joint value+gradient system
         from gpis_tpu.gp import derivative as gpd
 
@@ -305,6 +309,19 @@ def predict_mean(model: GPModel, q):
     """Posterior mean only — the cheap path used by Newton projection
     (reference §4.3), where `jax.grad` of this function supplies the
     posterior gradient the reference computed from kernel derivatives."""
+    if hasattr(model, "wstore"):
+        # Out-of-core model: the mean never touches the panel store — pure
+        # jnp against the replicated alpha (plus the in-core touch tail),
+        # so jax.grad for Newton projection works unchanged.
+        kq = kg.cross_cov(model.kernel, q, model.x, model.params)
+        mean = kq @ model.alpha
+        if model.n_tail:
+            cap = model.tail_v.shape[1]
+            mask = (jnp.arange(cap) < model.n_tail).astype(model.dtype)
+            kq2 = kg.cross_cov(model.kernel, q, model.tail_x,
+                               model.params) * mask[None, :]
+            mean = mean + kq2 @ model.tail_alpha
+        return mean
     if hasattr(model, "normals") and model.normals is not None:
         # Joint system (single-chip or sharded: x/alpha replicated either
         # way).  The cross-covariance layout must mirror alpha's:

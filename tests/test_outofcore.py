@@ -450,8 +450,14 @@ def test_session_out_of_core_surface(problem):
     mean2, _ = s.query(q)
     assert mean2[0] < -0.5  # posterior still sane away from the touch
 
+    # The exploration loop works out-of-core: next_best_path returns a
+    # world-frame pose sequence whose last pose can feed update().
+    res = s.next_best_path()
+    assert res is not None and len(res.path) >= 1
+    s.update(res.path[-1:])
+    assert s.model.n_tail >= 2
+
     for call in (lambda: s.save("/tmp/x.npz"),
-                 lambda: s.next_best_path(),
                  lambda: s.optimize_hyperparameters()):
         with pytest.raises(ValueError, match="out-of-core"):
             call()
