@@ -69,11 +69,11 @@ class ObjectModelSession:
         single-chip path.  The resulting session serves the full
         exploration loop — query / evaluate_grid / extract_surface /
         is_done / next_best_path / tactile update() (bordering with one
-        W-panel stream per batch) — note each variance query streams the
-        spilled part of W, so exploration at 100k wants a fast host link;
-        hyperopt and checkpointing need an in-core or sharded model (use
-        `bench/ooc_staged.py` for the process-split 100k pipeline with
-        crash resume)."""
+        W-panel stream per batch) / save() (W panels land in
+        `path + ".w/"`) — note each variance query streams the spilled
+        part of W, so exploration at 100k wants a fast host link; only
+        hyperopt needs an in-core or sharded model.  `bench/ooc_staged.py`
+        runs the process-split 100k pipeline with crash resume."""
         import time as _time
 
         _t0 = _time.perf_counter()
@@ -197,10 +197,9 @@ class ObjectModelSession:
         if hasattr(self.model, "wstore"):
             raise ValueError(
                 f"{op} is not supported on an out-of-core model (its factor "
-                "lives in a panel store, not on device); query/evaluate_grid/"
-                "extract_surface/is_done/update/next_best_path work — for "
-                "hyperopt fit in-core or sharded, and for the 100k pipeline "
-                "with persistence use bench/ooc_staged.py"
+                "lives in a panel store, not on device); everything else on "
+                "the session surface works out-of-core — for hyperopt fit "
+                "in-core or sharded (or optimize on a subsample and refit)"
             )
 
     def _require_model(self):
@@ -578,7 +577,6 @@ class ObjectModelSession:
     def save(self, path: str):
         """Checkpoint model + frame (SURVEY.md §6 checkpoint/resume)."""
         self._require_model()
-        self._reject_ooc('save')
         ckpt.save_model(path, self.model)
         np.savez(path + ".frame.npz",
                  centroid=np.asarray(self.frame.centroid),

@@ -22,7 +22,11 @@ _FORMAT_VERSION = 1
 
 
 def save_model(path: str, model, *, factor: bool = True) -> None:
-    """Save a GPModel, DerivGPModel (joint normals), or ShardedGPModel."""
+    """Save a GPModel, DerivGPModel (joint normals), ShardedGPModel, or
+    OOCModel (W panels land beside the npz in `path + ".w/"`)."""
+    if hasattr(model, "wstore"):
+        _save_ooc(path, model)
+        return
     if hasattr(model, "mesh"):
         _save_sharded(path, model)
         return
@@ -73,6 +77,94 @@ def save_model(path: str, model, *, factor: bool = True) -> None:
     if factor:
         arrays["chol"] = np.asarray(model.chol)
     np.savez_compressed(path, meta=json.dumps(meta), **arrays)
+
+
+_OOC_TAIL_KEYS = ("tail_x", "tail_y", "tail_noise", "tail_v", "tail_a",
+                  "tail_chol", "tail_alpha")
+
+
+def _save_ooc(path: str, model) -> None:
+    """Out-of-core checkpoint: the replicated small state (x/y/noise/
+    alpha/u + touch tail) in the npz, the W = L^{-1} panels as raw files
+    under `path + ".w/"` in the panel-store manifest format — panels are
+    written AT THEIR STORED DTYPE (a spill-compressed f16 panel stays f16;
+    the manifest records per-panel dtypes and fetches widen back), and a
+    disk-tier panel is copied straight from its backing file without a
+    device round-trip."""
+    import os
+
+    from gpis_tpu.linalg import outofcore as ooc
+
+    wdir = path + ".w"
+    os.makedirs(wdir, exist_ok=True)
+    nb = model.capacity // model.panel
+    panels = {}
+    for j in range(nb):
+        v = model.wstore.get(j)
+        if isinstance(v, ooc._DiskPanel):
+            v = v.read()
+        arr = np.asarray(v)
+        mm = np.memmap(os.path.join(wdir, f"panel_{j}.bin"), dtype=arr.dtype,
+                       mode="w+", shape=arr.shape)
+        mm[:] = arr
+        mm.flush()
+        del mm
+        panels[str(j)] = [list(arr.shape), str(arr.dtype)]
+    manifest = {"panels": panels,
+                "compute_dtype": str(np.dtype(model.dtype))}
+    tmp = os.path.join(wdir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(wdir, "manifest.json"))
+
+    meta = {
+        "format": _FORMAT_VERSION,
+        "kernel": model.kernel,
+        "dtype": str(np.dtype(model.dtype)),
+        "ooc": True,
+        "panel": int(model.panel),
+        "n_real": int(model.n_real),
+        "n_tail": int(model.n_tail),
+        "has_u": model.u is not None,
+    }
+    arrays = {
+        "x": np.asarray(model.x),
+        "y": np.asarray(model.y),
+        "noise": np.asarray(model.noise),
+        "alpha": np.asarray(model.alpha),
+        "param_lengthscale": np.asarray(model.params["lengthscale"]),
+        "param_signal_variance": np.asarray(model.params["signal_variance"]),
+    }
+    if model.u is not None:
+        arrays["u"] = np.asarray(model.u)
+    if model.n_tail:
+        arrays["alpha0"] = np.asarray(model.alpha0)
+        for k in _OOC_TAIL_KEYS:
+            arrays[k] = np.asarray(getattr(model, k))
+    np.savez_compressed(path, meta=json.dumps(meta), **arrays)
+
+
+def _load_ooc(d, meta, path: str):
+    from gpis_tpu.linalg import outofcore as ooc
+
+    panel = int(meta["panel"])
+    c = d["x"].shape[0]
+    budget = ooc.DeviceBudget(ooc._hbm_budget(panel, c, d["x"].dtype.itemsize))
+    wstore = ooc.TieredPanelStore.open_dir(budget, path + ".w")
+    tail = {}
+    if meta.get("n_tail"):
+        tail = {k: jnp.asarray(d[k]) for k in _OOC_TAIL_KEYS}
+        tail["alpha0"] = jnp.asarray(d["alpha0"])
+    return ooc.OOCModel(
+        kernel=meta["kernel"],
+        x=jnp.asarray(d["x"]), y=jnp.asarray(d["y"]),
+        noise=jnp.asarray(d["noise"]), alpha=jnp.asarray(d["alpha"]),
+        params={"lengthscale": jnp.asarray(d["param_lengthscale"]),
+                "signal_variance": jnp.asarray(d["param_signal_variance"])},
+        wstore=wstore, panel=panel, n_real=int(meta["n_real"]),
+        u=jnp.asarray(d["u"]) if meta.get("has_u") else None,
+        n_tail=int(meta.get("n_tail", 0)), **tail,
+    )
 
 
 def _save_sharded(path: str, model) -> None:
@@ -153,6 +245,8 @@ def load_model(path: str):
     meta = json.loads(str(d["meta"]))
     if meta["format"] != _FORMAT_VERSION:
         raise ValueError(f"unsupported checkpoint format {meta['format']}")
+    if meta.get("ooc"):
+        return _load_ooc(d, meta, path)
     if meta.get("sharded"):
         return _load_sharded(d, meta)
     params = {

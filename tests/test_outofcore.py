@@ -457,10 +457,43 @@ def test_session_out_of_core_surface(problem):
     s.update(res.path[-1:])
     assert s.model.n_tail >= 2
 
-    for call in (lambda: s.save("/tmp/x.npz"),
-                 lambda: s.optimize_hyperparameters()):
-        with pytest.raises(ValueError, match="out-of-core"):
-            call()
+    with pytest.raises(ValueError, match="out-of-core"):
+        s.optimize_hyperparameters()
+
+
+def test_session_out_of_core_save_restore(problem, tmp_path):
+    """OOC crash-recovery drill (SURVEY.md §6): fit, touch, save, discard
+    the session, load, REPLAY a pending touch, posterior parity with an
+    uninterrupted session."""
+    from gpis_tpu.api.session import ObjectModelSession
+    from gpis_tpu.config import ModelConfig
+
+    rng = np.random.default_rng(78)
+    pts = rng.normal(size=(300, 3))
+    pts = (pts / np.linalg.norm(pts, axis=1, keepdims=True)).astype(np.float32)
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.7, noise_surface=1e-4)
+    t1, t2 = pts[:1] * 1.02, pts[5:7] * 0.98
+    q = np.array([[0, 0, 0], [0, 0, 0.9], [0.4, 0.4, 0.4]], np.float32)
+
+    s = ObjectModelSession(cfg)
+    s.start(pts, out_of_core=True)
+    s.update(t1)
+    path = str(tmp_path / "ooc_ckpt.npz")
+    s.save(path)
+    del s
+
+    s2 = ObjectModelSession.load(path, cfg)
+    assert hasattr(s2.model, "wstore") and s2.model.n_tail == 1
+    s2.update(t2)  # the replayed post-checkpoint touch
+    mean, var = s2.query(q)
+
+    ref = ObjectModelSession(cfg)
+    ref.start(pts, out_of_core=True)
+    ref.update(t1)
+    ref.update(t2)
+    mean_r, var_r = ref.query(q)
+    np.testing.assert_allclose(mean, mean_r, atol=1e-5)
+    np.testing.assert_allclose(var, var_r, atol=1e-5)
 
 def test_ooc_factor_resume_rejects_changed_y(problem, tmp_path, monkeypatch):
     """The progress checkpoint carries u = L^{-1} y, so a resume must also
