@@ -193,15 +193,6 @@ class ObjectModelSession:
                  ", +normals" if normals is not None else "", self.stats["fit_s"])
         return self
 
-    def _reject_ooc(self, op: str) -> None:
-        if hasattr(self.model, "wstore"):
-            raise ValueError(
-                f"{op} is not supported on an out-of-core model (its factor "
-                "lives in a panel store, not on device); everything else on "
-                "the session surface works out-of-core — for hyperopt fit "
-                "in-core or sharded (or optimize on a subsample and refit)"
-            )
-
     def _require_model(self):
         if self.model is None:
             raise RuntimeError("no model fitted yet; call start(points) first")
@@ -407,8 +398,38 @@ class ObjectModelSession:
         """MLL optimization (config 3) in place; refits with the optimum.
         Dispatches to the joint objective when the model carries normals."""
         self._require_model()
-        self._reject_ooc('optimize_hyperparameters')
         m = self.model
+        if hasattr(m, "wstore"):
+            # Out-of-core model: optimize the MLL on a training-set
+            # subsample (a few thousand points pin lengthscale/noise; the
+            # full objective would need one beyond-HBM factorization per
+            # optimizer step), then refit out-of-core with the optimum.
+            ts = self.training
+            if ts is None:
+                raise ValueError(
+                    "hyperopt on a restored out-of-core session needs the "
+                    "original training set (not part of the checkpoint); "
+                    "re-start() from the cloud, or optimize before saving"
+                )
+            from gpis_tpu.linalg import outofcore as ooc
+
+            sub = int(kw.pop("subsample", 4096))
+            step = max(1, ts.x.shape[0] // sub)
+            xs = jnp.asarray(ts.x[::step])
+            res = ho.optimize(
+                m.kernel, xs, jnp.asarray(ts.y[::step]),
+                jnp.asarray(ts.noise[::step]), m.params,
+                n_real=xs.shape[0], **kw,
+            )
+            scale = float(res.noise_scale)
+            self.model = ooc.ooc_fit(
+                m.kernel, ts.x, ts.y, ts.noise * scale, res.params,
+                panel=m.panel, pad_noise=self.config.pad_noise,
+            )
+            log.info("hyperopt(out-of-core, %d-pt subsample): mll=%.4f "
+                     "ls=%.4f noise x%.3f", xs.shape[0], res.mll,
+                     float(res.params["lengthscale"]), scale)
+            return res
         if hasattr(m, "mesh") and getattr(m, "normals", None) is not None:
             from gpis_tpu.gp import sharded_joint as gsj
 

@@ -457,8 +457,9 @@ def test_session_out_of_core_surface(problem):
     s.update(res.path[-1:])
     assert s.model.n_tail >= 2
 
-    with pytest.raises(ValueError, match="out-of-core"):
-        s.optimize_hyperparameters()
+    # Hyperopt: subsample objective + out-of-core refit with the optimum.
+    res = s.optimize_hyperparameters(steps=3)
+    assert hasattr(s.model, "wstore") and np.isfinite(res.mll)
 
 
 def test_session_out_of_core_save_restore(problem, tmp_path):
