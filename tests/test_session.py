@@ -400,5 +400,17 @@ def test_service_start_normals_and_out_of_core():
         assert out["ok"]
         got = call(port, "/query", {"points": [[0.0, 0.0, 0.0]]})
         assert got["mean"][0] < -0.5
+        # The whole loop is served out-of-core: touch update, next best
+        # path, checkpoint.
+        touch = (pts[:1] * 1.02).tolist()
+        v0 = call(port, "/query", {"points": touch})["var"][0]
+        assert call(port, "/update", {"points": touch})["ok"]
+        v1 = call(port, "/query", {"points": touch})["var"][0]
+        assert v1 < v0
+        import urllib.request as _ur
+        with _ur.urlopen(f"http://127.0.0.1:{port}/next_best_path",
+                         timeout=300) as r:
+            nbp = json_mod.loads(r.read())
+        assert len(nbp["path"]) >= 1
     finally:
         srv.shutdown()
