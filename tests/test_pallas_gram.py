@@ -74,10 +74,14 @@ def test_fused_query_pallas(rng, n):
     mean, quad = fused_query_pallas("rbf", q, m.x, m.params, m.alpha, m.linv)
     var = float(kf.k_diag0("rbf", m.params)) - quad
     # f32 agreement: alpha entries are O(1e2) (noise 1e-3), so the fused
-    # kernel's different summation order shows at the ~1e-3 absolute level.
-    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), atol=1e-3)
+    # kernel's different summation order shows at the ~1e-3 absolute level,
+    # growing with the number of accumulated products (n) — and the exact
+    # noise realization shifts with ambient XLA CPU reduction layouts, so
+    # the bound needs headroom over the observed worst case.
+    atol = 1e-3 * (n / 256)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), atol=atol)
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
-                               rtol=2e-3, atol=1e-3)
+                               rtol=2e-3, atol=atol)
 
 
 def test_gram_band_pallas(rng):
