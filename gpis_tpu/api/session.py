@@ -422,8 +422,23 @@ class ObjectModelSession:
                 n_real=xs.shape[0], **kw,
             )
             scale = float(res.noise_scale)
+            # Fold accumulated tactile touches into the refit — they live
+            # in-core on the model's tail block, and dropping them would
+            # silently revert the posterior at every touched site.  Touch
+            # noise keeps its configured value (scale applies to the
+            # training-set observations the objective saw).
+            fx, fy = ts.x, ts.y
+            fnoise = ts.noise * scale
+            if m.n_tail:
+                occ = m.n_tail
+                fx = np.concatenate([np.asarray(fx),
+                                     np.asarray(m.tail_x[:occ])])
+                fy = np.concatenate([np.asarray(fy),
+                                     np.asarray(m.tail_y[:occ])])
+                fnoise = np.concatenate([np.asarray(fnoise),
+                                         np.asarray(m.tail_noise[:occ])])
             self.model = ooc.ooc_fit(
-                m.kernel, ts.x, ts.y, ts.noise * scale, res.params,
+                m.kernel, fx, fy, fnoise, res.params,
                 panel=m.panel, pad_noise=self.config.pad_noise,
             )
             log.info("hyperopt(out-of-core, %d-pt subsample): mll=%.4f "

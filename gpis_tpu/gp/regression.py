@@ -241,9 +241,12 @@ def predict(model: GPModel, q, *, precision=None):
     if hasattr(model, "wstore"):  # out-of-core model (panel-streamed W)
         # Right-size the chunk: the planner probes a handful of points at a
         # time, and the default 8192 pad would make every probe pay a full
-        # dense-grid chunk of MXU work.
+        # dense-grid chunk of MXU work.  Round UP to 1024 — the fused band
+        # quad kernel's Pallas gate needs chunk % 1024 == 0, and the jnp
+        # fallback it would otherwise take rebuilds kq in HBM per panel at
+        # HIGHEST precision (~50x slower at 100k-class C).
         m = q.shape[0]
-        return model.predict(q, chunk=min(8192, -(-m // 256) * 256))
+        return model.predict(q, chunk=min(8192, -(-m // 1024) * 1024))
     if hasattr(model, "normals"):  # DerivGPModel: joint value+gradient system
         from gpis_tpu.gp import derivative as gpd
 

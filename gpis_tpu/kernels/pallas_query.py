@@ -43,9 +43,23 @@ __all__ = ["fused_query_pallas", "fused_quad_band_pallas"]
 # (GPIS_QTILE_Q/I/C) exist for on-hardware sweeps.
 import os as _os
 
-_TQ = int(_os.environ.get("GPIS_QTILE_Q", "1024"))
-_TI = int(_os.environ.get("GPIS_QTILE_I", "512"))
-_TC = int(_os.environ.get("GPIS_QTILE_C", "256"))
+
+def _tile_env(name: str, default: int) -> int:
+    v = int(_os.environ.get(name, str(default)))
+    # Power-of-two multiples of 128 only: the per-call clamp loop halves
+    # down to a divisor of the capacity, and a stray value (0, 384, ...)
+    # would either divide by zero or degenerate to 1-row blocks with no
+    # error pointing at the env var.
+    if v < 128 or v & (v - 1):
+        raise ValueError(
+            f"{name}={v}: query tile sizes must be powers of two >= 128"
+        )
+    return v
+
+
+_TQ = _tile_env("GPIS_QTILE_Q", 1024)
+_TI = _tile_env("GPIS_QTILE_I", 512)
+_TC = _tile_env("GPIS_QTILE_C", 256)
 # The sharded ring's band kernel keeps fixed tiles: per-chip W bands are
 # C/n_devices rows, frequently smaller than the single-chip TI sweep above.
 _TQB, _TIB, _TCB = 1024, 256, 256

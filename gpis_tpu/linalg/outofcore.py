@@ -320,6 +320,26 @@ class TieredPanelStore(_PanelStoreBase):
             except OSError:
                 pass
 
+    def put_host(self, j: int, arr) -> None:
+        """Write a host array straight to the disk tier — no device round
+        trip.  Checkpoint writers use this to persist panels at their
+        stored dtype while keeping the on-disk format (panel naming,
+        per-panel dtype metadata, manifest) owned by this class."""
+        import os
+
+        if self._spill_dir is None:
+            raise ValueError("put_host needs a spill_dir-backed store")
+        arr = np.asarray(arr)
+        path = os.path.join(self._spill_dir, f"panel_{j}.bin")
+        mm = np.memmap(path, dtype=arr.dtype, mode="w+", shape=arr.shape)
+        mm[:] = arr
+        mm.flush()
+        del mm
+        with self._cv:
+            self._p[j] = _DiskPanel(path, arr.shape, arr.dtype)
+            self._meta[j] = (False, 0)
+            self._cv.notify_all()
+
     def clear(self) -> None:
         """Free every panel AND the manifest: free() unlinks panel files,
         and a manifest left behind would otherwise make a later open_dir
@@ -1256,6 +1276,12 @@ def ooc_update(model: OOCModel, new_x, new_y, new_noise, *,
         g = _mmh(w_full, k_n)            # (panel, t)
         a_new = a_new + _mmh(w_full.T, g)
         v_rows.append(g)
+        # Bound live pad-to-full-width buffers to ~2 (this one + the
+        # prefetched next): without the barrier, async dispatch keeps every
+        # (panel, C) buffer alive until its GEMMs retire — an HBM OOM at
+        # exactly the beyond-HBM scale this path exists for (same pattern
+        # as ooc_predict's panel loop).
+        jax.block_until_ready(a_new)
         del w_full
     v_new = jnp.concatenate(v_rows)      # (C, t)
 

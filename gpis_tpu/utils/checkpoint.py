@@ -98,24 +98,19 @@ def _save_ooc(path: str, model) -> None:
     wdir = path + ".w"
     os.makedirs(wdir, exist_ok=True)
     nb = model.capacity // model.panel
-    panels = {}
+    # Delegate the on-disk format to the panel store itself (a zero-budget
+    # store routes every put to the disk tier): panel naming, per-panel
+    # dtype metadata, and the atomic manifest replace live in ONE place —
+    # TieredPanelStore — so checkpoints stay readable by open_dir whatever
+    # the store format grows next.
+    out = ooc.TieredPanelStore(ooc.DeviceBudget(0), spill_dir=wdir)
     for j in range(nb):
         v = model.wstore.get(j)
         if isinstance(v, ooc._DiskPanel):
             v = v.read()
-        arr = np.asarray(v)
-        mm = np.memmap(os.path.join(wdir, f"panel_{j}.bin"), dtype=arr.dtype,
-                       mode="w+", shape=arr.shape)
-        mm[:] = arr
-        mm.flush()
-        del mm
-        panels[str(j)] = [list(arr.shape), str(arr.dtype)]
-    manifest = {"panels": panels,
-                "compute_dtype": str(np.dtype(model.dtype))}
-    tmp = os.path.join(wdir, "manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(wdir, "manifest.json"))
+        out.put_host(j, np.asarray(v))  # written at the STORED dtype
+    out.compute_dtype = model.dtype
+    out.save_manifest()
 
     meta = {
         "format": _FORMAT_VERSION,

@@ -692,3 +692,24 @@ def test_ooc_update_requires_u(problem):
     m = dataclasses.replace(m, u=None)
     with pytest.raises(ValueError, match="refit"):
         m.update(jnp.zeros((1, 3)), 0.0, 1e-6)
+
+def test_ooc_hyperopt_preserves_touches(problem):
+    """optimize_hyperparameters on an OOC session must fold accumulated
+    tactile touches into the refit — dropping them would silently revert
+    the posterior at every touched site (review finding)."""
+    from gpis_tpu.api.session import ObjectModelSession
+    from gpis_tpu.config import ModelConfig
+
+    rng = np.random.default_rng(79)
+    pts = rng.normal(size=(300, 3))
+    pts = (pts / np.linalg.norm(pts, axis=1, keepdims=True)).astype(np.float32)
+    s = ObjectModelSession(ModelConfig(kernel="rbf", lengthscale=0.7,
+                                       noise_surface=1e-4))
+    s.start(pts, out_of_core=True)
+    touch = pts[:1] * 1.3  # off-surface: prior variance there is high
+    _, v_pre = s.query(touch)
+    s.update(touch)
+    s.optimize_hyperparameters(steps=2)
+    _, v_post = s.query(touch)
+    # The refit model observed the touch: variance stays collapsed.
+    assert float(v_post[0]) < 0.5 * float(v_pre[0])
