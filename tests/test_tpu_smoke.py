@@ -293,3 +293,39 @@ def test_sharded_band_kernels_mesh1_compiled(prob):
     var_ref = 1.0 - jnp.sum(v * v, axis=0)
     np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), atol=2e-3)
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref), atol=5e-2)
+
+
+def test_ooc_pipeline_compiled(prob):
+    """Out-of-core fit + streamed bordering update + streamed query,
+    COMPILED on the chip: covers the panel kernels' Mosaic paths (band
+    Gram, masked GEMMs, fused band quad with the DMA-elision index map)
+    plus the tail-correction algebra at a small tiled size."""
+    from gpis_tpu.linalg import outofcore as ooc
+
+    x, noise, params = prob
+    rng = np.random.default_rng(31)
+    y = jnp.asarray(rng.normal(size=N) * 0.2, DT)
+    m = ooc.ooc_fit("rbf", x, y, noise, params, panel=256)
+    q = jnp.asarray(rng.normal(size=(64, 3)), DT)
+    mean, var = m.predict(q, chunk=1024)
+    assert np.isfinite(np.asarray(mean)).all()
+    assert (np.asarray(var) >= 0).all()
+
+    # Reference posterior from the in-core path on the same chip.
+    from gpis_tpu.gp import regression as gpr
+
+    ref = gpr.with_linv(
+        gpr.fit("rbf", x, y, noise, params, block=256, touch_capacity=0),
+        block=256)
+    mean_r, var_r = gpr.predict(ref, q, precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=5e-3)
+
+    # Streamed bordering update: variance at the touch collapses.
+    touch = jnp.asarray(rng.normal(size=(2, 3)), DT)
+    touch = touch / jnp.linalg.norm(touch, axis=1, keepdims=True) * 1.2
+    _, v0 = m.predict(touch, chunk=1024)
+    m2 = m.update(touch, 0.0, 1e-4)
+    _, v1 = m2.predict(touch, chunk=1024)
+    assert float(jnp.max(v1)) < float(jnp.min(v0))
