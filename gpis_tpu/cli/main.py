@@ -68,6 +68,10 @@ def main(argv=None):
                    help="use surface normals from the cloud file as derivative observations")
     p.add_argument("--profile", metavar="DIR",
                    help="write a jax.profiler trace of the fit to DIR (Perfetto/XProf)")
+    p.add_argument("--out-of-core", action="store_true",
+                   help="panel-streamed fit for clouds whose Gram exceeds "
+                        "HBM (the 100k+ single-chip path); the checkpoint's "
+                        "W panels land beside the output in OUTPUT.w/")
     _add_model_args(p)
 
     p = sub.add_parser("mesh", help="extract isosurface mesh from a model")
@@ -139,7 +143,8 @@ def main(argv=None):
             raise SystemExit(f"--normals given but {args.cloud} has no normals")
         with trace(args.profile):
             sess = ObjectModelSession(model_cfg, explore_cfg, mesh_cfg).start(
-                pts, normals=nrm if args.normals else None
+                pts, normals=nrm if args.normals else None,
+                out_of_core=args.out_of_core,
             )
         sess.save(args.output)
         print(f"model saved to {args.output} (capacity {sess.model.capacity})"
