@@ -2,10 +2,13 @@
 (SURVEY.md §4.1/§4.4/§4.5 — start_process / get_next_best_path / update)
 timed end-to-end through `ObjectModelSession` on the active backend.
 
-    python bench/session_scenario.py [n_surface=16256] [--normals]
+    python bench/session_scenario.py [n_surface=16256] [--normals] [--ooc]
 
 --normals runs the config-2 joint model (surface normals as derivative
 observations; the joint system is 4x the point count) at the given size.
+--ooc runs the out-of-core model (panel-streamed factor; every variance
+query re-streams the spilled part of W, so this measures the streamed
+service loop a beyond-HBM session pays).
 
 Emits one JSON line per verb (steady-state where the verb is repeatable)
 plus a total.  This is the user-facing wall-clock: everything the CLI and
@@ -32,8 +35,11 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 16256
     use_normals = "--normals" in sys.argv
+    use_ooc = "--ooc" in sys.argv
+    if use_normals and use_ooc:
+        raise SystemExit("--normals and --ooc are mutually exclusive")
     print(json.dumps({"backend": jax.default_backend(), "n_surface": n,
-                      "normals": use_normals}), flush=True)
+                      "normals": use_normals, "ooc": use_ooc}), flush=True)
 
     cfg = ModelConfig(kernel="rbf", lengthscale=0.4, noise_surface=1e-3,
                       n_external=127, n_internal=1, block=128,
@@ -59,9 +65,10 @@ def main():
     sess = ObjectModelSession(cfg, ecfg)
     # start is not idempotent-cheap to warm; time the second call (the
     # first compiles) on a fresh session each time.
-    ObjectModelSession(cfg, ecfg).start(pts, normals=normals)  # compile round
+    ObjectModelSession(cfg, ecfg).start(pts, normals=normals,
+                                        out_of_core=use_ooc)  # compile round
     t0 = time.perf_counter()
-    sess.start(pts, normals=normals)
+    sess.start(pts, normals=normals, out_of_core=use_ooc)
     t_start = time.perf_counter() - t0
     print(json.dumps({"verb": "start(fit)", "seconds": round(t_start, 3)}),
           flush=True)
