@@ -55,7 +55,8 @@ def test_gram_pallas_f64(rng):
 
 
 @pytest.mark.parametrize("n", [256, 1024])
-def test_fused_query_pallas(rng, n):
+@pytest.mark.parametrize("kernel", ["rbf", "thin_plate"])
+def test_fused_query_pallas(rng, n, kernel):
     """Fused assemble+GEMM query kernel == linv predict path.  n=256 clamps
     the sweep-tunable tiles down to the capacity; n=1024 runs the default
     TALL TI (TI=512 != TC) — covering the generalized liveness predicate
@@ -63,16 +64,25 @@ def test_fused_query_pallas(rng, n):
     from gpis_tpu.gp import regression as gpr
     from gpis_tpu.kernels.pallas_query import fused_query_pallas
 
-    x = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    x = rng.normal(size=(n, 3))
+    if kernel == "thin_plate":
+        # Thin-plate is only conditionally positive definite: random
+        # Gaussian clouds with small noise go indefinite in f32.  Use the
+        # GPIS geometry (unit sphere, scale R > diameter) and more noise.
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        ls, noise = 2.5, 1e-2
+    else:
+        ls, noise = 0.8, 1e-3
+    x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(rng.normal(size=n) * 0.2, jnp.float32)
-    params = {k: v.astype(jnp.float32) for k, v in kf.kernel_params(0.8, 1.0).items()}
-    m = gpr.fit("rbf", x, y, 1e-3, params, block=128, touch_capacity=0)
+    params = {k: v.astype(jnp.float32) for k, v in kf.kernel_params(ls, 1.0).items()}
+    m = gpr.fit(kernel, x, y, noise, params, block=128, touch_capacity=0)
     m = gpr.with_linv(m, block=128)
     q = jnp.asarray(rng.normal(size=(100, 3)), jnp.float32)
 
     mean_ref, var_ref = gpr.predict(m, q)
-    mean, quad = fused_query_pallas("rbf", q, m.x, m.params, m.alpha, m.linv)
-    var = float(kf.k_diag0("rbf", m.params)) - quad
+    mean, quad = fused_query_pallas(kernel, q, m.x, m.params, m.alpha, m.linv)
+    var = float(kf.k_diag0(kernel, m.params)) - quad
     # f32 agreement: alpha entries are O(1e2) (noise 1e-3), so the fused
     # kernel's different summation order shows at the ~1e-3 absolute level,
     # growing with the number of accumulated products (n) — and the exact
