@@ -4,11 +4,13 @@
 mean = kq @ alpha and v = W kq^T, quad = colsum(v^2).  This kernel fuses all
 of it: each (TI, TC) tile of W meets a (TQ, TC) tile of kq that is
 *generated in VMEM* from the coordinate vectors — the cross-covariance never
-exists in HBM.  Per query chunk the only HBM traffic is W itself (read
-once) plus O(M) outputs.
+exists in HBM.  Per query chunk the only HBM traffic is W's lower triangle
+(read once per TQ-sized query tile; dead upper-half DMAs are elided by the
+index map) plus O(M) outputs.
 
     grid (M/TQ, C/TI, C/TC), c innermost:
-      r2/kq tile from per-dim coordinate broadcasts (VPU)
+      r2/kq tile from per-dim coordinate broadcasts (VPU), gated to the
+        live lower-triangular half plus the i==0 mean plane
       v_scratch (TI, TQ) accumulates W_tile @ kq^T over c     (MXU)
       at the last c-tile: quad[mq] += colsum(v^2)
       mean[mq] accumulates kq @ alpha on the i==0 plane
