@@ -1244,6 +1244,21 @@ def ooc_update(model: OOCModel, new_x, new_y, new_noise, *,
     t = int(new_x.shape[0])
     new_y = jnp.broadcast_to(jnp.asarray(new_y, dt), (t,))
     new_noise = jnp.broadcast_to(jnp.asarray(new_noise, dt), (t,))
+    # Spill-compressed W stores (w_dtype=float16) cannot support bordering:
+    # W entries scale like 1/sqrt(noise) (O(1e2) here), so eps_f16 relative
+    # rounding is O(1e-1) ABSOLUTE in the spilled rows — tolerable inside
+    # the variance quad (squares of a relative error), but V = W K(X, X_B)
+    # and A = W^T V feed the posterior-mean correction directly (measured:
+    # 0.65 absolute error in A, 0.7 in the updated mean on a 1024-point
+    # problem with one spilled panel).  Refuse rather than corrupt.
+    sd = getattr(model.wstore, "_spill_dtype", None)
+    if sd is not None and jnp.dtype(sd).itemsize < jnp.dtype(dt).itemsize:
+        raise ValueError(
+            "tactile updates need the uncompressed W factor: this fit used "
+            f"w_dtype={jnp.dtype(sd).name} spill compression, whose rounding "
+            "is amplified into the posterior-mean correction (fine for "
+            "variance-only queries).  Refit with w_dtype=None to update."
+        )
     occ = int(model.n_tail)
     cap = int(tail_capacity if model.tail_v is None
               else model.tail_v.shape[1])

@@ -713,3 +713,15 @@ def test_ooc_hyperopt_preserves_touches(problem):
     _, v_post = s.query(touch)
     # The refit model observed the touch: variance stays collapsed.
     assert float(v_post[0]) < 0.5 * float(v_pre[0])
+
+def test_ooc_update_rejects_f16_spilled_w(problem):
+    """Bordering on a spill-compressed W store is refused: W entries are
+    O(1/sqrt(noise)), so f16 rounding is O(1e-1) ABSOLUTE in spilled rows —
+    tolerable squared inside the variance quad, catastrophic in the
+    posterior-mean correction (measured 0.7 absolute).  The error message
+    guides to an uncompressed refit."""
+    x, y, noise, params = problem
+    m = ooc.ooc_fit("rbf", x, y, noise, params, panel=B, store="tiered",
+                    device_budget=2 * B * C * 8, w_dtype=jnp.float16)
+    with pytest.raises(ValueError, match="w_dtype=None"):
+        m.update(jnp.zeros((1, 3)).at[0, 0].set(0.8), 0.0, 1e-6)
