@@ -420,6 +420,7 @@ def test_ooc_solve_phase_resumes_after_crash(problem, tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_session_out_of_core_surface(problem):
     """session.start(out_of_core=True) serves query/grid/is_done; mutation
     verbs reject with a clear message."""
@@ -462,6 +463,7 @@ def test_session_out_of_core_surface(problem):
     assert hasattr(s.model, "wstore") and np.isfinite(res.mll)
 
 
+@pytest.mark.slow
 def test_session_out_of_core_save_restore(problem, tmp_path):
     """OOC crash-recovery drill (SURVEY.md §6): fit, touch, save, discard
     the session, load, REPLAY a pending touch, posterior parity with an
@@ -693,6 +695,7 @@ def test_ooc_update_requires_u(problem):
     with pytest.raises(ValueError, match="refit"):
         m.update(jnp.zeros((1, 3)), 0.0, 1e-6)
 
+@pytest.mark.slow
 def test_ooc_hyperopt_preserves_touches(problem):
     """optimize_hyperparameters on an OOC session must fold accumulated
     tactile touches into the refit — dropping them would silently revert
