@@ -99,7 +99,10 @@ def make_server(session: ObjectModelSession, host: str = "127.0.0.1", port: int 
                         self._send(200, {"mean": mean.tolist(), "var": var.tolist()})
                     elif self.path == "/update":
                         session.update(np.asarray(req["points"], np.float64))
-                        n_touch = int(getattr(session.model, "n_touch", 0))
+                        m = session.model
+                        # OOCModel counts touches in its tail block.
+                        n_touch = int(getattr(m, "n_touch",
+                                              getattr(m, "n_tail", 0)))
                         self._send(200, {"ok": True, "n_touch": n_touch})
                     elif self.path == "/save":
                         session.save(req["path"])
@@ -112,7 +115,9 @@ def make_server(session: ObjectModelSession, host: str = "127.0.0.1", port: int 
                         self._send(200, {
                             "ok": True,
                             "capacity": int(session.model.capacity),
-                            "n_touch": int(getattr(session.model, "n_touch", 0)),
+                            "n_touch": int(getattr(
+                                session.model, "n_touch",
+                                getattr(session.model, "n_tail", 0))),
                         })
                     elif self.path == "/hyperopt":
                         kw = {"steps": int(req.get("steps", 100))}

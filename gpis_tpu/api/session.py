@@ -394,6 +394,20 @@ class ObjectModelSession:
 
     # ------------------------------------------------------------ hyperopt
 
+    def _replay_joint_touches(self, old) -> None:
+        """Re-border the accumulated touch observations of a pre-refit
+        sharded-joint model into the freshly refitted one: a hyperopt
+        refit from core points alone would silently revert the posterior
+        at every touched site (review finding r3c; the OOC branch folds
+        its tail for the same reason)."""
+        if getattr(old, "n_touch", 0):
+            c = old.n0
+            self.model = self.model.update(
+                old.x[c:c + old.n_touch],
+                old.y[4 * c:4 * c + old.n_touch],
+                old.noise_f[c:c + old.n_touch],
+            )
+
     def optimize_hyperparameters(self, **kw):
         """MLL optimization (config 3) in place; refits with the optimum.
         Dispatches to the joint objective when the model carries normals."""
@@ -413,6 +427,13 @@ class ObjectModelSession:
                 )
             from gpis_tpu.linalg import outofcore as ooc
 
+            method = kw.pop("method", "subsample")
+            if method != "subsample":
+                raise ValueError(
+                    f"unknown hyperopt method {method!r} for an out-of-core "
+                    "model (only 'subsample' exists: the full objective "
+                    "would cost one beyond-HBM factorization per step)"
+                )
             sub = int(kw.pop("subsample", 4096))
             step = max(1, ts.x.shape[0] // sub)
             xs = jnp.asarray(ts.x[::step])
@@ -471,6 +492,7 @@ class ObjectModelSession:
                     touch_capacity=self.config.touch_capacity,
                     pad_noise=m.pad_noise,
                 )
+                self._replay_joint_touches(m)
                 log.info(
                     "hyperopt(sharded joint, distributed): mll=%.4f ls=%.4f "
                     "noise x%.3f", res_d["mll"],
@@ -496,12 +518,17 @@ class ObjectModelSession:
                 m.noise_f[:n:step], m.noise_g[:n:step], m.params,
                 n_real=m.x[:n:step].shape[0], **kw,
             )
+            # The refit must use the LEARNED noise scale (the reported mll
+            # was evaluated at scaled noise) and must not drop accumulated
+            # touches (review findings r3c).
             self.model = gsj.fit_sharded_joint(
-                m.kernel, m.x[:n], m.y[:n], m.normals[:n], m.noise_f[:n],
+                m.kernel, m.x[:n], m.y[:n], m.normals[:n],
+                m.noise_f[:n] * float(res.noise_scale),
                 m.noise_g[:n], res.params, mesh=m.mesh, block=m.block,
                 touch_capacity=self.config.touch_capacity,
                 pad_noise=m.pad_noise,
             )
+            self._replay_joint_touches(m)
             log.info("hyperopt(sharded joint, %d-pt subsample): mll=%.4f ls=%.4f",
                      m.x[:n:step].shape[0], res.mll,
                      float(res.params["lengthscale"]))

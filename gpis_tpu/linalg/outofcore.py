@@ -320,6 +320,21 @@ class TieredPanelStore(_PanelStoreBase):
             except OSError:
                 pass
 
+    def has_compressed_panels(self) -> bool:
+        """True if any disk panel is stored NARROWER than the compute
+        dtype.  The configured _spill_dtype alone is not enough: a store
+        reattached via open_dir with a different w_dtype still serves the
+        panels the manifest records (e.g. a TRSM resumed with w_dtype=None
+        over an f16-spilled prefix)."""
+        cd = self.compute_dtype
+        if cd is None:
+            return False
+        w = jnp.dtype(cd).itemsize
+        with self._cv:
+            return any(isinstance(v, _DiskPanel)
+                       and np.dtype(v.dtype).itemsize < w
+                       for v in self._p.values())
+
     def put_host(self, j: int, arr) -> None:
         """Write a host array straight to the disk tier — no device round
         trip.  Checkpoint writers use this to persist panels at their
@@ -1252,11 +1267,18 @@ def ooc_update(model: OOCModel, new_x, new_y, new_noise, *,
     # 0.65 absolute error in A, 0.7 in the updated mean on a 1024-point
     # problem with one spilled panel).  Refuse rather than corrupt.
     sd = getattr(model.wstore, "_spill_dtype", None)
-    if sd is not None and jnp.dtype(sd).itemsize < jnp.dtype(dt).itemsize:
+    narrow = sd is not None and jnp.dtype(sd).itemsize < jnp.dtype(dt).itemsize
+    if not narrow:
+        # The configured spill dtype misses panels a reattached store
+        # inherited from an earlier compressed run — check what is
+        # actually on disk.
+        checker = getattr(model.wstore, "has_compressed_panels", None)
+        narrow = bool(checker()) if checker is not None else False
+    if narrow:
         raise ValueError(
-            "tactile updates need the uncompressed W factor: this fit used "
-            f"w_dtype={jnp.dtype(sd).name} spill compression, whose rounding "
-            "is amplified into the posterior-mean correction (fine for "
+            "tactile updates need the uncompressed W factor: this fit's W "
+            "store holds spill-compressed panels, whose rounding is "
+            "amplified into the posterior-mean correction (fine for "
             "variance-only queries).  Refit with w_dtype=None to update."
         )
     occ = int(model.n_tail)

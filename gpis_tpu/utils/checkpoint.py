@@ -108,7 +108,12 @@ def _save_ooc(path: str, model) -> None:
         v = model.wstore.get(j)
         if isinstance(v, ooc._DiskPanel):
             v = v.read()
-        out.put_host(j, np.asarray(v))  # written at the STORED dtype
+        # MATERIALIZED copy, not a view: when a restored model is saved
+        # back to its own path, the source file IS the target file —
+        # put_host's 'w+' memmap truncates it, and a no-copy view of the
+        # old mapping would then read back zeros (silently destroying both
+        # the checkpoint and the live model's W).
+        out.put_host(j, np.array(v))  # written at the STORED dtype
     out.compute_dtype = model.dtype
     out.save_manifest()
 

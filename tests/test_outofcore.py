@@ -728,3 +728,35 @@ def test_ooc_update_rejects_f16_spilled_w(problem):
                     device_budget=2 * B * C * 8, w_dtype=jnp.float16)
     with pytest.raises(ValueError, match="w_dtype=None"):
         m.update(jnp.zeros((1, 3)).at[0, 0].set(0.8), 0.0, 1e-6)
+
+
+@pytest.mark.slow
+def test_ooc_save_restore_save_same_path(problem, tmp_path):
+    """Restore -> save to the SAME path must not corrupt the W panels:
+    put_host truncates the target file, and the source file IS the target
+    for a restored model (review finding: a no-copy memmap view read back
+    zeros, silently destroying checkpoint AND live model)."""
+    from gpis_tpu.api.session import ObjectModelSession
+    from gpis_tpu.config import ModelConfig
+
+    rng = np.random.default_rng(81)
+    pts = rng.normal(size=(300, 3))
+    pts = (pts / np.linalg.norm(pts, axis=1, keepdims=True)).astype(np.float32)
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.7, noise_surface=1e-4)
+    q = np.array([[0, 0, 0], [0, 0, 0.9], [0.4, 0.4, 0.4]], np.float32)
+
+    s = ObjectModelSession(cfg)
+    s.start(pts, out_of_core=True)
+    mean0, var0 = s.query(q)
+    path = str(tmp_path / "same.npz")
+    s.save(path)
+    s2 = ObjectModelSession.load(path, cfg)
+    s2.update(pts[:1] * 1.02)
+    s2.save(path)  # save back over the SAME checkpoint
+
+    s3 = ObjectModelSession.load(path, cfg)
+    mean3, var3 = s3.query(q)
+    assert float(np.max(var3)) < 0.99  # W survived: quad is nonzero
+    m2, v2 = s2.query(q)
+    np.testing.assert_allclose(mean3, m2, atol=1e-5)
+    np.testing.assert_allclose(var3, v2, atol=1e-5)

@@ -602,6 +602,7 @@ def test_session_sharded_joint_distributed_hyperopt():
     methods and unsupported subsample options raise."""
     from gpis_tpu.api.session import ObjectModelSession
     from gpis_tpu.config import MeshConfig, ModelConfig
+    from gpis_tpu.data import gpis
 
     rng = np.random.default_rng(9)
     pts = rng.normal(size=(60, 3))
@@ -625,3 +626,40 @@ def test_session_sharded_joint_distributed_hyperopt():
 
     with pytest.raises(ValueError, match="unknown hyperopt method"):
         s.optimize_hyperparameters(method="nope")
+
+
+@pytest.mark.slow
+def test_sharded_joint_hyperopt_preserves_touches():
+    """A hyperopt refit on a sharded-joint session must re-border the
+    accumulated touches (review finding r3c: both the subsample and
+    distributed refits previously dropped them, silently reverting the
+    posterior at touched sites), and the subsample refit must use the
+    LEARNED noise scale."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from gpis_tpu.api.session import ObjectModelSession
+    from gpis_tpu.config import MeshConfig, ModelConfig
+    from gpis_tpu.data import gpis
+
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.6, noise_surface=1e-4,
+                      n_external=16, n_internal=1, touch_capacity=8)
+    sess = ObjectModelSession(cfg, mesh=MeshConfig(n_devices=8, block=32))
+    pts = gpis.fibonacci_sphere(120, radius=0.5)
+    nrm = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    sess.start(pts, normals=nrm)
+    assert hasattr(sess.model, "mesh") and sess.model.normals is not None
+
+    touch = np.array([[0.9, 0.0, 0.0]])  # far off-surface: high variance
+    _, v_pre = sess.query(touch)
+    sess.update(touch)
+    _, v_touched = sess.query(touch)
+    assert float(v_touched[0]) < 0.5 * float(v_pre[0])
+
+    for method in ("subsample", "distributed"):
+        sess.optimize_hyperparameters(method=method, steps=2,
+                                      learn_noise=True)
+        assert sess.model.n_touch == 1, method
+        _, v_post = sess.query(touch)
+        assert float(v_post[0]) < 0.5 * float(v_pre[0]), method
