@@ -31,6 +31,8 @@ __all__ = [
     "fit_sharded",
     "fit_sharded_joint",
     "optimize_sharded",
+    "ooc_fit",
+    "ooc_update",
     "kernel_params",
     "register_kernel",
     "build_training_set",
@@ -49,6 +51,8 @@ _LAZY = {
     "fit_sharded": ("gpis_tpu.gp.sharded_model", "fit_sharded"),
     "fit_sharded_joint": ("gpis_tpu.gp.sharded_joint", "fit_sharded_joint"),
     "optimize_sharded": ("gpis_tpu.gp.sharded_hyperopt", "optimize_sharded"),
+    "ooc_fit": ("gpis_tpu.linalg.outofcore", "ooc_fit"),
+    "ooc_update": ("gpis_tpu.linalg.outofcore", "ooc_update"),
     "kernel_params": ("gpis_tpu.kernels.functions", "kernel_params"),
     "register_kernel": ("gpis_tpu.kernels.functions", "register_kernel"),
     "build_training_set": ("gpis_tpu.data.gpis", "build_training_set"),
