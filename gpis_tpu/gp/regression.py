@@ -231,11 +231,11 @@ def predict(model: GPModel, q, *, precision=None):
     triangular solve, the fast path for dense grids.
 
     precision=None (default) is "auto": on TPU, large linv-carrying queries
-    route to the fused Pallas kernel (single-pass bf16 MXU products with
-    f32 accumulation — posterior accurate to ~1e-3 relative, 38.6 TFLOP/s,
-    kq never materialized in HBM); everything else uses HIGHEST-precision
-    GEMMs (~f32-exact).  Pass an explicit jax Precision (or "bf16x3") to
-    force a specific GEMM path."""
+    route to the fused Pallas kernel (variance quad via in-kernel bf16x3
+    split dots — ~3e-6 relative; mean GEMV single-pass bf16, validated by
+    the surface-RMSE gates; kq never materialized in HBM); everything else
+    uses HIGHEST-precision GEMMs (~f32-exact).  Pass an explicit jax
+    Precision (or "bf16x3") to force a specific GEMM path."""
     if hasattr(model, "mesh"):  # sharded models (value-only or joint)
         return model.predict(q)
     if hasattr(model, "wstore"):  # out-of-core model (panel-streamed W)

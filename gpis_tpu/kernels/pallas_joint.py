@@ -31,7 +31,8 @@ The fused joint query kernel mirrors kernels/pallas_query.fused_query_pallas:
 each W tile meets a cross-covariance tile GENERATED IN VMEM from the column
 metadata, so kq never exists in HBM and the HIGHEST-precision GEMM chain of
 the old joint predict (gp/derivative.py round-2, ~1 actual TFLOP/s on this
-backend) is replaced by single-pass Mosaic dots.
+backend) is replaced by Mosaic dots (bf16x3 split on the variance quad —
+see kernels/pallas_query.quad_dot; single-pass for the mean GEMV).
 
 Parity: tests/test_pallas_joint.py checks every surface against the dense
 jnp reference (kernels/derivative.py) in interpret mode on CPU.
@@ -48,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gpis_tpu.kernels import functions as kf
 from gpis_tpu.kernels.pallas_gram import _TM, _TN, _interpret, _pad_rows
+from gpis_tpu.kernels.pallas_query import quad_dot
 
 __all__ = ["joint_meta", "joint_rows_pallas", "joint_gram_fused_pallas",
            "joint_cross_value_pallas", "fused_joint_query_pallas"]
@@ -262,11 +264,9 @@ def _query_kernel(q0, q1, q2, z0, z1, z2, cu0, cu1, cu2, cf, w_ref,
 
         @pl.when(c <= i)
         def _():
-            v_scr[...] += jax.lax.dot_general(
-                w_ref[...], kq,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(v_scr.dtype)  # (TI, TQ)
+            # bf16x3 split: single-pass Mosaic dots are too coarse for the
+            # cancelling variance quad (see kernels/pallas_query.quad_dot).
+            v_scr[...] += quad_dot(w_ref[...], kq).astype(v_scr.dtype)  # (TI, TQ)
 
         @pl.when(i == 0)
         def _():

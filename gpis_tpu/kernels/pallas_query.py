@@ -30,8 +30,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gpis_tpu.kernels import functions as kf
 from gpis_tpu.kernels.pallas_gram import _coord_split, _interpret
+from gpis_tpu.linalg.pallas_chol import _dot3
 
-__all__ = ["fused_query_pallas", "fused_quad_band_pallas"]
+__all__ = ["fused_query_pallas", "fused_quad_band_pallas", "quad_dot"]
 
 # Large query tile: W is re-streamed from HBM once per query tile, so TQ
 # sets the arithmetic intensity — at TQ=256 the kernel was W-DMA-bound
@@ -62,6 +63,29 @@ def _tile_env(name: str, default: int) -> int:
 _TQ = _tile_env("GPIS_QTILE_Q", 1024)
 _TI = _tile_env("GPIS_QTILE_I", 512)
 _TC = _tile_env("GPIS_QTILE_C", 256)
+
+# Mosaic lowers f32 dot_general to a SINGLE-pass bf16 MXU product.  That is
+# fine for the mean GEMV (validated by the surface-RMSE gates) but too
+# coarse for the variance quad: W = L^{-1} rows scale as noise^{-1/2}, the
+# W kq^T contraction cancels heavily (|v| <= sqrt(k0) while individual
+# products are O(10)), and the rounding error survives the cancellation —
+# measured ~1e-2 absolute on O(1e-1) posterior variances at C=1024,
+# noise=1e-3 (vs the exact quad from the same W).  The quad products
+# therefore use the same in-kernel bf16x3 split as the Cholesky trailing
+# update (linalg/pallas_chol._dot3, ~16-bit mantissa at 3x MXU time);
+# GPIS_QUERY_SPLIT=0 restores the single-pass dots for sweeps.
+_QSPLIT = _os.environ.get("GPIS_QUERY_SPLIT", "1").lower() not in (
+    "0", "false", "off")
+
+
+def quad_dot(w, kq):
+    """(TI, TC) x (TQ, TC) -> (TI, TQ) contraction for the variance quad,
+    f32-accurate in-kernel (bf16x3 split unless GPIS_QUERY_SPLIT=0)."""
+    dims = (((1,), (1,)), ((), ()))
+    if _QSPLIT:
+        return _dot3(w, kq, dims)
+    return jax.lax.dot_general(
+        w, kq, dimension_numbers=dims, preferred_element_type=jnp.float32)
 # The sharded ring's band kernel keeps fixed tiles: per-chip W bands are
 # C/n_devices rows, frequently smaller than the single-chip TI sweep above.
 _TQB, _TIB, _TCB = 1024, 256, 256
@@ -102,11 +126,7 @@ def _kernel(q0, q1, q2, x0, x1, x2, w_ref, alpha_ref, ls_ref, sv_ref,
 
         @pl.when(live)
         def _():
-            v_scr[...] += jax.lax.dot_general(
-                w_ref[...], kq,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(v_scr.dtype)  # (TI, TQ)
+            v_scr[...] += quad_dot(w_ref[...], kq).astype(v_scr.dtype)  # (TI, TQ)
 
         @pl.when(i == 0)
         def _():
@@ -144,11 +164,7 @@ def _band_quad_kernel(row0_ref, q0, q1, q2, x0, x1, x2, w_ref, ls_ref, sv_ref,
         r2 = d0 * d0 + d1 * d1 + d2 * d2
         params = {"lengthscale": ls_ref[0, 0], "signal_variance": sv_ref[0, 0]}
         kq = kf.k_r2(name, r2, params)  # (TQ, TC)
-        v_scr[...] += jax.lax.dot_general(
-            w_ref[...], kq,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(v_scr.dtype)
+        v_scr[...] += quad_dot(w_ref[...], kq).astype(v_scr.dtype)
 
     @pl.when(c == nc - 1)
     def _():
