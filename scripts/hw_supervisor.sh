@@ -1,0 +1,105 @@
+#!/usr/bin/env bash
+# Unattended hardware runner for the axon TPU tunnel (one client at a time).
+#
+# The tunnel goes down for hours at a stretch (docs/PERF.md); this script
+# probes until the device initializes, then runs the round's hardware
+# sequence in priority order, journaling each step so a restart skips
+# completed work:
+#   1. compiled-Pallas smoke  (validates the kernels the 100k run uses)
+#   2. headline bench.py      (N=16384 single chip)
+#   3. N=100k out-of-core judge config (resumable across crashes/outages)
+#   4. query-tile sweep       (may flip the GPIS_QTILE_I default)
+#
+# Usage:  setsid nohup bash scripts/hw_supervisor.sh >/tmp/gpis_hw/supervisor.log 2>&1 &
+# State:  /tmp/gpis_hw/done.<step> markers; per-step logs in /tmp/gpis_hw/.
+# Stop:   kill $(cat /tmp/gpis_hw/super.pid)   (never pkill by pattern)
+
+set -u
+REPO=/root/repo
+HW=/tmp/gpis_hw
+OOC_DIR=/tmp/ooc_100k
+DEADLINE=${GPIS_HW_DEADLINE:-$(( $(date +%s) + 11*3600 ))}  # leave tunnel free for the driver
+mkdir -p "$HW"
+echo $$ > "$HW/super.pid"
+cd "$REPO"
+
+ts() { date -u +"%H:%M:%S"; }
+log() { echo "[$(ts)] $*"; }
+
+probe() {
+  # rc 0 = healthy; rc 124 = hung claim (killed client wedges ~30 min — back
+  # off longer); other = fast init failure (remote side down).
+  timeout 300 python - <<'EOF' >/dev/null 2>&1
+import jax
+jax.config.update("jax_platforms", "tpu")
+import jax.numpy as jnp
+x = jnp.ones((256, 256), jnp.float32)
+assert abs(float((x @ x)[0, 0]) - 256.0) < 1e-3
+EOF
+}
+
+wait_for_tunnel() {
+  while true; do
+    [ "$(date +%s)" -ge "$DEADLINE" ] && { log "deadline passed; exiting"; exit 0; }
+    probe; rc=$?
+    if [ $rc -eq 0 ]; then log "tunnel HEALTHY"; return 0; fi
+    if [ $rc -eq 124 ]; then log "probe HUNG (rc=124) — 35 min backoff"; sleep 2100
+    else log "probe failed rc=$rc — 15 min backoff"; sleep 900; fi
+  done
+}
+
+# run_step NAME TIMEOUT_S CMD... — journaled, logged, tunnel-rechecked on failure.
+run_step() {
+  local name=$1 tmo=$2; shift 2
+  [ -e "$HW/done.$name" ] && { log "skip $name (done)"; return 0; }
+  log "START $name: $*"
+  timeout "$tmo" "$@" >"$HW/$name.log" 2>&1
+  local rc=$?
+  if [ $rc -eq 0 ]; then
+    touch "$HW/done.$name"; log "DONE $name"; return 0
+  fi
+  log "FAIL $name rc=$rc (log: $HW/$name.log, tail:)"; tail -3 "$HW/$name.log" | sed 's/^/    /'
+  return $rc
+}
+
+attempt=0
+while [ "$(date +%s)" -lt "$DEADLINE" ]; do
+  attempt=$((attempt + 1))
+  wait_for_tunnel
+
+  # 1. compiled smoke — validates the gated/DMA-elided query kernels and the
+  #    quad_dot bf16x3 variance path before committing hours to the 100k run.
+  run_step smoke 2700 env GPIS_TEST_PLATFORM=tpu python -m pytest -m tpu -q || { sleep 120; continue; }
+
+  # 2. headline (r2 reference 1.92 s; the query term should drop with the
+  #    kernel work).
+  run_step bench16k 1200 python bench.py || { sleep 120; continue; }
+
+  # 3. the judge config: N=100k out-of-core.  bench.py --ooc is process-split
+  #    and resumable (panel stores + progress checkpoints under $OOC_DIR);
+  #    rerunning after a crash or outage continues where it stopped.
+  if [ ! -e "$HW/done.ooc100k" ]; then
+    log "START ooc100k attempt $attempt (resumable, dir=$OOC_DIR)"
+    timeout 14600 python bench.py --ooc 100000 "$OOC_DIR" >"$HW/ooc100k.attempt$attempt.log" 2>&1
+    rc=$?
+    tail -2 "$HW/ooc100k.attempt$attempt.log" | sed 's/^/    /'
+    if [ $rc -eq 0 ] && grep -q '"ok": true' "$HW/ooc100k.attempt$attempt.log"; then
+      grep '"metric"' "$HW/ooc100k.attempt$attempt.log" > "$HW/ooc100k.json"
+      touch "$HW/done.ooc100k"; log "DONE ooc100k"
+    else
+      log "ooc100k attempt $attempt rc=$rc — re-probing tunnel and resuming"
+      sleep 120; continue
+    fi
+  fi
+
+  # 4. query-tile sweep (informs GPIS_QTILE_I; read $HW/tilesweep.log and
+  #    flip the default manually if 256 wins).
+  run_step tilesweep 3600 python bench/query_tile_sweep.py 16256 || { sleep 120; continue; }
+
+  # 5. service-loop scenarios (steady-state numbers for BASELINE.md).
+  run_step scenario_value 1800 python bench/session_scenario.py 16256
+  run_step scenario_joint 2400 python bench/session_scenario.py 4992 --normals
+
+  log "ALL STEPS COMPLETE"; exit 0
+done
+log "deadline reached"; exit 0
