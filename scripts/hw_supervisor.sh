@@ -29,9 +29,14 @@ log() { echo "[$(ts)] $*"; }
 probe() {
   # rc 0 = healthy; rc 124 = hung claim (killed client wedges ~30 min — back
   # off longer); other = fast init failure (remote side down).
+  # NOTE: do NOT force jax_platforms=tpu — this backend registers as the
+  # experimental 'axon' platform, so forcing 'tpu' fails with "No jellyfish
+  # device found" even when the tunnel is healthy (burned 2+ h of a live
+  # tunnel on false negatives).  Let JAX pick, then reject a CPU fallback.
   timeout 300 python - <<'EOF' >/dev/null 2>&1
 import jax
-jax.config.update("jax_platforms", "tpu")
+d = jax.devices()[0]
+assert d.platform != "cpu", d
 import jax.numpy as jnp
 x = jnp.ones((256, 256), jnp.float32)
 assert abs(float((x @ x)[0, 0]) - 256.0) < 1e-3
