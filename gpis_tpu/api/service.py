@@ -123,8 +123,10 @@ def make_server(session: ObjectModelSession, host: str = "127.0.0.1", port: int 
                         kw = {"steps": int(req.get("steps", 100))}
                         if req.get("method"):  # "distributed" on sharded models
                             kw["method"] = str(req["method"])
-                        if "learn_noise" in req:
-                            kw["learn_noise"] = bool(req["learn_noise"])
+                        for flag in ("learn_noise", "learn_noise_g",
+                                     "learn_signal"):
+                            if flag in req:
+                                kw[flag] = bool(req[flag])
                         res = session.optimize_hyperparameters(**kw)
                         self._send(200, {
                             "ok": True, "mll": res.mll,

@@ -524,7 +524,8 @@ class ObjectModelSession:
             self.model = gsj.fit_sharded_joint(
                 m.kernel, m.x[:n], m.y[:n], m.normals[:n],
                 m.noise_f[:n] * float(res.noise_scale),
-                m.noise_g[:n], res.params, mesh=m.mesh, block=m.block,
+                m.noise_g[:n] * float(res.noise_scale_g),
+                res.params, mesh=m.mesh, block=m.block,
                 touch_capacity=self.config.touch_capacity,
                 pad_noise=m.pad_noise,
             )
@@ -596,7 +597,6 @@ class ObjectModelSession:
         if hasattr(m, "normals"):
             from gpis_tpu.gp import derivative as gpd
 
-            kw.pop("learn_signal", None)
             res = ho.optimize_joint(
                 m.kernel, m.x, m.y, m.normals, m.noise_f, m.noise_g,
                 m.params, n_real=m.n0, **kw,
@@ -606,7 +606,7 @@ class ObjectModelSession:
             # Slots hold exactly the touches not yet folded by a previous
             # refit, so there is no double counting.
             x, yv = m.x, m.y
-            nrm, nf, ng = m.normals, res.noise, m.noise_g
+            nrm, nf, ng = m.normals, res.noise, res.noise_g
             occ = int(m.n_touch) if getattr(m, "n_touch", None) is not None else 0
             if occ:
                 x = jnp.concatenate([x, m.touch_x[:occ]])

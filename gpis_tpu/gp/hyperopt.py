@@ -126,14 +126,16 @@ def optimize_joint(
     steps: int = 100,
     learning_rate: float = 0.05,
     learn_noise: bool = False,
+    learn_noise_g: bool = False,
     learn_signal: bool = False,
 ) -> HyperoptResult:
     """MLL hyperparameter optimization for the joint (value + normals)
     system — config 3 applied to the config 2 model.  Lengthscale by
     default; `learn_noise=True` adds one multiplicative scale on the
-    value-observation noise of real rows (the gradient-noise family stays
-    fixed — learning both scales jointly is under-determined on typical
-    scans, where the normal observations pin the gradient scale);
+    value-observation noise of real rows; `learn_noise_g=True` adds an
+    independent scale on the gradient-observation noise of real rows
+    (off by default: learning both jointly can be under-determined on
+    sparse scans where few normals pin the gradient scale);
     `learn_signal=True` adds the signal variance (AD through the joint
     assembly — every block is linear in sv, so this is well-posed)."""
     from gpis_tpu.kernels import derivative as kd
@@ -145,6 +147,8 @@ def optimize_joint(
     theta0 = {"log_ls": jnp.log(jnp.asarray(init_params["lengthscale"], dt))}
     if learn_noise:
         theta0["log_noise_scale"] = jnp.zeros((), dt)
+    if learn_noise_g:
+        theta0["log_noise_scale_g"] = jnp.zeros((), dt)
     if learn_signal:
         theta0["log_sv"] = jnp.log(jnp.asarray(init_params["signal_variance"], dt))
 
@@ -157,8 +161,10 @@ def optimize_joint(
             ),
         }
         scale = jnp.exp(theta.get("log_noise_scale", jnp.zeros((), dt)))
+        scale_g = jnp.exp(theta.get("log_noise_scale_g", jnp.zeros((), dt)))
         nf = jnp.where(real_f > 0, noise_f * scale, noise_f)
-        k = kd.joint_gram_reference(kernel, xp, params, noise_f=nf, noise_g=noise_g)
+        ng = jnp.where(real_f > 0, noise_g * scale_g, noise_g)
+        k = kd.joint_gram_reference(kernel, xp, params, noise_f=nf, noise_g=ng)
         l = gpr._mll_chol(k.shape[0])(k)
         alpha = lin_mod.cho_solve(l, yj)
         return (
@@ -194,6 +200,9 @@ def optimize_joint(
         ),
     }
     scale = jnp.exp(best_theta.get("log_noise_scale", jnp.zeros((), dt)))
+    scale_g = jnp.exp(best_theta.get("log_noise_scale_g", jnp.zeros((), dt)))
     noise_out = jnp.where(real_f > 0, noise_f * scale, noise_f)
+    noise_g_out = jnp.where(real_f > 0, noise_g * scale_g, noise_g)
     return HyperoptResult(params=params, noise=noise_out, noise_scale=scale,
+                          noise_g=noise_g_out, noise_scale_g=scale_g,
                           history=history, mll=-float(best_val))

@@ -99,3 +99,47 @@ def test_optimize_joint_learn_signal():
     sv = float(res.params["signal_variance"])
     assert sv > 0 and sv != pytest.approx(0.2)  # actually moved
     assert res.history[-1] >= res.history[0] - 1e-6
+
+
+@pytest.mark.slow
+def test_optimize_joint_learn_noise_g():
+    """optimize_joint can learn a gradient-noise scale: with noise_g set
+    100x too large the optimizer shrinks it (VERDICT r2 weak 9)."""
+    from gpis_tpu.data import gpis as gpis_mod
+
+    pts = gpis_mod.fibonacci_sphere(48, radius=1.0)
+    normals = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    x = jnp.asarray(pts)
+    ng0 = jnp.full((x.shape[0],), 1e-1)  # deliberately inflated
+    res = ho.optimize_joint(
+        "rbf", x, jnp.zeros(x.shape[0]), jnp.asarray(normals),
+        jnp.full((x.shape[0],), 1e-4), ng0,
+        kf.kernel_params(0.8, 1.0), n_real=x.shape[0], steps=60,
+        learn_noise_g=True,
+    )
+    assert np.isfinite(res.mll)
+    sg = float(res.noise_scale_g)
+    assert sg < 0.9, f"gradient-noise scale {sg} did not shrink"
+    # Returned noise_g reflects the learned scale on real rows.
+    assert float(res.noise_g[0]) == pytest.approx(0.1 * sg, rel=1e-5)
+    assert res.history[-1] >= res.history[0] - 1e-6
+
+
+@pytest.mark.slow
+def test_session_joint_learn_signal_not_swallowed():
+    """The single-chip joint session path forwards learn_signal (it used
+    to silently kw.pop it) and refits with the learned noise_g."""
+    from gpis_tpu.api.session import ObjectModelSession
+    from gpis_tpu.config import ModelConfig
+    from gpis_tpu.data import gpis as gpis_mod
+
+    pts = gpis_mod.fibonacci_sphere(48, radius=0.5)
+    normals = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.8, signal_variance=0.2,
+                      noise_surface=1e-4, n_external=16, block=16)
+    sess = ObjectModelSession(cfg)
+    sess.start(pts, normals=normals)
+    res = sess.optimize_hyperparameters(steps=30, learn_signal=True)
+    sv = float(res.params["signal_variance"])
+    assert sv != pytest.approx(0.2), "learn_signal was swallowed"
+    assert float(sess.model.params["signal_variance"]) == pytest.approx(sv)
