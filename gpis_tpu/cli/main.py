@@ -104,6 +104,16 @@ def main(argv=None):
                    help="sharded models only: 'distributed' runs the exact "
                         "mesh-wide MLL ascent (gp.sharded_hyperopt) instead "
                         "of the single-chip subsample")
+    p.add_argument("--normals", action="store_true",
+                   help="fit the joint (derivative-observation) model from "
+                        "the cloud's normals before optimizing")
+    p.add_argument("--learn-noise", action="store_true",
+                   help="also learn a value-observation noise scale")
+    p.add_argument("--learn-noise-g", action="store_true",
+                   help="joint (--normals) models: also learn a "
+                        "gradient-observation noise scale")
+    p.add_argument("--learn-signal", action="store_true",
+                   help="also learn the signal variance")
     _add_model_args(p)
 
     p = sub.add_parser("explore-viz", help="export mesh+charts+path HTML viewer")
@@ -197,11 +207,20 @@ def main(argv=None):
 
     elif args.cmd == "hyperopt":
         model_cfg, explore_cfg, mesh_cfg = _config_from_args(args)
-        pts, _ = load_cloud(args.cloud)
-        sess = ObjectModelSession(model_cfg, explore_cfg, mesh_cfg).start(pts)
+        pts, nrm = load_cloud(args.cloud)
+        if args.normals and nrm is None:
+            raise SystemExit(f"--normals given but {args.cloud} has no normals")
+        sess = ObjectModelSession(model_cfg, explore_cfg, mesh_cfg).start(
+            pts, normals=nrm if args.normals else None)
         kw = {"steps": args.steps}
         if hasattr(sess.model, "mesh") and args.method == "distributed":
             kw["method"] = "distributed"
+        if args.learn_noise:
+            kw["learn_noise"] = True
+        if args.learn_noise_g:
+            kw["learn_noise_g"] = True
+        if args.learn_signal:
+            kw["learn_signal"] = True
         res = sess.optimize_hyperparameters(**kw)
         sess.save(args.output)
         print(f"mll={res.mll:.4f} lengthscale={float(res.params['lengthscale']):.4f} "

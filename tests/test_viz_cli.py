@@ -85,3 +85,13 @@ def test_cli_end_to_end(tmp_path, capsys):
     np.savez("touch.npz", points=pts[:3] * 1.0)
     assert cli_main(["update", "model.npz", "touch.npz", "-o", "model2.npz"]) == 0
     assert os.path.exists("model2.npz")
+
+    # hyperopt verb on the joint (normals) model with the learn flags.
+    nrm = (pts - np.array([1.0, 0.0, 0.0])) / 0.5
+    np.savez("cloudn.npz", points=pts, normals=nrm)
+    assert cli_main(["hyperopt", "cloudn.npz", "-o", "model3.npz",
+                     "--steps", "5", "--normals", "--learn-noise-g",
+                     "--learn-signal", "--lengthscale", "0.7",
+                     "--noise", "1e-5"]) == 0
+    out = capsys.readouterr().out
+    assert "mll=" in out and os.path.exists("model3.npz")
