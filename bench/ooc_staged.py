@@ -67,11 +67,56 @@ def _problem(n: int):
             jnp.asarray(ts.noise, jnp.float32), params)
 
 
+def _phase1_done(spill_dir: str, x, y, params) -> bool:
+    """True when a completed phase-1 for THIS problem already sits under
+    spill_dir (state.npz + a full L panel set, counting panels the TRSM
+    consumed but phase2's hardlink backup can restore).  Without this gate
+    a supervisor retry after a phase-2 crash refactors 80+ minutes of work
+    whose progress checkpoint was (correctly) deleted on completion.
+    Noise is deliberately not compared: the jitter ladder bakes `extra`
+    into the stored noise, and phase2's alpha-hash gate already pins W
+    provenance to the stored state."""
+    import numpy as np
+
+    sp = os.path.join(spill_dir, "state.npz")
+    man = os.path.join(spill_dir, "L", "manifest.json")
+    if not (os.path.exists(sp) and os.path.exists(man)):
+        return False
+    try:
+        d = np.load(sp, allow_pickle=False)
+        n = int(x.shape[0])
+        if int(d["n_real"]) != n:
+            return False
+        if not np.array_equal(np.asarray(d["x"])[:n],
+                              np.asarray(x, np.float32)):
+            return False
+        if not np.array_equal(np.asarray(d["y"])[:n],
+                              np.asarray(y, np.float32)):
+            return False
+        for k, v in params.items():
+            if not np.allclose(np.asarray(d[f"param_{k}"]), np.asarray(v)):
+                return False
+        c = int(np.asarray(d["x"]).shape[0])
+        nb = c // int(d["panel"])
+        for j in range(nb):
+            fn = f"panel_{j}.bin"
+            if not (os.path.exists(os.path.join(spill_dir, "L", fn))
+                    or os.path.exists(os.path.join(spill_dir, "L_backup", fn))):
+                return False
+        return True
+    except Exception:
+        return False
+
+
 def phase1(n: int, spill_dir: str) -> None:
     """Factor + alpha; persists the L store + state under spill_dir."""
     from gpis_tpu.linalg import outofcore as ooc
 
     x, y, noise, params = _problem(n)
+    if _phase1_done(spill_dir, x, y, params):
+        print(f"PHASE1 SKIP (complete factor for n={x.shape[0]} already "
+              f"under {spill_dir})", flush=True)
+        return
     print(f"[phase1] n={x.shape[0]} rss={_rss_gb():.1f}GB", flush=True)
     t0 = time.perf_counter()
     ooc.ooc_factor_phase(
@@ -116,7 +161,31 @@ def phase2(spill_dir: str, *, grid_res: int = 64) -> None:
         if restored:
             print(f"restored {restored} consumed L panels from backup",
                   flush=True)
-    tsw = int(os.environ.get("OOC_TRSM_SWEEP", "2"))
+    tsw = os.environ.get("OOC_TRSM_SWEEP")
+    if tsw is not None:
+        tsw = int(tsw)
+    else:
+        # Working-set model per sweep s, NOT counting the pallas in-place
+        # accumulate (must-alias is unverified on this backend): u + its
+        # kstep copy (2s full-width panel-rows), lj (s), two prefetched W
+        # panels, ~1 of slices/diag/misc, all f32 — plus a 2 GB floor for
+        # the device-resident W tier and 0.5 GB runtime slack.  At N=100k
+        # on a 15.48 GB chip this picks s=1 (s=2 OOM'd: the attempt-1
+        # post-mortem); at <=64k it keeps the faster s=2.
+        import numpy as _np
+
+        st = _np.load(os.path.join(spill_dir, "state.npz"),
+                      allow_pickle=False)
+        c_ = int(st["x"].shape[0])
+        pb = int(st["panel"]) * c_ * 4
+        try:
+            import jax as _jax
+
+            limit = int(_jax.devices()[0].memory_stats()
+                        .get("bytes_limit", 15_500_000_000))
+        except Exception:
+            limit = 15_500_000_000
+        tsw = 2 if (3 * 2 + 3.5) * pb + 2.5e9 <= limit else 1
     t0 = time.perf_counter()
     m = ooc.ooc_solve_phase(spill_dir, w_dtype=jnp.float16, trsm_sweep=tsw)
     trsm_s = time.perf_counter() - t0
@@ -141,7 +210,7 @@ def phase2(spill_dir: str, *, grid_res: int = 64) -> None:
     m.wstore.clear()
 
 
-def run(n: int, spill_dir: str, *, wd1: int = 7100, wd2: int = 7100) -> int:
+def run(n: int, spill_dir: str, *, wd1: int = 7100, wd2: int = 12600) -> int:
     """Orchestrate both phases as subprocesses; print the ONE JSON line."""
     os.makedirs(spill_dir, exist_ok=True)
     me = os.path.abspath(__file__)

@@ -932,15 +932,27 @@ def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256,
         if r == 1:
             lj = _fetch(lstore, j, dev, pad_to=c)
         else:
-            lj = jnp.concatenate(
-                [_fetch(lstore, j + rr, dev, pad_to=c) for rr in range(r)]
-            )
+            # Concatenate TRIMMED panels first and pad once: padding each
+            # part to full width before the concat transiently held 2x the
+            # full-width sweep rows (HBM headroom at 100k).  Widths within
+            # a sweep group can straddle a quant boundary — pad parts to
+            # the group max.
+            parts = [_fetch(lstore, j + rr, dev) for rr in range(r)]
+            wmax = max(p.shape[1] for p in parts)
+            parts = [p if p.shape[1] == wmax else _pad_full(p, w=wmax)
+                     for p in parts]
+            lj = jnp.concatenate(parts)
+            del parts
+            if wmax != c:
+                lj = _pad_full(lj, w=c)
         if trace:
             jax.block_until_ready(lj)
             t_fetch = _time.perf_counter()
         u = jnp.zeros((rows, c), dt)
+        wk = None
         for k, wk in _Prefetcher(wstore, range(j), pad_to=c):
             u = _trsm_kstep(u, lj, wk, k * panel, (k + 1) * panel)
+        del wk  # last padded W panel: (B, C) f32 of HBM
         if trace:
             jax.block_until_ready(u)
             t_kstep = _time.perf_counter()
@@ -963,6 +975,9 @@ def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256,
         for rr in range(r):
             w = _store_width(j + rr, panel, c, width_quant)
             writer.put(j + rr, _dyn_rows(wj, rr * panel, size=panel)[:, :w])
+        # The trimmed slices above carry the writeback; the full-width wj
+        # must not stay resident through the NEXT sweep's k-steps.
+        del wj
         if trace:
             writer.drain()
             _tlog(f"trsm panel {j}..{j + r - 1}: finish "

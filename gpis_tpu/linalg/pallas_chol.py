@@ -315,10 +315,17 @@ def gemm_nn_acc_masked_pallas(u, a, b, w):
             (_TN, _TN), lambda i, j, k, sc: (i, j), memory_space=pltpu.VMEM
         ),
     )
+    # u is accumulated IN PLACE (must-alias into the output; index 3 counts
+    # the scalar-prefetch operand).  Both callers (`_trsm_kstep`,
+    # `_trsm_finish`) hand over their last use of u, so no defensive copy
+    # is inserted — without this the out-of-core TRSM held TWO full-width
+    # (R, C) buffers per k-step, which is what OOM'd the N=100k phase 2 on
+    # a 16 GB chip.
     return pl.pallas_call(
         _gemm_nn_masked_kernel,
         out_shape=jax.ShapeDtypeStruct((r, n), u.dtype),
         grid_spec=grid_spec,
+        input_output_aliases={3: 0},
         interpret=_interpret(),
     )(jnp.asarray([w], jnp.int32), a, b, u)
 
