@@ -67,8 +67,11 @@ def main():
         # crash resume (bench/ooc_staged.py docstring).  Usage:
         #   python bench.py --ooc [N] [SPILL_DIR]
         # (import by path: this file shadows the bench/ package name)
+        # NB: no local `import os` here — a function-local import would make
+        # `os` local to ALL of main(), turning the module-level name into an
+        # UnboundLocalError on the non-ooc path (this silently dropped the
+        # ooc100k_recorded attach once).
         import importlib.util
-        import os
 
         spec = importlib.util.spec_from_file_location(
             "ooc_staged",

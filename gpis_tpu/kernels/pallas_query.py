@@ -42,8 +42,11 @@ __all__ = ["fused_query_pallas", "fused_quad_band_pallas", "quad_dot"]
 #
 # TI taller than TC cuts the kq-generation bill: kq depends on (mq, c)
 # only, yet is re-formed per i-plane — C/TI times — and its exp() chain is
-# VPU work that competes with the MXU for the critical path.  Env overrides
-# (GPIS_QTILE_Q/I/C) exist for on-hardware sweeps.
+# VPU work that competes with the MXU for the critical path.  Swept on
+# hardware at 16k (2026-08-18): TI 256/512/1024 -> 1.867/1.528/1.384 s for
+# the 64^3 grid; TI=2048 and TC=512 both exceed the 16 MB scoped-VMEM
+# limit (v_scr TIxTQ f32 + double-buffered W tiles, ~19 MB).  Env
+# overrides (GPIS_QTILE_Q/I/C) exist for re-sweeps.
 import os as _os
 
 
@@ -61,7 +64,7 @@ def _tile_env(name: str, default: int) -> int:
 
 
 _TQ = _tile_env("GPIS_QTILE_Q", 1024)
-_TI = _tile_env("GPIS_QTILE_I", 512)
+_TI = _tile_env("GPIS_QTILE_I", 1024)
 _TC = _tile_env("GPIS_QTILE_C", 256)
 
 # Mosaic lowers f32 dot_general to a SINGLE-pass bf16 MXU product.  That is
