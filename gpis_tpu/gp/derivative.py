@@ -15,7 +15,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from gpis_tpu.gp.model import round_up
+from gpis_tpu.gp.model import align_capacity, round_up
 from gpis_tpu.kernels import derivative as kd
 from gpis_tpu.kernels import functions as kf
 from gpis_tpu.linalg import cholesky as lin
@@ -97,6 +97,13 @@ def fit_with_normals(
     n = x.shape[0]
     c = round_up(n, block)
     t = round_up(touch_capacity, block) if touch_capacity else 0
+    if 4 * c + t >= 4096:
+        # MXU-friendly joint size: round C to 256 (4C lands on a 1024
+        # multiple) and grow the touch allocation so J = 4C + T keeps the
+        # fused joint query kernel's tall TI tile (gp.model.align_capacity).
+        c = round_up(c, 256)
+        if t:
+            t = align_capacity(4 * c + t) - 4 * c
     xp = jnp.zeros((c, 3), dtype).at[:n].set(x.astype(dtype))
     yp = jnp.zeros((c,), dtype).at[:n].set(y.astype(dtype))
     npf = jnp.full((c,), pad_noise, dtype).at[:n].set(

@@ -26,11 +26,27 @@ import dataclasses
 
 import jax
 
-__all__ = ["GPModel", "round_up"]
+__all__ = ["GPModel", "round_up", "align_capacity"]
 
 
 def round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def align_capacity(total: int, *, align: int = 1024, floor: int = 4096) -> int:
+    """Round a model/system capacity up to an MXU-friendly `align` multiple.
+
+    The fused query kernels (kernels/pallas_query.py, pallas_joint.py) clamp
+    their swept row tile TI down to a divisor of the capacity: a capacity
+    like 16640 (block-multiple only) silently degrades TI 1024 -> 256, which
+    the 2026-08-18 hardware sweep measured at 1.36x slower (1.884 vs
+    1.384 s for a 64^3 grid at 16k).  Capacities below `floor` keep their
+    exact padding: small models are launch-bound and tests rely on tight
+    shapes.  Extra rows are ordinary pad/touch slots (inert under
+    `pad_noise`), so alignment only ever ADDS usable touch capacity."""
+    if total < floor:
+        return total
+    return round_up(total, align)
 
 
 @jax.tree_util.register_dataclass

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from gpis_tpu.gp.model import GPModel, round_up
+from gpis_tpu.gp.model import GPModel, align_capacity, round_up
 from gpis_tpu.kernels import functions as kf
 from gpis_tpu.kernels import gram as kg
 from gpis_tpu.linalg import cholesky as lin
@@ -86,7 +86,10 @@ def fit(
     """
     dtype = dtype or x.dtype
     n0 = round_up(x.shape[0], block)
-    capacity = n0 + round_up(touch_capacity, block)
+    # MXU-friendly total: extra rows become extra touch slots (inert pad
+    # until used) and keep the fused query kernel's tall TI tile (see
+    # gp.model.align_capacity for the measured 1.36x).
+    capacity = align_capacity(n0 + round_up(touch_capacity, block))
     xp, yp, np_ = _pad_training(x, y, noise, capacity, pad_noise, dtype)
 
     from gpis_tpu.kernels import functions as kf_mod
@@ -135,7 +138,7 @@ def fit_inference(
     refit instead.  Falls back to `fit` + `with_linv` off-TPU or for
     non-tiled capacities."""
     dtype = dtype or x.dtype
-    n0 = round_up(x.shape[0], block)
+    n0 = align_capacity(round_up(x.shape[0], block))
     try:
         backend = jax.default_backend()
     except Exception:

@@ -49,16 +49,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gpis_tpu.kernels import functions as kf
 from gpis_tpu.kernels.pallas_gram import _TM, _TN, _interpret, _pad_rows
-from gpis_tpu.kernels.pallas_query import quad_dot
+from gpis_tpu.kernels.pallas_query import _TC, _TI, _TQ, quad_dot
 
 __all__ = ["joint_meta", "joint_rows_pallas", "joint_gram_fused_pallas",
            "joint_cross_value_pallas", "fused_joint_query_pallas"]
 
-# Query tile for the fused joint query (same sizing argument as
-# kernels/pallas_query.py: TQ sets how often W is re-streamed from HBM).
-_TQ = 1024
-_TI = 256
-_TC = 256
+# Query tiles for the fused joint query are SHARED with the value kernel
+# (kernels/pallas_query.py, env GPIS_QTILE_Q/I/C): the sizing arguments are
+# identical — TQ sets how often W is re-streamed from HBM, and TI taller
+# than TC cuts the per-i-plane kq regeneration, which for the joint blend
+# is ~2x the VPU work per element (dk chain + direction dot).  Per-call the
+# tiles clamp down to divisors of the joint size J = 4C + T.
 
 
 def joint_meta(x, touch_x=None):
@@ -230,7 +231,7 @@ def joint_cross_value_pallas(name: str, q, x, params, touch_x=None):
 
 def _query_kernel(q0, q1, q2, z0, z1, z2, cu0, cu1, cu2, cf, w_ref,
                   alpha_ref, ls_ref, sv_ref, mean_ref, quad_ref, v_scr, *,
-                  name):
+                  name, ti, tc):
     i = pl.program_id(1)
     c = pl.program_id(2)
     nc = pl.num_programs(2)
@@ -244,11 +245,14 @@ def _query_kernel(q0, q1, q2, z0, z1, z2, cu0, cu1, cu2, cf, w_ref,
         mean_ref[...] = jnp.zeros_like(mean_ref)
         quad_ref[...] = jnp.zeros_like(quad_ref)
 
-    # W = chol^{-1} is lower-triangular: tiles with c > i are zero.  The kq
-    # blend (k_r2 + dk_dr2 chains, VPU) is gated like the dot — it is
-    # re-generated per i-plane and only the live half plus the i == 0 mean
-    # plane reads it (same optimization as pallas_query._kernel).
-    @pl.when((c <= i) | (i == 0))
+    # W = chol^{-1} is lower-triangular: tiles whose columns all exceed the
+    # tile's last row are zero.  The kq blend (k_r2 + dk_dr2 chains, VPU)
+    # is gated like the dot — it is re-generated per i-plane and only the
+    # live half plus the i == 0 mean plane reads it (same optimization as
+    # pallas_query._kernel).
+    live = c * tc < (i + 1) * ti
+
+    @pl.when(live | (i == 0))
     def _():
         d0 = q0[...] - z0[...]
         d1 = q1[...] - z1[...]
@@ -262,7 +266,7 @@ def _query_kernel(q0, q1, q2, z0, z1, z2, cu0, cu1, cu2, cf, w_ref,
         kq = (cf[...] * kf.k_r2(name, r2, params)
               - 2.0 * kf.dk_dr2(name, r2, params) * vd)  # (TQ, TC)
 
-        @pl.when(c <= i)
+        @pl.when(live)
         def _():
             # bf16x3 split: single-pass Mosaic dots are too coarse for the
             # cancelling variance quad (see kernels/pallas_query.quad_dot).
@@ -294,22 +298,30 @@ def fused_joint_query_pallas(name: str, q, x, params, alpha, w,
     m = q.shape[0]
     j = w.shape[0]
     dt = q.dtype
-    if j % _TI or j % _TC:
-        raise ValueError(f"joint size {j} must be a multiple of {max(_TI, _TC)}")
+    if j % 128:
+        raise ValueError(f"joint size {j} must be a multiple of 128")
+    # Clamp the sweep-tunable tiles down to divisors of this joint size
+    # (J = 4C + T is a 256-multiple for the standard layouts; 1024-aligned
+    # capacities keep the fast tall TI — see config.align_capacity).
+    ti, tc = _TI, _TC
+    while j % ti:
+        ti //= 2
+    while j % tc:
+        tc //= 2
     qp = _pad_rows(q.astype(dt), _TQ)
     mp = qp.shape[0]
     qc = [qp[:, d : d + 1] for d in range(3)]
     coords, dirs, flag = joint_meta(x, touch_x)
-    cols_in = _meta_cols(coords, dirs, flag, _TC)
+    cols_in = _meta_cols(coords, dirs, flag, tc)
     if cols_in[0].shape[1] != j:
         raise ValueError("joint metadata does not tile to the factor size")
     ls = jnp.asarray(params["lengthscale"], dt).reshape(1, 1)
     sv = jnp.asarray(params["signal_variance"], dt).reshape(1, 1)
     alpha_row = jnp.asarray(alpha, dt)[None, :]  # (1, J)
 
-    grid = (mp // _TQ, j // _TI, j // _TC)
+    grid = (mp // _TQ, j // ti, j // tc)
     mean, quad = pl.pallas_call(
-        functools.partial(_query_kernel, name=name),
+        functools.partial(_query_kernel, name=name, ti=ti, tc=tc),
         out_shape=(
             jax.ShapeDtypeStruct((1, mp), dt),
             jax.ShapeDtypeStruct((1, mp), dt),
@@ -318,15 +330,16 @@ def fused_joint_query_pallas(name: str, q, x, params, alpha, w,
         in_specs=[
             *[pl.BlockSpec((_TQ, 1), lambda mq, i, cc: (mq, 0),
                            memory_space=pltpu.VMEM)] * 3,
-            *[pl.BlockSpec((1, _TC), lambda mq, i, cc: (0, cc),
+            *[pl.BlockSpec((1, tc), lambda mq, i, cc: (0, cc),
                            memory_space=pltpu.VMEM)] * 7,
-            # Dead upper-triangle W tiles map to the diagonal block of
-            # their row: the repeated index elides the DMA (the kernel
+            # Dead upper-triangle W tiles map to the last live column block
+            # of their row: the repeated index elides the DMA (the kernel
             # never reads them — same trick as pallas_query).
-            pl.BlockSpec((_TI, _TC),
-                         lambda mq, i, cc: (i, jnp.minimum(cc, i)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TC), lambda mq, i, cc: (0, cc),
+            pl.BlockSpec(
+                (ti, tc),
+                lambda mq, i, cc: (i, jnp.minimum(cc, ((i + 1) * ti - 1) // tc)),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), lambda mq, i, cc: (0, cc),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda mq, i, cc: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -339,7 +352,7 @@ def fused_joint_query_pallas(name: str, q, x, params, alpha, w,
             pl.BlockSpec((1, _TQ), lambda mq, i, cc: (0, mq),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((_TI, _TQ), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((ti, _TQ), jnp.float32)],
         interpret=_interpret(),
     )(*qc, *cols_in, w, alpha_row, ls, sv)
     return mean[0, :m], quad[0, :m]

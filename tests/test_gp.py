@@ -333,3 +333,70 @@ def test_fit_inference_matches_fit(rng):
     a2, v2 = gpr.predict(m2, q)
     np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=1e-10)
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=1e-10)
+
+
+def test_align_capacity_helper():
+    """Capacities >= 4096 round to 1024 multiples (fused-kernel tall TI,
+    BASELINE.md 2026-08-18: aligned C=17408 beats raw C=16640 by 1.20x);
+    small capacities keep exact padding."""
+    from gpis_tpu.gp.model import align_capacity
+
+    assert align_capacity(40) == 40
+    assert align_capacity(4095) == 4095
+    assert align_capacity(4096) == 4096
+    assert align_capacity(16640) == 17408
+    assert align_capacity(100352) == 100352
+
+
+def test_small_fit_capacity_unaligned(rng):
+    """Below the alignment floor, fit keeps the tight block-multiple
+    capacity (tests and tiny models rely on exact shapes)."""
+    x, y, noise, params, _ = _fixture(rng, n=40)
+    m = gpr.fit("rbf", x, y, noise, params, block=8, touch_capacity=8)
+    assert m.capacity == 48
+
+
+@pytest.mark.slow
+def test_fit_capacity_aligned_and_posterior_exact(rng):
+    """At >= 4096 total, fit lands on a 1024-multiple capacity and the
+    extra pad rows are posterior-inert (same mean/variance as an unaligned
+    model of the same data)."""
+    import gpis_tpu.gp.regression as gprm
+
+    x, y, noise, params, _ = _fixture(rng, n=3900)
+    m = gpr.fit("rbf", x, y, noise, params, block=128, touch_capacity=256)
+    # round_up(3900,128)=3968; +256 = 4224 -> aligned 5120
+    assert m.capacity == 5120
+    assert m.capacity - m.n0 == 1152  # alignment became extra touch slots
+    q = jnp.asarray(np.random.default_rng(3).normal(size=(16, 3)))
+    mean_a, var_a = gpr.predict(m, q)
+    orig, gprm.align_capacity = gprm.align_capacity, lambda t, **k: t
+    try:
+        m0 = gpr.fit("rbf", x, y, noise, params, block=128,
+                     touch_capacity=256)
+    finally:
+        gprm.align_capacity = orig
+    assert m0.capacity == 4224
+    mean_0, var_0 = gpr.predict(m0, q)
+    np.testing.assert_allclose(np.asarray(mean_a), np.asarray(mean_0),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var_a), np.asarray(var_0),
+                               atol=1e-8)
+
+
+@pytest.mark.slow
+def test_joint_fit_aligned(rng):
+    """fit_with_normals at >= 4096 joint size lands J on a 1024 multiple
+    (C on 256) so the fused joint query keeps its tall TI tile."""
+    from gpis_tpu.gp import derivative as gpd
+
+    pts = jnp.asarray(np.random.default_rng(0).normal(size=(1100, 3)))
+    pts = pts / jnp.linalg.norm(pts, axis=1, keepdims=True)
+    params = kf.kernel_params(0.8, 1.0)
+    m = gpd.fit_with_normals("rbf", pts, jnp.zeros(1100), pts, 1e-4, 1e-3,
+                             params, block=64, touch_capacity=100)
+    # c: round_up(1100,64)=1152 -> 256-aligned 1280; J=5120+t, t aligned so
+    # J % 1024 == 0 with t >= 100 -> t=1024, J=6144.
+    assert m.capacity == 1280
+    assert m.chol.shape[0] % 1024 == 0
+    assert m.touch_capacity >= 100
