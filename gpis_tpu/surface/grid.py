@@ -9,6 +9,9 @@ for variance, all MXU work with static shapes.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -26,6 +29,17 @@ def make_grid(resolution: int, extent: float, dtype=jnp.float32):
     return jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1), axis
 
 
+@functools.partial(jax.jit, static_argnames=("want_var",))
+def _eval_chunks(model, qp, want_var: bool):
+    """Jitted chunk loop.  The enclosing jit matters on remote backends: an
+    UNJITTED lax.map dispatches its body per iteration and the per-dispatch
+    round-trip dominates (measured 2026-08-18 at 16k/14 chunks: 2.13 s
+    unjitted vs 0.68 s jitted for the identical fused-kernel program)."""
+    if want_var:
+        return lax.map(lambda qc: gpr.predict(model, qc), qp)
+    return lax.map(lambda qc: gpr.predict_mean(model, qc), qp), None
+
+
 def evaluate_points_chunked(model: GPModel, q, *, chunk: int = 8192, want_var: bool = True):
     """Posterior mean (and variance) at (M,3) points, streamed in chunks.
 
@@ -36,11 +50,17 @@ def evaluate_points_chunked(model: GPModel, q, *, chunk: int = 8192, want_var: b
     pad = n_chunks * chunk - m
     qp = jnp.pad(q, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
 
-    if want_var:
-        mean, var = lax.map(lambda qc: gpr.predict(model, qc), qp)
-        return mean.ravel()[:m], var.ravel()[:m]
-    mean = lax.map(lambda qc: gpr.predict_mean(model, qc), qp)
-    return mean.ravel()[:m], None
+    if hasattr(model, "wstore") or hasattr(model, "mesh"):
+        # Out-of-core models stream host panels and sharded models are not
+        # pytrees — neither can cross a jit boundary as an argument; their
+        # predict methods manage their own jitted programs.
+        if want_var:
+            mean, var = lax.map(lambda qc: gpr.predict(model, qc), qp)
+            return mean.ravel()[:m], var.ravel()[:m]
+        mean = lax.map(lambda qc: gpr.predict_mean(model, qc), qp)
+        return mean.ravel()[:m], None
+    mean, var = _eval_chunks(model, qp, want_var)
+    return mean.ravel()[:m], None if var is None else var.ravel()[:m]
 
 
 def evaluate_grid(model: GPModel, resolution: int, extent: float, *, chunk: int = 8192,

@@ -11,6 +11,8 @@ project in parallel under `vmap` with a `lax.while_loop` per point
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -19,6 +21,15 @@ from gpis_tpu.gp import regression as gpr
 from gpis_tpu.gp.model import GPModel
 
 __all__ = ["project_points", "surface_normals", "project_point"]
+
+
+def _jittable(model) -> bool:
+    """Pytree models can cross a jit boundary as arguments; sharded models
+    (plain dataclasses holding a Mesh) and out-of-core models (host panel
+    streaming) cannot — they take the eager path, whose predict methods run
+    their own jitted programs (ADVICE r2: tracing a sharded model crashed
+    every config-5 planner call)."""
+    return not (hasattr(model, "mesh") or hasattr(model, "wstore"))
 
 
 def _mean_single(model: GPModel, x):
@@ -52,14 +63,34 @@ def project_point(model: GPModel, x0, *, max_iters: int = 20, tol: float = 1e-6,
     return x, jnp.abs(f) <= tol
 
 
-def project_points(model: GPModel, seeds, *, max_iters: int = 20, tol: float = 1e-6):
-    """vmapped projection of (M,3) seeds. Returns (points (M,3), converged (M,))."""
+@functools.partial(jax.jit, static_argnames=("max_iters", "tol"))
+def _project_points_jit(model, seeds, max_iters: int, tol: float):
     fn = lambda s: project_point(model, s, max_iters=max_iters, tol=tol)
     return jax.vmap(fn)(seeds)
+
+
+def project_points(model: GPModel, seeds, *, max_iters: int = 20, tol: float = 1e-6):
+    """vmapped projection of (M,3) seeds. Returns (points (M,3), converged (M,)).
+
+    Jitted as ONE program for pytree models: eager execution dispatched each
+    surrounding primitive as its own device round-trip (~0.2 s each on the
+    tunnel), several of which bracketed the while_loop per call."""
+    if _jittable(model):
+        return _project_points_jit(model, seeds, max_iters, tol)
+    fn = lambda s: project_point(model, s, max_iters=max_iters, tol=tol)
+    return jax.vmap(fn)(seeds)
+
+
+@jax.jit
+def _surface_normals_jit(model, points):
+    g = jax.vmap(lambda x: jax.grad(lambda p: _mean_single(model, p))(x))(points)
+    return g / jnp.maximum(jnp.linalg.norm(g, axis=1, keepdims=True), 1e-12)
 
 
 def surface_normals(model: GPModel, points):
     """Outward unit normals: normalized posterior-mean gradient (the GPIS
     field grows from -1 inside to +1 outside, so grad f points outward)."""
+    if _jittable(model):
+        return _surface_normals_jit(model, points)
     g = jax.vmap(lambda x: jax.grad(lambda p: _mean_single(model, p))(x))(points)
     return g / jnp.maximum(jnp.linalg.norm(g, axis=1, keepdims=True), 1e-12)

@@ -56,14 +56,20 @@ def test_gram_pallas_f64(rng):
 
 @pytest.mark.parametrize("n", [256, 1024])
 @pytest.mark.parametrize("kernel", ["rbf", "thin_plate"])
-def test_fused_query_pallas(rng, n, kernel):
+def test_fused_query_pallas(n, kernel):
     """Fused assemble+GEMM query kernel == linv predict path.  n=256 clamps
     the sweep-tunable tiles down to the capacity; n=1024 runs the default
     TALL TI (TI=512 != TC) — covering the generalized liveness predicate
-    and the upper-triangle DMA-elision index map."""
+    and the upper-triangle DMA-elision index map.
+
+    Local generator, NOT the session-scoped `rng` fixture: this parity
+    tolerance is scale-tight, and the shared stream's position shifts
+    whenever any earlier test adds/removes a draw (adding tests to
+    test_gp.py once flipped the thin_plate case here)."""
     from gpis_tpu.gp import regression as gpr
     from gpis_tpu.kernels.pallas_query import fused_query_pallas
 
+    rng = np.random.default_rng(20260818 + n)
     x = rng.normal(size=(n, 3))
     if kernel == "thin_plate":
         # Thin-plate is only conditionally positive definite: random
@@ -87,8 +93,11 @@ def test_fused_query_pallas(rng, n, kernel):
     # kernel's different summation order shows at the ~1e-3 absolute level,
     # growing with the number of accumulated products (n) — and the exact
     # noise realization shifts with ambient XLA CPU reduction layouts, so
-    # the bound needs headroom over the observed worst case.
-    atol = 1e-3 * (n / 256)
+    # the bound needs headroom over the observed worst case.  Thin-plate's
+    # covariance values are unbounded (r^2-scale vs RBF's <= 1), so the
+    # single-pass-bf16 mean GEMV's absolute error is correspondingly
+    # larger: observed up to ~1e-2 at n=1024 across seeds.
+    atol = (4e-3 if kernel == "thin_plate" else 1e-3) * (n / 256)
     np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), atol=atol)
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
                                rtol=2e-3, atol=atol)
