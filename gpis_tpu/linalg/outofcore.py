@@ -73,6 +73,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import threading
 
 import jax
@@ -501,17 +502,46 @@ def _compute_device():
     return jax.devices()[0]
 
 
+_H2D_CHUNK = int(os.environ.get("GPIS_H2D_CHUNK_MB", "16")) << 20
+
+
+def _chunked_put(v, dev):
+    """h2d in ~16 MB row slices + one device concat.  The axon tunnel moves
+    SMALL transfers ~3x faster than panel-sized ones (measured,
+    bench/link_chunk_sweep.py: one 512 MB put 17-30 MB/s vs 16 MB slices
+    46-56 MB/s; parallel streams don't help; d2h shows the OPPOSITE trend,
+    so writebacks stay whole).  Device-resident inputs pass through.  Peak
+    HBM during a fetch is unchanged: parts+concat = 2x trimmed, which the
+    pad-to-full-width step (trimmed+full) already dominates."""
+    if isinstance(v, jax.Array):
+        try:
+            if dev in v.devices():
+                return v
+        except Exception:
+            pass
+    nbytes = getattr(v, "nbytes", 0)
+    if _H2D_CHUNK <= 0 or nbytes <= 2 * _H2D_CHUNK or v.ndim != 2:
+        return jax.device_put(v, dev)
+    host = np.asarray(v)  # zero-copy for CPU jax arrays / memmaps
+    rows_per = max(1, _H2D_CHUNK // (host.shape[1] * host.dtype.itemsize))
+    parts = [jax.device_put(host[r:r + rows_per], dev)
+             for r in range(0, host.shape[0], rows_per)]
+    if len(parts) == 1:
+        return parts[0]
+    return jnp.concatenate(parts)
+
+
 def _fetch(store, j: int, dev, pad_to: int | None = None):
-    """device_put a stored panel, restore the store's compute dtype
-    (spilled panels may live in a narrower spill dtype), and zero-pad the
-    trimmed panel to the full matrix width — every consuming kernel takes
-    fixed (B, C) operands with TRACED offsets, so one compile serves every
-    panel (per-width shapes cost O(nb^2) remote Mosaic compiles, measured
-    at ~20 min for a 32k fit)."""
+    """device_put a stored panel (in link-friendly chunks), restore the
+    store's compute dtype (spilled panels may live in a narrower spill
+    dtype), and zero-pad the trimmed panel to the full matrix width —
+    every consuming kernel takes fixed (B, C) operands with TRACED
+    offsets, so one compile serves every panel (per-width shapes cost
+    O(nb^2) remote Mosaic compiles, measured at ~20 min for a 32k fit)."""
     v = store.get(j)
     if isinstance(v, _DiskPanel):
         v = v.read()
-    v = jax.device_put(v, dev)
+    v = _chunked_put(v, dev)
     cd = getattr(store, "compute_dtype", None)
     if cd is not None and v.dtype != cd:
         v = v.astype(cd)

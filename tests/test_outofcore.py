@@ -760,3 +760,42 @@ def test_ooc_save_restore_save_same_path(problem, tmp_path):
     m2, v2 = s2.query(q)
     np.testing.assert_allclose(mean3, m2, atol=1e-5)
     np.testing.assert_allclose(var3, v2, atol=1e-5)
+
+
+def test_chunked_put_parity_all_sources(tmp_path, monkeypatch):
+    """_chunked_put (link-friendly 16 MB h2d slices, wired into _fetch)
+    must be bit-identical to one whole device_put for every source kind a
+    panel store can hand it — ndarray, np.memmap, CPU jax array — across
+    a non-dividing chunk boundary, and must pass device-resident arrays
+    through untouched."""
+    import jax
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((37, 53)).astype(np.float32)
+
+    # Chunk small enough to force multiple slices with a ragged tail.
+    monkeypatch.setattr(ooc, "_H2D_CHUNK", 53 * 4 * 8)  # 8 rows per slice
+
+    got = ooc._chunked_put(a, dev)
+    np.testing.assert_array_equal(np.asarray(got), a)
+
+    p = tmp_path / "panel.bin"
+    mm = np.memmap(p, dtype=np.float32, mode="w+", shape=a.shape)
+    mm[:] = a
+    mm.flush()
+    got = ooc._chunked_put(np.memmap(p, dtype=np.float32, mode="r",
+                                     shape=a.shape), dev)
+    np.testing.assert_array_equal(np.asarray(got), a)
+
+    got = ooc._chunked_put(jnp.asarray(a), dev)
+    np.testing.assert_array_equal(np.asarray(got), a)
+
+    # Already on the target device: pass through without copying.
+    on_dev = jax.device_put(a, dev)
+    assert ooc._chunked_put(on_dev, dev) is on_dev
+
+    # Disabled (chunk=0) and 1-D fall back to a single put.
+    monkeypatch.setattr(ooc, "_H2D_CHUNK", 0)
+    got = ooc._chunked_put(a, dev)
+    np.testing.assert_array_equal(np.asarray(got), a)
