@@ -117,12 +117,26 @@ def phase1(n: int, spill_dir: str) -> None:
         print(f"PHASE1 SKIP (complete factor for n={x.shape[0]} already "
               f"under {spill_dir})", flush=True)
         return
+    panel = int(os.environ.get("OOC_PANEL", "4096"))
+    c = ((int(x.shape[0]) + panel - 1) // panel) * panel
+    sweep = os.environ.get("OOC_SWEEP")
+    budget = None
+    if sweep is not None:
+        sweep = int(sweep)
+    else:
+        # Traffic-model sweep: minimizes the L-panel refetch volume that
+        # dominates wall-clock on the tunnel (see ooc.plan_sweeps).  The
+        # matching DeviceBudget must travel with it.
+        plan = ooc.plan_sweeps(c, panel, 4)
+        sweep, budget = plan["factor_sweep"], plan["factor_budget"]
+        print(f"[phase1] plan: sweep={sweep} budget={budget / 1e9:.1f}GB "
+              f"modeled refetch={plan['factor_traffic'] / 1e9:.0f}GB",
+              flush=True)
     print(f"[phase1] n={x.shape[0]} rss={_rss_gb():.1f}GB", flush=True)
     t0 = time.perf_counter()
     ooc.ooc_factor_phase(
-        "rbf", x, y, noise, params,
-        panel=int(os.environ.get("OOC_PANEL", "4096")), spill_dir=spill_dir,
-        sweep=int(os.environ.get("OOC_SWEEP", "2")),
+        "rbf", x, y, noise, params, panel=panel, spill_dir=spill_dir,
+        sweep=sweep, device_budget=budget,
     )
     dt = time.perf_counter() - t0
     print(f"PHASE1 OK n={x.shape[0]} t={dt:.1f}s rss={_rss_gb():.1f}GB",
@@ -162,32 +176,28 @@ def phase2(spill_dir: str, *, grid_res: int = 64) -> None:
             print(f"restored {restored} consumed L panels from backup",
                   flush=True)
     tsw = os.environ.get("OOC_TRSM_SWEEP")
+    budget = None
     if tsw is not None:
         tsw = int(tsw)
     else:
-        # Working-set model per sweep s, NOT counting the pallas in-place
-        # accumulate (must-alias is unverified on this backend): u + its
-        # kstep copy (2s full-width panel-rows), lj (s), two prefetched W
-        # panels, ~1 of slices/diag/misc, all f32 — plus a 2 GB floor for
-        # the device-resident W tier and 0.5 GB runtime slack.  At N=100k
-        # on a 15.48 GB chip this picks s=1 (s=2 OOM'd: the attempt-1
-        # post-mortem); at <=64k it keeps the faster s=2.
-        import numpy as _np
-
-        st = _np.load(os.path.join(spill_dir, "state.npz"),
-                      allow_pickle=False)
-        c_ = int(st["x"].shape[0])
-        pb = int(st["panel"]) * c_ * 4
-        try:
-            import jax as _jax
-
-            limit = int(_jax.devices()[0].memory_stats()
-                        .get("bytes_limit", 15_500_000_000))
-        except Exception:
-            limit = 15_500_000_000
-        tsw = 2 if (3 * 2 + 3.5) * pb + 2.5e9 <= limit else 1
+        # Traffic-model sweep (ooc.plan_sweeps): the working-set reserve per
+        # sweep row is 3 full-width panel-rows — u + its kstep copy (the
+        # pallas in-place accumulate's must-alias is unverified on this
+        # backend) + the fetched L rows — the same calibration that made
+        # N=100k land at s=1/panel=4096 (the s=2 attempt-1 OOM post-mortem);
+        # the planner now also weighs the refetch volume, which prefers a
+        # smaller panel with a larger sweep.
+        st = np.load(os.path.join(spill_dir, "state.npz"),
+                     allow_pickle=False)
+        plan = ooc.plan_sweeps(int(st["x"].shape[0]), int(st["panel"]), 4,
+                               w_itemsize=2)
+        tsw, budget = plan["trsm_sweep"], plan["trsm_budget"]
+        print(f"[phase2] plan: sweep={tsw} budget={budget / 1e9:.1f}GB "
+              f"modeled refetch={plan['trsm_traffic'] / 1e9:.0f}GB",
+              flush=True)
     t0 = time.perf_counter()
-    m = ooc.ooc_solve_phase(spill_dir, w_dtype=jnp.float16, trsm_sweep=tsw)
+    m = ooc.ooc_solve_phase(spill_dir, w_dtype=jnp.float16, trsm_sweep=tsw,
+                            device_budget=budget)
     trsm_s = time.perf_counter() - t0
     print(f"PHASE2 trsm={trsm_s:.1f}s sweep={tsw} rss={_rss_gb():.1f}GB",
           flush=True)

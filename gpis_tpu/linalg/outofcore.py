@@ -94,7 +94,8 @@ def _mmh(a, b):
     return jnp.dot(a, b, precision=lax.Precision.HIGHEST)
 
 __all__ = ["HostPanelStore", "DevicePanelStore", "TieredPanelStore",
-           "DeviceBudget", "ooc_cholesky", "ooc_trsm", "ooc_solve_alpha",
+           "DeviceBudget", "plan_sweeps",
+           "ooc_cholesky", "ooc_trsm", "ooc_solve_alpha",
            "ooc_alpha_backward", "ooc_factor_phase", "ooc_solve_phase",
            "ooc_predict", "ooc_fit", "ooc_update", "OOCModel"]
 
@@ -1410,6 +1411,14 @@ def ooc_update(model: OOCModel, new_x, new_y, new_noise, *,
     )
 
 
+def _device_limit(default: int = 15_500_000_000) -> int:
+    try:
+        stats = jax.devices()[0].memory_stats()
+        return int(stats.get("bytes_limit", default))
+    except Exception:
+        return default
+
+
 def _hbm_budget(panel: int, c: int, itemsize: int, sweep: int = 1) -> int:
     """Device bytes available to the tiered panel stores: the backend's
     reported limit minus headroom for the row-band working set — the
@@ -1417,14 +1426,97 @@ def _hbm_budget(panel: int, c: int, itemsize: int, sweep: int = 1) -> int:
     one plus the incoming one), the zero-pad transient, the async-writer
     slice, and GEMM temps.  Sized from the 100k OOM post-mortem: a 6 GB
     budget with sweep=3 put the peak ~1 GB over the 15.48 GB chip."""
-    limit = 15_500_000_000
-    try:
-        stats = jax.devices()[0].memory_stats()
-        limit = int(stats.get("bytes_limit", limit))
-    except Exception:
-        pass
     reserve = int((sweep + 4.5) * panel * c * itemsize) + 500_000_000
-    return max(limit - reserve, 0)
+    return max(_device_limit() - reserve, 0)
+
+
+def plan_sweeps(c: int, panel: int, itemsize: int = 4, *,
+                limit: int | None = None, w_itemsize: int | None = None,
+                width_quant: int = 2, max_sweep: int = 32) -> dict:
+    """Pick the factor/TRSM sweep widths that minimize MODELED host->device
+    refetch traffic — the term that is ~95% of the out-of-core wall-clock on
+    the axon tunnel (measured: the N=100k phase-1 at panel=4096, sweep=2
+    moved ~150 GB of L-panel refetches; BASELINE.md).
+
+    Model per phase, for sweep s over nb = c/panel stored panels:
+
+      groups start at j = 0, s, 2s, ...; each group re-fetches the stored
+      prefix [0, j) EXCEPT the budget-first device-resident panels, so
+
+          traffic(s) = sum_groups max(0, cum(j) - cum(tier(s)))
+
+      with cum(j) the cumulative trimmed panel bytes (quantized widths,
+      `_store_width`) and tier(s) the largest resident prefix under the
+      phase's HBM budget:
+
+        factor: budget(s) = limit - ((s + 4.5) B C i + 0.5 GB)
+                (cur row band s*pb + 2 prefetched panels + pad transient +
+                 writer slice + GEMM temps — `_hbm_budget`'s calibration)
+        TRSM:   budget(s) = limit - ((3 s + 3.5) B C i + 0.5 GB)
+                (u + its non-aliased kstep copy + the fetched L sweep rows
+                 scale with s; the 100k post-mortem calibration — the
+                 Pallas in-place accumulate's must-alias is treated as a
+                 copy because it is unverified on this backend)
+
+      Raising s divides the number of groups but shrinks the device tier
+      that absorbs the hottest (earliest, narrowest) panels — the optimum
+      is interior and problem-dependent; at 100k/panel=2048 the model picks
+      factor s≈8 (~3-4x less traffic than the measured s=2/panel=4096 run).
+      Spilled W panels refetch at `w_itemsize` (float16 spill compression),
+      device-resident ones count at the compute itemsize.
+
+    Returns {"factor_sweep", "factor_budget", "factor_traffic",
+    "trsm_sweep", "trsm_budget", "trsm_traffic", "nb"}; budgets are the
+    DeviceBudget limits consistent with the chosen s (pass them through,
+    or the store's tier and the model diverge).  Ties prefer smaller s
+    (smaller working set).  `limit` defaults to the live device's
+    bytes_limit."""
+    if limit is None:
+        limit = _device_limit()
+    nb = c // panel
+    if nb * panel != c:
+        raise ValueError(f"c ({c}) must be a multiple of panel ({panel})")
+    pb = panel * c * itemsize
+    pbk = [panel * _store_width(k, panel, c, width_quant) * itemsize
+           for k in range(nb)]
+    cum = [0]
+    for b in pbk:
+        cum.append(cum[-1] + b)
+
+    def tier_panels(budget: int) -> int:
+        t = 0
+        while t < nb and cum[t + 1] <= budget:
+            t += 1
+        return t
+
+    def traffic(s: int, budget: int, refetch_scale: float) -> float:
+        t = tier_panels(budget)
+        vol = 0.0
+        for j in range(0, nb, s):
+            vol += max(0, cum[j] - cum[min(t, j)]) * refetch_scale
+        return vol
+
+    def pick(rows_per_sweep: float, fixed_rows: float, refetch_scale: float):
+        slack = int(fixed_rows * pb) + 500_000_000
+        best = None
+        for s in range(1, min(max_sweep, nb) + 1):
+            budget = limit - int(rows_per_sweep * s * pb) - slack
+            if budget < 0:
+                break
+            vol = traffic(s, budget, refetch_scale)
+            if best is None or vol < best[2]:
+                best = (s, budget, vol)
+        if best is None:  # even s=1 doesn't fit the model: degenerate safe pick
+            best = (1, 0, traffic(1, 0, refetch_scale))
+        return best
+
+    # factor: reserve (s + 4.5) pb;  TRSM: reserve (3 s + 3.5) pb.
+    fs, fbudget, fvol = pick(1.0, 4.5, 1.0)
+    wscale = (w_itemsize / itemsize) if w_itemsize else 1.0
+    ts, tbudget, tvol = pick(3.0, 3.5, wscale)
+    return {"nb": nb, "factor_sweep": fs, "factor_budget": fbudget,
+            "factor_traffic": int(fvol), "trsm_sweep": ts,
+            "trsm_budget": tbudget, "trsm_traffic": int(tvol)}
 
 
 def _pad_problem(kernel, x, y, noise, params, *, panel: int,

@@ -7,8 +7,11 @@
 # completed work:
 #   1. compiled-Pallas smoke  (validates the kernels the 100k run uses)
 #   2. headline bench.py      (N=16384 single chip)
-#   3. N=100k out-of-core judge config (resumable across crashes/outages)
-#   4. query-tile sweep       (may flip the GPIS_QTILE_I default)
+#   3. N=32k out-of-core validation at the NEW panel/sweep plan (chunked
+#      h2d + traffic-model sweeps) before committing hours to 100k
+#   4. N=100k out-of-core judge config rerun (resumable across crashes/
+#      outages; previous measured total 7486 s — the chunked fetches +
+#      planned sweeps should cut the dominant refetch term ~3-5x)
 #
 # Usage:  setsid nohup bash scripts/hw_supervisor.sh >/tmp/gpis_hw/supervisor.log 2>&1 &
 # State:  /tmp/gpis_hw/done.<step> markers; per-step logs in /tmp/gpis_hw/.
@@ -17,7 +20,8 @@
 set -u
 REPO=/root/repo
 HW=/tmp/gpis_hw
-OOC_DIR=/tmp/ooc_100k
+OOC_DIR=/tmp/ooc_100k_r3b
+export OOC_PANEL=${OOC_PANEL:-2048}   # plan_sweeps: ~3x less refetch than 4096
 DEADLINE=${GPIS_HW_DEADLINE:-$(( $(date +%s) + 11*3600 ))}  # leave tunnel free for the driver
 mkdir -p "$HW"
 echo $$ > "$HW/super.pid"
@@ -91,7 +95,14 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   #    kernel work).
   run_step bench16k 1200 python bench.py || { sleep 120; continue; }
 
-  # 3. the judge config: N=100k out-of-core.  bench.py --ooc is process-split
+  # 3. 32k validation of the new panel/sweep plan (fresh dir each attempt —
+  #    it is cheap and a stale half-written store must not mask a plan bug).
+  if [ ! -e "$HW/done.ooc32k" ] && [ ! -e "$HW/gaveup.ooc32k" ]; then
+    rm -rf /tmp/ooc_32k_val
+  fi
+  run_step ooc32k 3600 python bench.py --ooc 32000 /tmp/ooc_32k_val || { sleep 120; continue; }
+
+  # 4. the judge config: N=100k out-of-core.  bench.py --ooc is process-split
   #    and resumable (panel stores + progress checkpoints under $OOC_DIR);
   #    rerunning after a crash or outage continues where it stopped.
   if [ ! -e "$HW/done.ooc100k" ] && [ ! -e "$HW/gaveup.ooc100k" ]; then
@@ -116,14 +127,9 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     fi
   fi
 
-  # 4. query-tile sweep (informs GPIS_QTILE_I; read $HW/tilesweep.log and
-  #    flip the default manually if 256 wins).
-  run_step tilesweep 3600 python bench/query_tile_sweep.py 16256 || { sleep 120; continue; }
-
-  # 5. service-loop scenarios (steady-state numbers for BASELINE.md).
-  run_step scenario_value 1800 python bench/session_scenario.py 16256
-  run_step scenario_joint 2400 python bench/session_scenario.py 4992 --normals
-
+  # (query-tile sweep + service scenarios were measured earlier in r3 and
+  # are recorded in BASELINE.md — not repeated here; the 100k rerun owns
+  # the remaining tunnel time.)
   log "ALL STEPS COMPLETE"; exit 0
 done
 log "deadline reached"; exit 0

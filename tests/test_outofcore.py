@@ -799,3 +799,79 @@ def test_chunked_put_parity_all_sources(tmp_path, monkeypatch):
     monkeypatch.setattr(ooc, "_H2D_CHUNK", 0)
     got = ooc._chunked_put(a, dev)
     np.testing.assert_array_equal(np.asarray(got), a)
+
+
+def test_plan_sweeps_model():
+    """The sweep planner's feasibility and traffic model: budgets respect
+    the calibrated working-set reserves, the modeled refetch volume at the
+    chosen sweep never exceeds the legacy fixed choices (factor s=2,
+    TRSM s=1 — the completed N=100k r3 run), and budgets shrink as the
+    sweep grows."""
+    limit = 15_480_000_000
+    c, panel = 102400, 4096
+    p = ooc.plan_sweeps(c, panel, 4, limit=limit, w_itemsize=2)
+    pb = panel * c * 4
+    # Reserve model: factor (s + 4.5) pb + 0.5 GB; TRSM (3 s + 3.5) pb.
+    assert p["factor_budget"] == limit - (p["factor_sweep"] + 4.5) * pb - int(5e8)
+    assert p["trsm_budget"] == limit - (3 * p["trsm_sweep"] + 3.5) * pb - int(5e8)
+    assert p["factor_budget"] >= 0 and p["trsm_budget"] >= 0
+
+    # The chosen sweeps must not model MORE traffic than the r3 run's fixed
+    # (factor 2, trsm 1) choices under the same budgets-coupled model.
+    def vol(kind, s):
+        rows = 1.0 if kind == "factor" else 3.0
+        fixed = 4.5 if kind == "factor" else 3.5
+        budget = limit - int(rows * s * pb) - int(fixed * pb) - int(5e8)
+        pbk = [panel * ooc._store_width(k, panel, c, 2) * 4
+               for k in range(c // panel)]
+        cum = [0]
+        for b in pbk:
+            cum.append(cum[-1] + b)
+        t = 0
+        while t < len(pbk) and cum[t + 1] <= budget:
+            t += 1
+        scale = 1.0 if kind == "factor" else 0.5
+        return sum(max(0, cum[j] - cum[min(t, j)])
+                   for j in range(0, len(pbk), s)) * scale
+
+    assert p["factor_traffic"] <= vol("factor", 2)
+    assert p["trsm_traffic"] <= vol("trsm", 1)
+    assert p["factor_traffic"] == vol("factor", p["factor_sweep"])
+    assert p["trsm_traffic"] == vol("trsm", p["trsm_sweep"])
+
+    # Smaller panels admit larger relative sweeps -> strictly less refetch
+    # at 100k scale.
+    p2 = ooc.plan_sweeps(100352, 2048, 4, limit=limit, w_itemsize=2)
+    assert p2["factor_traffic"] < p["factor_traffic"]
+    assert p2["trsm_traffic"] < p["trsm_traffic"]
+
+    # Tiny problems: everything fits the device tier -> zero refetch, and
+    # ties resolve to the smallest (safest) sweep.
+    p3 = ooc.plan_sweeps(1024, 256, 4, limit=limit)
+    assert p3["factor_traffic"] == 0 and p3["trsm_traffic"] == 0
+    assert p3["factor_sweep"] == 1 and p3["trsm_sweep"] == 1
+
+    # Degenerate: a limit too small for even s=1 still returns a safe plan.
+    p4 = ooc.plan_sweeps(2048, 256, 4, limit=0)
+    assert p4["factor_sweep"] == 1 and p4["factor_budget"] == 0
+
+    with pytest.raises(ValueError):
+        ooc.plan_sweeps(1000, 256, 4, limit=limit)
+
+
+def test_ooc_fit_with_planned_sweeps(problem):
+    """An ooc_fit driven by plan_sweeps' (sweep, budget) output matches the
+    dense in-core posterior — the planner's choices are plumbing-compatible
+    with the real pipeline, not just a cost model."""
+    x, y, noise, params = problem
+    plan = ooc.plan_sweeps(C, B, 8, limit=10 * B * C * 8)
+    m = ooc.ooc_fit("rbf", x, y, noise, params, panel=B,
+                    sweep=plan["factor_sweep"],
+                    trsm_sweep=plan["trsm_sweep"],
+                    device_budget=plan["factor_budget"])
+    dense = gpr.fit("rbf", x, y, noise, params, block=B)
+    q = jnp.asarray(np.random.default_rng(5).normal(size=(64, 3)))
+    mean, var = m.predict(q, chunk=32)
+    dm, dv = gpr.predict(dense, q)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(dm), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(dv), atol=1e-6)
