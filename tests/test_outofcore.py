@@ -875,3 +875,31 @@ def test_ooc_fit_with_planned_sweeps(problem):
     dm, dv = gpr.predict(dense, q)
     np.testing.assert_allclose(np.asarray(mean), np.asarray(dm), atol=1e-6)
     np.testing.assert_allclose(np.asarray(var), np.asarray(dv), atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.e2e
+def test_ooc_staged_driver_cpu(tmp_path):
+    """The process-split judge-config driver (bench/ooc_staged.py run =
+    phase1 subprocess -> phase2 subprocess -> one JSON line) end-to-end on
+    CPU: planner-chosen sweeps, disk-persisted factor crossing the process
+    boundary, RMSE gate.  This is the exact surface `bench.py --ooc 100000`
+    invokes on hardware."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, GPIS_OOC_CPU="1", OOC_PANEL="256")
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "bench",
+                      "ooc_staged.py"),
+         "run", "800", str(tmp_path / "store")],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    doc = json.loads(line)
+    assert doc["ok"] is True and doc["rmse"] < 0.01
+    assert doc["metric"] == "ooc_fit_query_800"
