@@ -1449,9 +1449,13 @@ def plan_sweeps(c: int, panel: int, itemsize: int = 4, *,
       `_store_width`) and tier(s) the largest resident prefix under the
       phase's HBM budget:
 
-        factor: budget(s) = limit - ((s + 4.5) B C i + 0.5 GB)
-                (cur row band s*pb + 2 prefetched panels + pad transient +
-                 writer slice + GEMM temps — `_hbm_budget`'s calibration)
+        factor: budget(s) = limit - ((2 s + 4.5) B C i + 0.5 GB)
+                (TWO copies of the (s*B, C) cur row band — the donated
+                 dynamic_update_slice in _chol_kstep is NOT reliably
+                 aliased in place on this backend: s=10 at 100k OOM'd in
+                 the k-loop with a single-copy model, measured 2026-08-19 —
+                 plus 2 prefetched panels, the pad transient, the writer
+                 slice, and GEMM temps)
         TRSM:   budget(s) = limit - ((3 s + 3.5) B C i + 0.5 GB)
                 (u + its non-aliased kstep copy + the fetched L sweep rows
                  scale with s; the 100k post-mortem calibration — the
@@ -1461,7 +1465,7 @@ def plan_sweeps(c: int, panel: int, itemsize: int = 4, *,
       Raising s divides the number of groups but shrinks the device tier
       that absorbs the hottest (earliest, narrowest) panels — the optimum
       is interior and problem-dependent; at 100k/panel=2048 the model picks
-      factor s≈8 (~3-4x less traffic than the measured s=2/panel=4096 run).
+      factor s=5 (~2x less traffic than the measured s=2/panel=4096 run).
       Spilled W panels refetch at `w_itemsize` (float16 spill compression),
       device-resident ones count at the compute itemsize.
 
@@ -1510,8 +1514,8 @@ def plan_sweeps(c: int, panel: int, itemsize: int = 4, *,
             best = (1, 0, traffic(1, 0, refetch_scale))
         return best
 
-    # factor: reserve (s + 4.5) pb;  TRSM: reserve (3 s + 3.5) pb.
-    fs, fbudget, fvol = pick(1.0, 4.5, 1.0)
+    # factor: reserve (2 s + 4.5) pb;  TRSM: reserve (3 s + 3.5) pb.
+    fs, fbudget, fvol = pick(2.0, 4.5, 1.0)
     wscale = (w_itemsize / itemsize) if w_itemsize else 1.0
     ts, tbudget, tvol = pick(3.0, 3.5, wscale)
     return {"nb": nb, "factor_sweep": fs, "factor_budget": fbudget,
