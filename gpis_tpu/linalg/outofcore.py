@@ -756,26 +756,32 @@ def _chol_kstep(cur, lk_full, k0, *, block: int):
     HBM fetch of tiles beyond k0."""
     from gpis_tpu.linalg.pallas_chol import gemm_nt_masked_pallas
 
+    from gpis_tpu.linalg.pallas_chol import stripe_write_pallas
+
     p = lk_full.shape[0]
     r = cur.shape[0]  # r = sweep * p when sweep-blocked (outer rows)
     s = lax.dynamic_slice(cur, (0, k0), (r, p))
     s = gemm_nt_masked_pallas(cur, lk_full, s, k0)
     lkk = lax.dynamic_slice(lk_full, (0, k0), (p, p))
     blk = _trsm_right_blocked(s, lkk, block=block)
-    return lax.dynamic_update_slice(cur, blk, (0, k0))
+    # Aliased stripe write, NOT dynamic_update_slice: the dus materialized a
+    # second (r, C) buffer on this backend, which OOM'd the planner's
+    # sweep=10 at N=100k (see stripe_write_pallas).
+    return stripe_write_pallas(cur, blk, k0)
 
 
 @functools.partial(jax.jit, static_argnames=("block",), donate_argnums=(0,))
 def _chol_diag(cur, j0, *, block: int):
     """Finish the row panel: factor its diagonal block (j0 traced — one
     compile serves every panel)."""
-    from gpis_tpu.linalg.pallas_chol import gemm_nt_masked_pallas
+    from gpis_tpu.linalg.pallas_chol import (gemm_nt_masked_pallas,
+                                             stripe_write_pallas)
 
     b = cur.shape[0]
     s = lax.dynamic_slice(cur, (0, j0), (b, b))
     s = gemm_nt_masked_pallas(cur, cur, s, j0)
     ld = _potrf(s, block)
-    return lax.dynamic_update_slice(cur, ld, (0, j0))
+    return stripe_write_pallas(cur, ld, j0)
 
 
 @functools.partial(jax.jit, static_argnames=("w",))
@@ -819,11 +825,12 @@ def _trsm_finish(ljj, u, j0, *, block: int):
     the updates — the same precision call as everywhere else (an explicit
     inverse's bf16x3 error is amplified by cond, measured ||WL-I||=0.75
     at 4096)."""
-    from gpis_tpu.linalg.pallas_chol import gemm_nn_acc_masked_pallas
+    from gpis_tpu.linalg.pallas_chol import (gemm_nn_acc_masked_pallas,
+                                             stripe_write_pallas)
 
     rows = ljj.shape[0]
     eye = jnp.eye(rows, dtype=ljj.dtype)
-    m = lax.dynamic_update_slice(-u, eye, (0, j0))
+    m = stripe_write_pallas(-u, eye, j0)
     width = j0 + rows
     nbr = rows // block
     col_idx = jnp.arange(rows)
@@ -1449,23 +1456,24 @@ def plan_sweeps(c: int, panel: int, itemsize: int = 4, *,
       `_store_width`) and tier(s) the largest resident prefix under the
       phase's HBM budget:
 
-        factor: budget(s) = limit - ((2 s + 4.5) B C i + 0.5 GB)
-                (TWO copies of the (s*B, C) cur row band — the donated
-                 dynamic_update_slice in _chol_kstep is NOT reliably
-                 aliased in place on this backend: s=10 at 100k OOM'd in
-                 the k-loop with a single-copy model, measured 2026-08-19 —
-                 plus 2 prefetched panels, the pad transient, the writer
-                 slice, and GEMM temps)
-        TRSM:   budget(s) = limit - ((3 s + 3.5) B C i + 0.5 GB)
-                (u + its non-aliased kstep copy + the fetched L sweep rows
-                 scale with s; the 100k post-mortem calibration — the
-                 Pallas in-place accumulate's must-alias is treated as a
-                 copy because it is unverified on this backend)
+        factor: budget(s) = limit - ((s + 4.5) B C i + 2 (s B)^2 i + 0.5 GB)
+                (ONE (s*B, C) cur row band — every column-block write-back
+                 is an aliased Pallas stripe write (`stripe_write_pallas`),
+                 NOT a dynamic_update_slice, which materialized a second
+                 full-width buffer on this backend and OOM'd sweep=10 at
+                 100k (2026-08-19) — plus the in-core (sB, sB) diagonal
+                 factor working set, 2 prefetched panels, the pad
+                 transient, the writer slice, and GEMM temps)
+        TRSM:   budget(s) = limit - ((2 s + 3.5) B C i + 2 (s B)^2 i + 0.5 GB)
+                (u and the fetched L sweep rows scale with s; the finish's
+                 identity embed and k-step accumulates are alias-in-place
+                 Pallas calls, so no second u copy; plus the (sB, sB)
+                 diagonal trisolve working set)
 
       Raising s divides the number of groups but shrinks the device tier
       that absorbs the hottest (earliest, narrowest) panels — the optimum
       is interior and problem-dependent; at 100k/panel=2048 the model picks
-      factor s=5 (~2x less traffic than the measured s=2/panel=4096 run).
+      factor s≈8 (~3x less traffic than the measured s=2/panel=4096 run).
       Spilled W panels refetch at `w_itemsize` (float16 spill compression),
       device-resident ones count at the compute itemsize.
 
@@ -1504,7 +1512,8 @@ def plan_sweeps(c: int, panel: int, itemsize: int = 4, *,
         slack = int(fixed_rows * pb) + 500_000_000
         best = None
         for s in range(1, min(max_sweep, nb) + 1):
-            budget = limit - int(rows_per_sweep * s * pb) - slack
+            diag = 2 * (s * panel) ** 2 * itemsize
+            budget = limit - int(rows_per_sweep * s * pb) - diag - slack
             if budget < 0:
                 break
             vol = traffic(s, budget, refetch_scale)
@@ -1514,10 +1523,10 @@ def plan_sweeps(c: int, panel: int, itemsize: int = 4, *,
             best = (1, 0, traffic(1, 0, refetch_scale))
         return best
 
-    # factor: reserve (2 s + 4.5) pb;  TRSM: reserve (3 s + 3.5) pb.
-    fs, fbudget, fvol = pick(2.0, 4.5, 1.0)
+    # factor: reserve (s + 4.5) pb + diag;  TRSM: (2 s + 3.5) pb + diag.
+    fs, fbudget, fvol = pick(1.0, 4.5, 1.0)
     wscale = (w_itemsize / itemsize) if w_itemsize else 1.0
-    ts, tbudget, tvol = pick(3.0, 3.5, wscale)
+    ts, tbudget, tvol = pick(2.0, 3.5, wscale)
     return {"nb": nb, "factor_sweep": fs, "factor_budget": fbudget,
             "factor_traffic": int(fvol), "trsm_sweep": ts,
             "trsm_budget": tbudget, "trsm_traffic": int(tvol)}

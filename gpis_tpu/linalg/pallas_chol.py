@@ -330,6 +330,55 @@ def gemm_nn_acc_masked_pallas(u, a, b, w):
     )(jnp.asarray([w], jnp.int32), a, b, u)
 
 
+def _stripe_kernel(c0_ref, blk_ref, dst_ref, out_ref):
+    del c0_ref, dst_ref
+    out_ref[...] = blk_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def stripe_write_pallas(dst, blk, c0):
+    """dst[:, c0:c0+W] = blk IN PLACE (must-alias), c0 TRACED.
+
+    `lax.dynamic_update_slice` on a donated buffer is NOT reliably aliased
+    in place on this backend: the out-of-core factorization's k-step wrote
+    each solved column block back into its (sweep*B, C) row band with a
+    dus, and at sweep=10 / N=100k the resulting second full-width buffer
+    OOM'd the chip (RESOURCE_EXHAUSTED in `_chol_kstep`, 2026-08-19) —
+    the same failure mode `gemm_nn_acc_masked_pallas`'s alias solved for
+    the TRSM phase.  Here the GRID covers only the stripe (block index
+    maps offset by the scalar-prefetched c0), so tiles outside it are
+    never DMA'd or written; must-alias keeps their bytes in place.
+
+    Requires c0 and both dims tile-aligned; falls back to dus otherwise
+    (small problems, where the extra buffer is harmless)."""
+    r, c = dst.shape
+    w = blk.shape[1]
+    if r % _TN or c % _TN or w % _TN:
+        return lax.dynamic_update_slice(dst, blk, (0, c0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r // _TN, w // _TN),
+        in_specs=[
+            pl.BlockSpec((_TN, _TN), lambda i, j, sc: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, _TN),
+                         lambda i, j, sc: (i, sc[0] // _TN + j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TN, _TN),
+                               lambda i, j, sc: (i, sc[0] // _TN + j),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _stripe_kernel,
+        out_shape=jax.ShapeDtypeStruct((r, c), dst.dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={2: 0},
+        interpret=_interpret(),
+    )(jnp.asarray([c0], jnp.int32), blk, dst)
+
+
 def _row_kernel(j0_ref, lrow_ref, w_ref, out_ref):
     i = pl.program_id(0)
     k = pl.program_id(1)

@@ -811,19 +811,26 @@ def test_plan_sweeps_model():
     c, panel = 102400, 4096
     p = ooc.plan_sweeps(c, panel, 4, limit=limit, w_itemsize=2)
     pb = panel * c * 4
-    # Reserve model: factor (2 s + 4.5) pb + 0.5 GB (the cur row band is
-    # NOT reliably update-sliced in place on the axon backend — the s=10
-    # OOM post-mortem); TRSM (3 s + 3.5) pb.
-    assert p["factor_budget"] == limit - (2 * p["factor_sweep"] + 4.5) * pb - int(5e8)
-    assert p["trsm_budget"] == limit - (3 * p["trsm_sweep"] + 3.5) * pb - int(5e8)
+    # Reserve model: factor (s + 4.5) pb + diag + 0.5 GB; TRSM
+    # (2 s + 3.5) pb + diag — the row-band write-backs are alias-in-place
+    # stripe kernels (a dynamic_update_slice materialized a second
+    # full-width buffer on the axon backend: the s=10 OOM post-mortem),
+    # and diag = 2 (s B)^2 i is the in-core diagonal-block working set.
+    def diag(s):
+        return 2 * (s * panel) ** 2 * 4
+
+    fsw, tsw = p["factor_sweep"], p["trsm_sweep"]
+    assert p["factor_budget"] == limit - (fsw + 4.5) * pb - diag(fsw) - int(5e8)
+    assert p["trsm_budget"] == limit - (2 * tsw + 3.5) * pb - diag(tsw) - int(5e8)
     assert p["factor_budget"] >= 0 and p["trsm_budget"] >= 0
 
     # The chosen sweeps must not model MORE traffic than the r3 run's fixed
     # (factor 2, trsm 1) choices under the same budgets-coupled model.
     def vol(kind, s):
-        rows = 2.0 if kind == "factor" else 3.0
+        rows = 1.0 if kind == "factor" else 2.0
         fixed = 4.5 if kind == "factor" else 3.5
-        budget = limit - int(rows * s * pb) - int(fixed * pb) - int(5e8)
+        budget = (limit - int(rows * s * pb) - diag(s) - int(fixed * pb)
+                  - int(5e8))
         pbk = [panel * ooc._store_width(k, panel, c, 2) * 4
                for k in range(c // panel)]
         cum = [0]
