@@ -111,10 +111,17 @@ class ObjectModelSession:
                 cfg.kernel, ts.x, ts.y, ts.noise, params, panel=panel,
                 pad_noise=cfg.pad_noise,
             )
+            # A session's lifetime is query-heavy (exploration, is_done,
+            # meshes) and the factorization's HBM working set is gone —
+            # pin spilled W panels back on device so repeated queries stop
+            # re-streaming them over the link (no-op when nothing spilled).
+            promoted = self.model.promote_for_serving()
             self.stats["fit_s"] = _time.perf_counter() - _t0
             log.info("fit(out-of-core): %d pts -> capacity %d (panel %d) "
-                     "in %.3fs", len(points), self.model.capacity, panel,
-                     self.stats["fit_s"])
+                     "in %.3fs%s", len(points), self.model.capacity, panel,
+                     self.stats["fit_s"],
+                     f", promoted {promoted >> 20} MB for serving"
+                     if promoted else "")
             return self
         if normals is not None:
             from gpis_tpu.gp import derivative as gpd
@@ -660,6 +667,11 @@ class ObjectModelSession:
         touch that arrived after the checkpoint is simply replayed through
         update()."""
         self.model = ckpt.load_model(path)
+        # Restored out-of-core models come back with every W panel on disk;
+        # pin them into the idle HBM like start() does (promotion never
+        # touches the checkpoint's files — see TieredPanelStore.promote).
+        if hasattr(self.model, "promote_for_serving"):
+            self.model.promote_for_serving()
         d = np.load(path + ".frame.npz")
         self.frame = gpis.Frame(
             centroid=jnp.asarray(d["centroid"]), scale=jnp.asarray(d["scale"])

@@ -323,18 +323,19 @@ class TieredPanelStore(_PanelStoreBase):
                 pass
 
     def has_compressed_panels(self) -> bool:
-        """True if any disk panel is stored NARROWER than the compute
-        dtype.  The configured _spill_dtype alone is not enough: a store
-        reattached via open_dir with a different w_dtype still serves the
-        panels the manifest records (e.g. a TRSM resumed with w_dtype=None
-        over an f16-spilled prefix)."""
+        """True if any stored panel is NARROWER than the compute dtype.
+        The configured _spill_dtype alone is not enough: a store reattached
+        via open_dir with a different w_dtype still serves the panels the
+        manifest records (e.g. a TRSM resumed with w_dtype=None over an
+        f16-spilled prefix), and promote() pins spilled panels on device AT
+        their narrow stored dtype — both must keep refusing tactile
+        updates (ooc_update)."""
         cd = self.compute_dtype
         if cd is None:
             return False
         w = jnp.dtype(cd).itemsize
         with self._cv:
-            return any(isinstance(v, _DiskPanel)
-                       and np.dtype(v.dtype).itemsize < w
+            return any(np.dtype(v.dtype).itemsize < w
                        for v in self._p.values())
 
     def put_host(self, j: int, arr) -> None:
@@ -409,6 +410,50 @@ class TieredPanelStore(_PanelStoreBase):
                 arr.delete()
         finally:
             self._budget.limit = old_limit
+
+    def promote(self, limit_bonus: int = 0) -> int:
+        """Move spilled panels back into HBM (serving mode) and return the
+        bytes promoted.  After a fit, the factorization working set is gone
+        and its headroom is idle; a long-lived query/exploration session
+        re-streams every spilled panel over the ~25-55 MB/s link on EVERY
+        predict call, so pinning them device-resident converts minutes-per-
+        query into link-free serving.  Panels are promoted at their STORED
+        dtype (an f16-spilled store stays f16 on device — same variance
+        semantics, half the HBM; `_fetch` widens at read), in ascending
+        panel order, until the budget (optionally raised by `limit_bonus`)
+        refuses.  Disk files and manifest entries stay — durability and
+        resume semantics are unchanged; `free` of a promoted panel still
+        unlinks its mirror exactly when write_through would."""
+        self._budget.limit += int(limit_bonus)
+        dev = _compute_device()
+        with self._cv:
+            todo = sorted(j for j, v in self._p.items()
+                          if not isinstance(v, jax.Array))
+        promoted = 0
+        for j in todo:
+            with self._cv:
+                v = self._p.get(j)
+            if v is None or isinstance(v, jax.Array):
+                continue
+            host = v.read() if isinstance(v, _DiskPanel) else v
+            size = host.size * host.dtype.itemsize
+            if not self._budget.take(size):
+                break
+            arr = jax.block_until_ready(_chunked_put(host, dev))
+            was_disk = isinstance(v, _DiskPanel)
+            with self._cv:
+                self._p[j] = arr
+                self._meta[j] = (True, size)
+            # Disk files are NEVER unlinked here: a store reattached via
+            # open_dir serves CHECKPOINT-owned panel files (utils/
+            # checkpoint.py saves W under path + ".w/"), and promoting a
+            # restored model must not destroy the checkpoint it came from.
+            # A plain spill store may orphan its tmp files until clear();
+            # that is the safe direction.
+            if not was_disk and self._write_through:
+                self._to_disk(j, arr)
+            promoted += size
+        return promoted
 
     def save_manifest(self) -> None:
         """Write panel metadata next to the spilled files so open_dir can
@@ -1278,6 +1323,26 @@ class OOCModel:
     def update(self, new_x, new_y, new_noise, *, tail_capacity: int = 256):
         return ooc_update(self, new_x, new_y, new_noise,
                           tail_capacity=tail_capacity)
+
+    def promote_for_serving(self, *, reserve_bytes: int | None = None) -> int:
+        """Pin spilled W panels into the HBM freed by the finished fit and
+        return the bytes promoted.  Every predict/exploration call streams
+        the spilled panels over the link (~25-55 MB/s — minutes per query
+        batch at 100k); after promotion, queries up to the remaining
+        headroom run link-free.  `reserve_bytes` is the headroom kept for
+        the query working set (two zero-padded full-width panels, the
+        query chunks, and the quad accumulators); default 2 panels + 1 GB.
+        No-op for stores without a spill tier.  Precision is unchanged:
+        panels keep their stored dtype (see TieredPanelStore.promote)."""
+        prom = getattr(self.wstore, "promote", None)
+        if prom is None:
+            return 0
+        if reserve_bytes is None:
+            pb = self.panel * self.capacity * jnp.dtype(self.dtype).itemsize
+            reserve_bytes = 2 * pb + 1_000_000_000
+        budget = self.wstore._budget
+        bonus = max(0, _device_limit() - int(reserve_bytes) - budget.limit)
+        return prom(limit_bonus=bonus)
 
 
 def ooc_update(model: OOCModel, new_x, new_y, new_noise, *,

@@ -3,6 +3,7 @@ bordering Cholesky, panel-consuming TRSM, alpha accumulation, and streamed
 query must match the dense in-core path to f64 exactness (interpret-mode
 kernels are exact-arithmetic on CPU, SURVEY.md §5 item 3)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -912,3 +913,74 @@ def test_ooc_staged_driver_cpu(tmp_path):
     doc = json.loads(line)
     assert doc["ok"] is True and doc["rmse"] < 0.01
     assert doc["metric"] == "ooc_fit_query_800"
+
+
+def test_ooc_promote_for_serving(problem, tmp_path):
+    """promote_for_serving pins spilled W panels into HBM: every panel
+    becomes device-resident, posterior parity is unchanged, budget
+    accounting stays consistent on clear, and an f16-spilled store (a)
+    promotes at f16 — same variance semantics, half the HBM — and (b)
+    KEEPS refusing tactile updates after promotion (the narrow-panel
+    check must see device-resident f16, not just disk panels)."""
+    x, y, noise, params = problem
+    q = jnp.asarray(np.random.default_rng(23).normal(size=(128, 3)) * 0.8)
+    ref = gpr.fit("rbf", x, y, noise, params, block=B, touch_capacity=0)
+    mean_r, var_r = gpr.predict(ref, q)
+
+    # Plain f32 store spilled to DISK.
+    m = ooc.ooc_fit("rbf", x, y, noise, params, panel=B, store="tiered",
+                    device_budget=2 * B * C * 8,
+                    spill_dir=str(tmp_path / "w"))
+    spilled = [j for j, (od, _) in m.wstore._meta.items() if not od]
+    assert spilled
+    got = m.promote_for_serving(reserve_bytes=0)
+    assert got > 0
+    assert all(od for od, _ in m.wstore._meta.values())
+    # Disk files survive promotion: a store reattached from a CHECKPOINT
+    # (.w dir) must never lose its panels to serving-mode promotion.
+    import os
+    assert all(os.path.exists(os.path.join(str(tmp_path / "w"),
+                                           f"panel_{j}.bin"))
+               for j in spilled)
+    mean, var = m.predict(q, chunk=128)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
+    used = m.wstore._budget._used
+    assert used >= got
+
+    # Promoting a CHECKPOINT-restored model must not destroy the
+    # checkpoint: the .w panel files stay, and a second restore from the
+    # same path still serves the exact posterior.
+    from gpis_tpu.utils import checkpoint as ckpt
+
+    cp = str(tmp_path / "model.npz")
+    ckpt.save_model(cp, m)
+    r1 = ckpt.load_model(cp)
+    assert r1.promote_for_serving(reserve_bytes=0) > 0
+    mean_p, var_p = r1.predict(q, chunk=128)
+    r2 = ckpt.load_model(cp)
+    mean_2, var_2 = r2.predict(q, chunk=128)
+    np.testing.assert_array_equal(np.asarray(mean_p), np.asarray(mean_2))
+    np.testing.assert_array_equal(np.asarray(var_p), np.asarray(var_2))
+
+    m.wstore.clear()
+    assert m.wstore._budget._used == 0
+
+    # f16-spilled store: promoted panels stay f16; updates still refused.
+    m2 = ooc.ooc_fit("rbf", x, y, noise, params, panel=B, store="tiered",
+                     device_budget=2 * B * C * 8, w_dtype=jnp.float16)
+    spilled2 = [j for j, (od, _) in m2.wstore._meta.items() if not od]
+    assert spilled2
+    assert m2.promote_for_serving(reserve_bytes=0) > 0
+    arr = m2.wstore.get(spilled2[0])
+    assert isinstance(arr, jax.Array) and arr.dtype == jnp.float16
+    assert m2.wstore.has_compressed_panels()
+    with pytest.raises(ValueError, match="uncompressed W factor"):
+        m2.update(jnp.asarray([[0.9, 0.0, 0.0]]), 0.0, 1e-6)
+    mean2, var2 = m2.predict(q, chunk=128)
+    np.testing.assert_allclose(np.asarray(mean2), np.asarray(mean_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var2), np.asarray(var_r), atol=5e-3)
+
+    # Stores without a spill tier are a no-op.
+    m3 = ooc.ooc_fit("rbf", x, y, noise, params, panel=B, store="host")
+    assert m3.promote_for_serving() == 0
