@@ -329,3 +329,14 @@ def test_ooc_pipeline_compiled(prob):
     m2 = m.update(touch, 0.0, 1e-4)
     _, v1 = m2.predict(touch, chunk=1024)
     assert float(jnp.max(v1)) < float(jnp.min(v0))
+
+    # Serving-mode promotion on the chip: pin a spilled store's panels
+    # into HBM; the posterior must be bit-identical to the pre-promotion
+    # streamed path (promotion changes residency, not values).
+    ms = ooc.ooc_fit("rbf", x, y, noise, params, panel=256,
+                     device_budget=2 * 256 * m.capacity * 4)
+    mean_s, var_s = ms.predict(q, chunk=1024)
+    assert ms.promote_for_serving() > 0
+    mean_p, var_p = ms.predict(q, chunk=1024)
+    np.testing.assert_array_equal(np.asarray(mean_p), np.asarray(mean_s))
+    np.testing.assert_array_equal(np.asarray(var_p), np.asarray(var_s))
