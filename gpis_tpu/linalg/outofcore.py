@@ -422,18 +422,20 @@ class TieredPanelStore(_PanelStoreBase):
         semantics, half the HBM; `_fetch` widens at read), in ascending
         panel order, until the budget (optionally raised by `limit_bonus`)
         refuses.  Disk files and manifest entries stay — durability and
-        resume semantics are unchanged; `free` of a promoted panel still
-        unlinks its mirror exactly when write_through would."""
+        resume semantics are unchanged."""
         self._budget.limit += int(limit_bonus)
         dev = _compute_device()
+        # Residency comes from the budget metadata, NOT isinstance checks:
+        # host-spilled panels are CPU-device jax.Arrays on TPU (see
+        # _host_device) and must still promote.
         with self._cv:
-            todo = sorted(j for j, v in self._p.items()
-                          if not isinstance(v, jax.Array))
+            todo = sorted(j for j, (od, _) in self._meta.items() if not od)
         promoted = 0
         for j in todo:
             with self._cv:
                 v = self._p.get(j)
-            if v is None or isinstance(v, jax.Array):
+                od = self._meta.get(j, (True, 0))[0]
+            if v is None or od:
                 continue
             host = v.read() if isinstance(v, _DiskPanel) else v
             size = host.size * host.dtype.itemsize
