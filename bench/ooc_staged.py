@@ -217,7 +217,67 @@ def phase2(spill_dir: str, *, grid_res: int = 64) -> None:
     with open(os.path.join(spill_dir, "phase2.json"), "w") as f:
         json.dump({"trsm_s": trsm_s, "query_s": query_s, "rmse": rmse,
                    "grid": grid_res}, f)
-    m.wstore.clear()
+    # The solved W is ~C^2/2 spilled bytes; default-clear to return the
+    # disk, but keep it on request so a later `serve` run can reattach the
+    # finished model (promoted-serving measurement, long-lived sessions).
+    if os.environ.get("OOC_KEEP_W", "").lower() in ("", "0", "false", "off"):
+        m.wstore.clear()
+    else:
+        m.wstore.save_manifest()
+        print(f"W store kept at {os.path.join(spill_dir, 'W')} "
+              "(OOC_KEEP_W set)", flush=True)
+
+
+def serve(spill_dir: str, *, grid_res: int = 64) -> None:
+    """Reattach a COMPLETED fit (phase2 run with OOC_KEEP_W=1) and measure
+    the serving-promotion win at full scale: the same dense-grid query
+    with W streamed from disk over the link vs. pinned in HBM by
+    promote_for_serving() (`linalg/outofcore.py` TieredPanelStore.promote).
+    Prints ONE JSON line with both query times and the promoted parity."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpis_tpu.linalg import outofcore as ooc
+    from gpis_tpu.surface import grid as grid_mod
+
+    t0 = time.perf_counter()
+    m = ooc.ooc_solve_phase(spill_dir, w_dtype=jnp.float16)
+    attach_s = time.perf_counter() - t0
+    n = int(np.asarray(m.n_real))
+    coords, _ = grid_mod.make_grid(grid_res, 1.5, dtype=jnp.float32)
+
+    t0 = time.perf_counter()
+    mean, var = m.predict(coords)
+    jax.block_until_ready((mean, var))
+    stream_s = time.perf_counter() - t0
+    print(f"SERVE streamed query={stream_s:.1f}s rss={_rss_gb():.1f}GB",
+          flush=True)
+
+    t0 = time.perf_counter()
+    promoted = m.promote_for_serving()
+    promote_s = time.perf_counter() - t0
+    print(f"SERVE promoted {promoted / 1e9:.2f}GB in {promote_s:.1f}s",
+          flush=True)
+
+    t0 = time.perf_counter()
+    mean2, var2 = m.predict(coords)
+    jax.block_until_ready((mean2, var2))
+    serve_s = time.perf_counter() - t0
+    dm = float(jnp.max(jnp.abs(mean - mean2)))
+    dv = float(jnp.max(jnp.abs(var - var2)))
+    print(f"SERVE promoted query={serve_s:.1f}s parity mean={dm:.1e} "
+          f"var={dv:.1e} rss={_rss_gb():.1f}GB", flush=True)
+    doc = {"metric": f"ooc_serve_{n}", "n": n, "attach_s": round(attach_s, 1),
+           "stream_query_s": round(stream_s, 1),
+           "promote_s": round(promote_s, 1),
+           "promoted_gb": round(promoted / 1e9, 2),
+           "serve_query_s": round(serve_s, 1),
+           "mean_parity": dm, "var_parity": dv, "grid": grid_res,
+           "ok": bool(dm == 0.0 and dv == 0.0)}
+    print(json.dumps(doc))
+    with open(os.path.join(spill_dir, "serve.json"), "w") as f:
+        json.dump(doc, f)
 
 
 def run(n: int, spill_dir: str, *, wd1: int = 7100, wd2: int = 12600) -> int:
@@ -268,6 +328,10 @@ def main(argv: list[str]) -> int:
     if cmd == "phase2":
         _watchdog(float(argv[2]) if len(argv) > 2 else 7100.0)
         phase2(argv[1])
+        return 0
+    if cmd == "serve":
+        _watchdog(float(argv[2]) if len(argv) > 2 else 7100.0)
+        serve(argv[1])
         return 0
     if cmd == "run":
         return run(int(argv[1]), argv[2])

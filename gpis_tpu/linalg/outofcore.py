@@ -1895,6 +1895,21 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
                                   spill_dir=wdir, write_through=True,
                                   tag=w_tag)
     if start < nb:
+        # Fail fast with the fix instead of a 120 s panel-arrival timeout:
+        # the TRSM consumes L panels as W replaces them, so a reattach that
+        # still needs TRSM work requires those panels to be back on disk
+        # (a completed run whose W store was later cleared leaves NEITHER).
+        end = nb if stop_after is None else min(nb, stop_after)
+        missing = [j for j in range(start, end) if j not in lst]
+        if missing:
+            raise FileNotFoundError(
+                f"TRSM needs L panels {missing[:5]}{'...' if len(missing) > 5 else ''} "
+                f"of [{start}, {end}) but they are not in the L store at "
+                f"{spill_dir}/L — consumed by an earlier TRSM whose W store "
+                "was cleared afterwards (bench/ooc_staged.py phase2 clears W "
+                "unless OOC_KEEP_W=1). Restore the panels (phase2 re-links "
+                "them from L_backup) or re-run the factor phase."
+            )
         ooc_trsm(lst, wstore, yp, panel=panel, block=block,
                  accumulate_alpha=False, width_quant=width_quant,
                  sweep=trsm_sweep, start_panel=start, end_panel=stop_after,

@@ -900,12 +900,12 @@ def test_ooc_staged_driver_cpu(tmp_path):
     import subprocess
     import sys
 
-    env = dict(os.environ, GPIS_OOC_CPU="1", OOC_PANEL="256")
+    env = dict(os.environ, GPIS_OOC_CPU="1", OOC_PANEL="256",
+               OOC_KEEP_W="1")
+    driver = os.path.join(os.path.dirname(__file__), "..", "bench",
+                          "ooc_staged.py")
     out = subprocess.run(
-        [sys.executable,
-         os.path.join(os.path.dirname(__file__), "..", "bench",
-                      "ooc_staged.py"),
-         "run", "800", str(tmp_path / "store")],
+        [sys.executable, driver, "run", "800", str(tmp_path / "store")],
         env=env, capture_output=True, text=True, timeout=600,
     )
     assert out.returncode == 0, out.stdout + out.stderr
@@ -913,6 +913,49 @@ def test_ooc_staged_driver_cpu(tmp_path):
     doc = json.loads(line)
     assert doc["ok"] is True and doc["rmse"] < 0.01
     assert doc["metric"] == "ooc_fit_query_800"
+
+    # With OOC_KEEP_W the solved W store survives phase 2, so `serve`
+    # reattaches the finished model WITHOUT redoing the TRSM and the
+    # promoted (device-pinned) query is bit-identical to the streamed one.
+    out = subprocess.run(
+        [sys.executable, driver, "serve", str(tmp_path / "store")],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    doc = json.loads(line)
+    assert doc["ok"] is True
+    assert doc["mean_parity"] == 0.0 and doc["var_parity"] == 0.0
+
+
+@pytest.mark.slow
+@pytest.mark.e2e
+def test_ooc_solve_phase_missing_l_fails_fast(tmp_path):
+    """A reattach that still needs TRSM work but whose L panels were
+    consumed (completed TRSM, W store cleared afterwards) must raise a
+    guided FileNotFoundError, not hang 120 s on a panel-arrival timeout."""
+    import os
+    import subprocess
+    import sys
+
+    import jax.numpy as jnp
+
+    from gpis_tpu.linalg import outofcore as ooc
+
+    env = dict(os.environ, GPIS_OOC_CPU="1", OOC_PANEL="256")
+    driver = os.path.join(os.path.dirname(__file__), "..", "bench",
+                          "ooc_staged.py")
+    store = str(tmp_path / "store")
+    out = subprocess.run(
+        [sys.executable, driver, "run", "800", store],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    # Default phase2 cleared W; drop the L backup too so nothing restores.
+    import shutil
+    shutil.rmtree(os.path.join(store, "L_backup"))
+    with pytest.raises(FileNotFoundError, match="OOC_KEEP_W"):
+        ooc.ooc_solve_phase(store, w_dtype=jnp.float16)
 
 
 def test_ooc_promote_for_serving(problem, tmp_path):
