@@ -792,6 +792,18 @@ def _diag_nan(cur, j0):
     return jnp.isnan(jnp.diagonal(d)).any()
 
 
+@jax.jit
+def _band_logdiag(cur, j0):
+    """sum(log diag L) over the band's diagonal block: local row t of the
+    band is global row j0+t, so its diagonal entry sits at cur[t, j0+t].
+    Feeds the exact MLL assembled from factorization byproducts
+    (`OOCModel.log_marginal_likelihood`) — captured here because the L
+    panels are consumed by the TRSM and never streamed again."""
+    b = cur.shape[0]
+    d = lax.dynamic_slice(cur, (0, j0), (b, b))
+    return jnp.sum(jnp.log(jnp.diagonal(d)))
+
+
 @functools.partial(jax.jit, static_argnames=("block",), donate_argnums=(0,))
 def _chol_kstep(cur, lk_full, k0, *, block: int):
     """One bordering step of the current row panel against streamed panel k:
@@ -1135,7 +1147,8 @@ def _mean_tail_chunk(name, q, x, params, alpha, tail_x, tail_mask,
 def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
                  block: int = 256, width_quant: int = 2, sweep: int = 1,
                  y=None, start_panel: int = 0, u0=None, progress_cb=None,
-                 end_panel: int | None = None):
+                 end_panel: int | None = None, logdiag0: float = 0.0,
+                 stats: dict | None = None):
     """Row-panel bordering Cholesky of K(x) + diag(noise) into `store`
     (trimmed panels at quantized widths, tail-zeroed).  Returns (ok, u):
     ok=False if the factor came back NaN (caller escalates jitter); with
@@ -1159,7 +1172,13 @@ def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
     checkpoint — the shared TPU tunnel stalls for minutes at a time and a
     100k factorization must survive being killed mid-run.  `end_panel`
     stops after factoring panels [start_panel, end_panel) (chunked /
-    salvage runs); the inline u then covers rows < end_panel*panel only."""
+    salvage runs); the inline u then covers rows < end_panel*panel only.
+
+    With `stats`, the running sum(log diag L) over factored panels lands in
+    stats["logdiag_sum"] after every sweep (resume continuation via
+    `logdiag0`) — together with u it makes the exact MLL free at fit time
+    (`OOCModel.log_marginal_likelihood`); the L panels are consumed by the
+    TRSM, so this is the only moment the diagonal exists on device."""
     c = x.shape[0]
     if c % panel:
         raise ValueError(f"capacity {c} must be a multiple of panel {panel}")
@@ -1172,6 +1191,7 @@ def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
         u = jnp.asarray(u0, x.dtype)
     else:
         u = None if y is None else jnp.zeros((c,), x.dtype)
+    ld = float(logdiag0)
     trace = _trace_enabled()
     import time as _time
 
@@ -1196,6 +1216,11 @@ def ooc_cholesky(kernel, x, noisep, params, store, *, panel: int,
             writer.drain()
             return False, None
         cur = _mask_cols(cur, j0 + rows)
+        if stats is not None:
+            # The _diag_nan bool() above already synced this sweep, so the
+            # scalar pull adds no pipeline stall.
+            ld += float(_band_logdiag(cur, j0))
+            stats["logdiag_sum"] = ld
         if u is not None:
             u = _fwd_sub_step(u, cur, y, j0)
         if trace:
@@ -1301,6 +1326,7 @@ class OOCModel:
     panel: int
     n_real: int
     u: jax.Array | None = None       # L^{-1} y from the fit
+    logdiag_sum: float | None = None  # sum(log diag L), captured at fit
     alpha0: jax.Array | None = None  # pre-update core alpha (W^T u)
     n_tail: int = 0
     tail_x: jax.Array | None = None      # (T, 3)
@@ -1325,6 +1351,48 @@ class OOCModel:
     def update(self, new_x, new_y, new_noise, *, tail_capacity: int = 256):
         return ooc_update(self, new_x, new_y, new_noise,
                           tail_capacity=tail_capacity)
+
+    def log_marginal_likelihood(self) -> float:
+        """Exact log p(y | X, theta) of the factored system, assembled
+        from the fit's byproducts — ||u||^2 (u = L^{-1} y) and
+        sum(log diag L), both captured during the factorization — plus the
+        in-core tail block for touch-updated models: O(C) work, NO W/L
+        panel streaming (reference: the dense
+        `gp/regression.log_marginal_likelihood`, config 3).
+
+        Padded-row semantics mirror the dense path: the pad rows'
+        0.5*log(2*pi*noise_pad) constant is removed so the value is
+        comparable to a dense fit of the same points.  Note the stored
+        noise includes any jitter escalation the factorization needed, so
+        at high jitter this is the MLL of the regularized system.  Fits
+        persisted before logdiag capture raise with guidance (like
+        updates on pre-u fits)."""
+        import math
+
+        if self.u is None or self.logdiag_sum is None:
+            raise ValueError(
+                "this out-of-core fit predates the factorization MLL "
+                "byproducts (u / logdiag_sum); refit with ooc_fit or "
+                "ooc_factor_phase to enable log_marginal_likelihood"
+            )
+        c = self.capacity
+        u = jnp.asarray(self.u)
+        mll = (-0.5 * float(jnp.dot(u, u)) - float(self.logdiag_sum)
+               - 0.5 * c * math.log(2.0 * math.pi))
+        # Pad rows contribute ~ -0.5*log(2*pi*noise_pad) each (y=0, cross
+        # terms O(k^2/pad_noise)); remove that constant like the dense MLL.
+        noise = np.asarray(self.noise)
+        mll += float(np.sum(0.5 * np.log(2.0 * np.pi * noise[self.n_real:])))
+        if self.n_tail:
+            # Bordered factor [[L, 0], [V^T, Lt]]: the tail adds
+            # -0.5||u_t||^2 - sum(log diag Lt) - 0.5 T log 2pi with
+            # u_t = Lt^T tail_alpha (tail_alpha = Lt^{-T} u_t; unused
+            # slots are exactly inert — identity diag rows, zero alpha).
+            ut = jnp.dot(self.tail_chol.T, self.tail_alpha)
+            mll += (-0.5 * float(jnp.dot(ut, ut))
+                    - float(jnp.sum(jnp.log(jnp.diagonal(self.tail_chol))))
+                    - 0.5 * self.n_tail * math.log(2.0 * math.pi))
+        return mll
 
     def promote_for_serving(self, *, reserve_bytes: int | None = None) -> int:
         """Pin spilled W panels into the HBM freed by the finished fit and
@@ -1665,9 +1733,10 @@ def ooc_fit(kernel, x, y, noise, params, *, panel: int, block: int = 256,
     )
     for attempt in range(max_jitter_retries + 1):
         st = _make_store(store, budget, spill_dir=spill_dir)
+        stats = {}
         ok, u = ooc_cholesky(kernel, xp, np_ + extra, params, st, panel=panel,
                              block=block, width_quant=width_quant,
-                             sweep=sweep, y=yp)
+                             sweep=sweep, y=yp, stats=stats)
         if ok:
             np_ = np_ + extra
             break
@@ -1691,7 +1760,7 @@ def ooc_fit(kernel, x, y, noise, params, *, panel: int, block: int = 256,
              accumulate_alpha=False, width_quant=width_quant, sweep=tsw)
     return OOCModel(kernel=kernel, x=xp, y=yp, noise=np_, params=params,
                     alpha=alpha, wstore=wstore, panel=panel, n_real=n,
-                    u=u)
+                    u=u, logdiag_sum=stats.get("logdiag_sum"))
 
 
 # ------------------------------------------------- process-split phases
@@ -1754,7 +1823,7 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
         h.update(np.asarray(params[k]).tobytes())
     problem_tag = h.hexdigest()
 
-    start_panel, u0, st0 = 0, None, None
+    start_panel, u0, st0, ld0 = 0, None, None, 0.0
     if resume and os.path.exists(prog_path) and os.path.exists(
             os.path.join(ldir, "manifest.json")):
         try:
@@ -1768,6 +1837,11 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
             start_panel = int(d["next_panel"])
             u0 = jnp.asarray(d["u"], dtype)
             extra = float(d["extra"])
+            # Legacy checkpoints predate logdiag capture: a mid-run resume
+            # from one has lost the prefix panels' diagonal, so the sum
+            # stays invalid (None persisted) rather than silently wrong.
+            ld0 = (float(d["logdiag"]) if "logdiag" in d.files
+                   else (0.0 if start_panel == 0 else None))
             st0 = TieredPanelStore.open_dir(budget, ldir, write_through=True)
             _tlog(f"resuming factorization at panel {start_panel} "
                   f"(jitter {extra:.1e})")
@@ -1777,27 +1851,33 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
         # Atomic replace: a kill mid-savez must not leave a truncated
         # progress file that raises on the resume attempt.
         tmp = prog_path + ".tmp.npz"
+        extra_keys = {}
+        if stats.get("logdiag_sum") is not None and ld0 is not None:
+            extra_keys["logdiag"] = stats["logdiag_sum"]
         np.savez(tmp, next_panel=next_j, u=np.asarray(u_now),
                  extra=extra, c=c, panel=panel, kernel=kernel,
-                 problem=problem_tag)
+                 problem=problem_tag, **extra_keys)
         os.replace(tmp, prog_path)
 
     for attempt in range(max_jitter_retries + 1):
         st_cur = st0 if st0 is not None else TieredPanelStore(
             budget, spill_dir=ldir, write_through=True)
         st0 = None
+        stats = {}
         ok, u = ooc_cholesky(kernel, xp, np_ + extra, params, st_cur,
                              panel=panel, block=block,
                              width_quant=width_quant, sweep=sweep, y=yp,
                              start_panel=start_panel, u0=u0,
-                             progress_cb=checkpoint)
+                             progress_cb=checkpoint,
+                             logdiag0=ld0 or 0.0,
+                             stats=stats if ld0 is not None else None)
         if ok:
             np_ = np_ + extra
             st = st_cur
             break
         st_cur.clear()
         del st_cur
-        start_panel, u0 = 0, None  # a NaN factor restarts from scratch
+        start_panel, u0, ld0 = 0, None, 0.0  # NaN factor restarts fresh
         try:
             os.unlink(prog_path)
         except OSError:
@@ -1814,6 +1894,8 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
              "noise": np.asarray(np_), "alpha": np.asarray(alpha),
              "u": np.asarray(u), "kernel": kernel, "panel": panel,
              "n_real": n, "block": block, "width_quant": width_quant}
+    if stats.get("logdiag_sum") is not None:
+        state["logdiag_sum"] = stats["logdiag_sum"]
     for k, v in params.items():
         state[f"param_{k}"] = np.asarray(v)
     np.savez(os.path.join(spill_dir, "state.npz"), **state)
@@ -1919,4 +2001,6 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
     return OOCModel(kernel=kernel, x=xp, y=yp, noise=np_, params=params,
                     alpha=alpha, wstore=wstore, panel=panel,
                     n_real=int(d["n_real"]),
-                    u=jnp.asarray(d["u"]) if "u" in d.files else None)
+                    u=jnp.asarray(d["u"]) if "u" in d.files else None,
+                    logdiag_sum=(float(d["logdiag_sum"])
+                                 if "logdiag_sum" in d.files else None))

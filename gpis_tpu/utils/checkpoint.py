@@ -126,6 +126,7 @@ def _save_ooc(path: str, model) -> None:
         "n_real": int(model.n_real),
         "n_tail": int(model.n_tail),
         "has_u": model.u is not None,
+        "logdiag_sum": model.logdiag_sum,
     }
     arrays = {
         "x": np.asarray(model.x),
@@ -163,6 +164,7 @@ def _load_ooc(d, meta, path: str):
                 "signal_variance": jnp.asarray(d["param_signal_variance"])},
         wstore=wstore, panel=panel, n_real=int(meta["n_real"]),
         u=jnp.asarray(d["u"]) if meta.get("has_u") else None,
+        logdiag_sum=meta.get("logdiag_sum"),
         n_tail=int(meta.get("n_tail", 0)), **tail,
     )
 

@@ -297,6 +297,10 @@ def test_ooc_factor_phase_resumes_after_crash(problem, tmp_path, monkeypatch):
     mean_r, var_r = gpr.predict(ref, q)
     np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r), atol=1e-6)
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
+    # The resumed logdiag continuation must yield the exact MLL too.
+    want = float(gpr.log_marginal_likelihood("rbf", m.x, m.y, m.noise,
+                                             m.params, n_real=m.n_real))
+    np.testing.assert_allclose(m.log_marginal_likelihood(), want, rtol=1e-9)
 
 
 def test_ooc_factor_resume_rejects_changed_problem(problem, tmp_path,
@@ -956,6 +960,53 @@ def test_ooc_solve_phase_missing_l_fails_fast(tmp_path):
     shutil.rmtree(os.path.join(store, "L_backup"))
     with pytest.raises(FileNotFoundError, match="OOC_KEEP_W"):
         ooc.ooc_solve_phase(store, w_dtype=jnp.float16)
+
+
+def test_ooc_mll_matches_dense(problem, tmp_path):
+    """OOCModel.log_marginal_likelihood — assembled from the factorization
+    byproducts (u, sum log diag L) with NO panel streaming — matches the
+    dense gp/regression.log_marginal_likelihood on the same padded
+    problem, both for the bare fit (with pad rows) and after a tactile
+    bordering update (tail block correction)."""
+    x, y, noise, params = problem
+    # Truncate so _pad_problem actually adds pad rows (exercises the
+    # pad-constant removal) — 1000 points pad to capacity 1024.
+    n = 1000
+    m = ooc.ooc_fit("rbf", x[:n], y[:n], noise[:n], params, panel=B)
+    assert m.n_real == n and m.capacity == C and m.logdiag_sum is not None
+    want = float(gpr.log_marginal_likelihood(
+        "rbf", m.x, m.y, m.noise, m.params, n_real=m.n_real))
+    got = m.log_marginal_likelihood()
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    # Touch update: the bordered factor's tail block enters exactly.
+    rng = np.random.default_rng(7)
+    tx = jnp.asarray(rng.normal(size=(5, 3)))
+    tx = tx / jnp.linalg.norm(tx, axis=1, keepdims=True)
+    ty = jnp.zeros((5,), m.dtype)
+    m2 = m.update(tx, ty, 1e-5, tail_capacity=8)
+    xe = jnp.concatenate([m.x, tx])
+    ye = jnp.concatenate([m.y, ty])
+    ne = jnp.concatenate([m.noise, jnp.full((5,), 1e-5, m.dtype)])
+    want2 = float(gpr.log_marginal_likelihood("rbf", xe, ye, ne, m.params))
+    # The pads sit mid-array now; apply the same constant removal by hand.
+    want2 += float(np.sum(
+        0.5 * np.log(2.0 * np.pi * np.asarray(m.noise)[m.n_real:])))
+    np.testing.assert_allclose(m2.log_marginal_likelihood(), want2,
+                               rtol=1e-9)
+
+    # The byproducts survive the process-split phases and checkpoints.
+    import gpis_tpu.utils.checkpoint as ckpt
+
+    ooc.ooc_factor_phase("rbf", x[:n], y[:n], noise[:n], params, panel=B,
+                         spill_dir=str(tmp_path / "phase"))
+    ms = ooc.ooc_solve_phase(str(tmp_path / "phase"))
+    np.testing.assert_allclose(ms.log_marginal_likelihood(), want,
+                               rtol=1e-9)
+    ckpt.save_model(str(tmp_path / "ck.npz"), m2)
+    mr = ckpt.load_model(str(tmp_path / "ck.npz"))
+    np.testing.assert_allclose(mr.log_marginal_likelihood(), want2,
+                               rtol=1e-9)
 
 
 def test_ooc_promote_for_serving(problem, tmp_path):
