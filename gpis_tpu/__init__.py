@@ -31,6 +31,7 @@ __all__ = [
     "fit_sharded",
     "fit_sharded_joint",
     "optimize_sharded",
+    "optimize_ooc",
     "ooc_fit",
     "ooc_update",
     "kernel_params",
@@ -51,6 +52,7 @@ _LAZY = {
     "fit_sharded": ("gpis_tpu.gp.sharded_model", "fit_sharded"),
     "fit_sharded_joint": ("gpis_tpu.gp.sharded_joint", "fit_sharded_joint"),
     "optimize_sharded": ("gpis_tpu.gp.sharded_hyperopt", "optimize_sharded"),
+    "optimize_ooc": ("gpis_tpu.gp.ooc_hyperopt", "optimize_ooc"),
     "ooc_fit": ("gpis_tpu.linalg.outofcore", "ooc_fit"),
     "ooc_update": ("gpis_tpu.linalg.outofcore", "ooc_update"),
     "kernel_params": ("gpis_tpu.kernels.functions", "kernel_params"),

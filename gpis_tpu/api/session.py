@@ -435,20 +435,43 @@ class ObjectModelSession:
             from gpis_tpu.linalg import outofcore as ooc
 
             method = kw.pop("method", "subsample")
-            if method != "subsample":
+            if method == "stream":
+                # Full-data exact gradients: one out-of-core factor + TRSM
+                # + one streamed W-pass per step (gp.ooc_hyperopt) — config
+                # 3 with no subsampling at beyond-HBM N.  Expensive by
+                # construction (a fit per step); 'subsample' stays the
+                # default.
+                from gpis_tpu.gp import ooc_hyperopt as oho
+
+                kw.pop("subsample", None)
+                res_d = oho.optimize_ooc(
+                    m.kernel, jnp.asarray(ts.x), jnp.asarray(ts.y),
+                    jnp.asarray(ts.noise), m.params, panel=m.panel,
+                    pad_noise=self.config.pad_noise, **kw,
+                )
+                res = ho.HyperoptResult(
+                    params=res_d["params"],
+                    noise=jnp.asarray(ts.noise) * float(res_d["noise_scale"]),
+                    noise_scale=res_d["noise_scale"],
+                    history=res_d["history"], mll=res_d["mll"],
+                )
+                desc = "stream, full data"
+            elif method == "subsample":
+                sub = int(kw.pop("subsample", 4096))
+                step = max(1, ts.x.shape[0] // sub)
+                xs = jnp.asarray(ts.x[::step])
+                res = ho.optimize(
+                    m.kernel, xs, jnp.asarray(ts.y[::step]),
+                    jnp.asarray(ts.noise[::step]), m.params,
+                    n_real=xs.shape[0], **kw,
+                )
+                desc = f"{xs.shape[0]}-pt subsample"
+            else:
                 raise ValueError(
                     f"unknown hyperopt method {method!r} for an out-of-core "
-                    "model (only 'subsample' exists: the full objective "
-                    "would cost one beyond-HBM factorization per step)"
+                    "model (use 'subsample', or 'stream' for full-data "
+                    "exact gradients at one factorization per step)"
                 )
-            sub = int(kw.pop("subsample", 4096))
-            step = max(1, ts.x.shape[0] // sub)
-            xs = jnp.asarray(ts.x[::step])
-            res = ho.optimize(
-                m.kernel, xs, jnp.asarray(ts.y[::step]),
-                jnp.asarray(ts.noise[::step]), m.params,
-                n_real=xs.shape[0], **kw,
-            )
             scale = float(res.noise_scale)
             # Fold accumulated tactile touches into the refit — they live
             # in-core on the model's tail block, and dropping them would
@@ -469,8 +492,8 @@ class ObjectModelSession:
                 m.kernel, fx, fy, fnoise, res.params,
                 panel=m.panel, pad_noise=self.config.pad_noise,
             )
-            log.info("hyperopt(out-of-core, %d-pt subsample): mll=%.4f "
-                     "ls=%.4f noise x%.3f", xs.shape[0], res.mll,
+            log.info("hyperopt(out-of-core, %s): mll=%.4f "
+                     "ls=%.4f noise x%.3f", desc, res.mll,
                      float(res.params["lengthscale"]), scale)
             return res
         if hasattr(m, "mesh") and getattr(m, "normals", None) is not None:
@@ -541,7 +564,14 @@ class ObjectModelSession:
                      m.x[:n:step].shape[0], res.mll,
                      float(res.params["lengthscale"]))
             return res
-        if hasattr(m, "mesh") and kw.pop("method", "subsample") == "distributed":
+        if hasattr(m, "mesh"):
+            method = kw.pop("method", "subsample")
+            if method not in ("subsample", "distributed"):
+                raise ValueError(
+                    f"unknown hyperopt method {method!r} for a sharded "
+                    "model (use 'subsample' or 'distributed')"
+                )
+        if hasattr(m, "mesh") and method == "distributed":
             # True distributed hyperopt: exact MLL gradients over the mesh
             # (gp.sharded_hyperopt, gradient identities — no AD through
             # collectives).  Each step costs one sharded fit; the default
@@ -601,6 +631,13 @@ class ObjectModelSession:
             log.info("hyperopt(sharded, %d-pt subsample): mll=%.4f ls=%.4f",
                      xs.shape[0], res.mll, float(res.params["lengthscale"]))
             return res
+        bad = kw.pop("method", "subsample")
+        if bad != "subsample":
+            raise ValueError(
+                f"unknown hyperopt method {bad!r} for an in-core model "
+                "('distributed' needs a sharded fit, 'stream' an "
+                "out-of-core fit)"
+            )
         if hasattr(m, "normals"):
             from gpis_tpu.gp import derivative as gpd
 

@@ -99,14 +99,19 @@ def main(argv=None):
     p.add_argument("cloud")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--steps", type=int, default=150)
-    p.add_argument("--method", choices=["subsample", "distributed"],
+    p.add_argument("--method", choices=["subsample", "distributed", "stream"],
                    default="subsample",
-                   help="sharded models only: 'distributed' runs the exact "
-                        "mesh-wide MLL ascent (gp.sharded_hyperopt) instead "
-                        "of the single-chip subsample")
+                   help="'distributed' (sharded models): exact mesh-wide MLL "
+                        "ascent (gp.sharded_hyperopt); 'stream' (--out-of-"
+                        "core): exact full-data ascent at one panel-streamed "
+                        "factorization per step (gp.ooc_hyperopt); default "
+                        "is the single-chip subsample")
     p.add_argument("--normals", action="store_true",
                    help="fit the joint (derivative-observation) model from "
                         "the cloud's normals before optimizing")
+    p.add_argument("--out-of-core", action="store_true",
+                   help="fit through the panel-streamed out-of-core path "
+                        "before optimizing (beyond-HBM clouds)")
     p.add_argument("--learn-noise", action="store_true",
                    help="also learn a value-observation noise scale")
     p.add_argument("--learn-noise-g", action="store_true",
@@ -211,10 +216,13 @@ def main(argv=None):
         if args.normals and nrm is None:
             raise SystemExit(f"--normals given but {args.cloud} has no normals")
         sess = ObjectModelSession(model_cfg, explore_cfg, mesh_cfg).start(
-            pts, normals=nrm if args.normals else None)
+            pts, normals=nrm if args.normals else None,
+            out_of_core=args.out_of_core)
         kw = {"steps": args.steps}
-        if hasattr(sess.model, "mesh") and args.method == "distributed":
-            kw["method"] = "distributed"
+        if args.method != "subsample":
+            # Forward explicitly requested methods; the session raises with
+            # guidance on an incompatible model (no silent downgrade).
+            kw["method"] = args.method
         if args.learn_noise:
             kw["learn_noise"] = True
         if args.learn_noise_g:

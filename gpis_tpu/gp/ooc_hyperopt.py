@@ -1,0 +1,215 @@
+"""Full-data hyperparameter optimization for OUT-OF-CORE fits (config 3 at
+beyond-HBM N — the reference's MLL hyperopt, SURVEY.md §3 C2/config 3,
+at sizes its dense objective cannot reach).
+
+The session previously only offered `method="subsample"` for out-of-core
+models ("the full objective would need one beyond-HBM factorization per
+optimizer step").  That factorization-per-step cost is real and stays —
+but it is exactly one `ooc_fit`-shaped pipeline, and every quantity the
+exact gradient identities need either falls out of it for free or costs
+one extra streamed pass over the W = L^{-1} panels:
+
+    d MLL / d theta = 1/2 ( alpha^T (dK/dtheta) alpha - tr(K^{-1} dK/dtheta) )
+
+* **MLL value** — from the factorization byproducts: u = L^{-1}y is
+  accumulated inline, sum(log diag L) is captured per sweep
+  (`ooc_cholesky(stats=...)`), and y.alpha = ||u||^2.
+* **lengthscale** — dK row bands come from `jax.jvp` of the band assembly
+  (`kernels.gram._gram_band_rows`, the same target `gram_ad` uses — generic
+  over registered kernels).  The trace tr(K^{-1} dK) = tr(W dK W^T) streams
+  each stored W panel once: for panel p only the column blocks q <= p are
+  live (W is lower triangular), and each (p, q) step assembles its dK band
+  in-core — O(C^3/2) MXU work, ONE full W stream of link traffic, never a
+  C x C dK in memory.
+* **noise scale** — dK is diagonal: tr = diag(K^{-1}).dn with
+  diag(K^{-1})_i = ||W[:, i]||^2, column norms accumulated on the same W
+  stream.
+* **signal variance** — free via dK/d(log sv) = K - D (exact for kernels
+  linear in signal_variance, i.e. all built-ins): alpha^T(K-D)alpha =
+  y.alpha - sum(alpha^2 n) and tr(K^{-1}(K-D)) = C - diag(K^{-1}).n.
+
+These are the same identities the distributed optimizer uses
+(`gp.sharded_hyperopt` — there the trace rides the ICI ring; here it rides
+the host<->HBM panel stream).  The Adam ascent driver is shared.
+
+Cost per step ~= one out-of-core fit + one W-stream pass; at N=32k on the
+axon tunnel that is minutes/step, at N=100k tens of minutes/step — so the
+session keeps `method="subsample"` as the default and offers this as
+`method="stream"` for when the exact full-data objective is worth it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from gpis_tpu.kernels import functions as kf
+from gpis_tpu.kernels import gram as kg
+from gpis_tpu.linalg import outofcore as ooc
+
+__all__ = ["ooc_mll_and_grad", "optimize_ooc"]
+
+
+@functools.partial(jax.jit, static_argnames=("name",))
+def _band_trace_quad(name, x_band, x_full, log_ls, sv, w_full, alpha, q0):
+    """One (p, q) step of the streamed lengthscale gradient: assemble the
+    dK/d(log ls) row band for block q via jvp (the noise diagonal is
+    theta-independent and the pinned k(0) diagonal has zero tangent), then
+
+      tr partial = sum over (W_p dK)[:, q-block] * W_p[:, q-block]
+                 = sum( (dK[q,:] W_p^T)^T * W_p[:, q0:q0+B] )   (dK symmetric)
+      quad partial = alpha_q . (dK[q,:] alpha)
+
+    w_full is the fetched panel padded to (B, C) — zero columns beyond the
+    trimmed width make the full-C contractions exact.  One compile serves
+    every (p, q) pair (q0 is traced)."""
+    dt = x_full.dtype
+    b = x_band.shape[0]
+
+    def band(lls):
+        prm = {"lengthscale": jnp.exp(lls), "signal_variance": sv}
+        return kg._gram_band_rows(name, x_band, x_full, prm, None, q0)
+
+    _, kdot = jax.jvp(band, (log_ls,), (jnp.ones((), dt),))
+    wq = lax.dynamic_slice(
+        w_full, (jnp.zeros((), q0.dtype), q0), (w_full.shape[0], b)
+    )
+    y = jnp.dot(kdot, w_full.T, precision=lax.Precision.HIGHEST)  # (B, P)
+    tr = jnp.sum(y.T * wq)
+    aq = lax.dynamic_slice(alpha, (q0,), (b,))
+    quad = jnp.dot(aq, jnp.dot(kdot, alpha, precision=lax.Precision.HIGHEST))
+    return tr, quad
+
+
+@jax.jit
+def _colnorm_accum(acc, w_full):
+    """diag(K^{-1}) partial: column norms of the streamed W panel."""
+    return acc + jnp.sum(w_full * w_full, axis=0)
+
+
+def ooc_mll_and_grad(kernel, x, y, noise, params, *, panel: int,
+                     block: int = 256, noise_scale=1.0,
+                     pad_noise: float = 1e10, store: str = "tiered",
+                     sweep: int = 2, trsm_sweep: int | None = None,
+                     width_quant: int = 2, device_budget: int | None = None,
+                     max_jitter_retries: int = 3, dtype=None):
+    """Exact MLL and gradients w.r.t. (log lengthscale, log noise scale,
+    log signal variance) for the out-of-core system K(x) + diag(noise *
+    scale on real rows).  Runs one full out-of-core factor + TRSM at the
+    given theta, then one streamed gradient pass over the W panels.
+
+    Takes the RAW (unpadded) problem like `ooc_fit`; pads internally.
+    Returns (mll, {"log_ls", "log_noise_scale", "log_sv"}).  The stores
+    are transient (cleared before returning) — each call's memory
+    footprint is one fit's worth, so an optimizer loop doesn't accumulate
+    host RAM across steps."""
+    ooc._warm_d2h_async()
+    xp, yp, np_, params, c, n, jitter = ooc._pad_problem(
+        kernel, x, y, noise, params, panel=panel, pad_noise=pad_noise,
+        dtype=dtype,
+    )
+    dt = xp.dtype
+    scale = jnp.asarray(noise_scale, dt)
+    real = (jnp.arange(c) < n).astype(dt)
+    noise_eff = jnp.where(real > 0, np_ * scale, np_)
+
+    tsw = min(sweep, 2) if trsm_sweep is None else trsm_sweep
+    budget = ooc.DeviceBudget(
+        device_budget if device_budget is not None
+        else ooc._hbm_budget(panel, c, jnp.dtype(dt).itemsize,
+                             sweep=max(sweep, tsw + 1))
+    )
+
+    extra = 0.0
+    for _ in range(max_jitter_retries + 1):
+        st = ooc._make_store(store, budget)
+        stats = {}
+        ok, u = ooc.ooc_cholesky(kernel, xp, noise_eff + extra, params, st,
+                                 panel=panel, block=block,
+                                 width_quant=width_quant, sweep=sweep,
+                                 y=yp, stats=stats)
+        if ok:
+            break
+        st.clear()
+        del st
+        extra = max(extra * 10.0, jitter)
+    else:
+        raise FloatingPointError(
+            f"out-of-core Cholesky failed even with jitter {extra:.2e}"
+        )
+    n_tot = noise_eff + extra  # the diagonal the factor actually represents
+    logdet = stats["logdiag_sum"]
+
+    alpha = ooc.ooc_alpha_backward(st, u, panel=panel)
+    wstore = ooc._make_store(store, budget)
+    try:
+        ooc.ooc_trsm(st, wstore, yp, panel=panel, block=block,
+                     accumulate_alpha=False, width_quant=width_quant,
+                     sweep=tsw)
+
+        # ---- one streamed pass: colnorms + lengthscale trace/quad.
+        log_ls = jnp.log(jnp.asarray(params["lengthscale"], dt))
+        sv = jnp.asarray(params["signal_variance"], dt)
+        nb = c // panel
+        colnorms = jnp.zeros((c,), dt)
+        tr_ls = jnp.zeros((), dt)
+        quad_ls = jnp.zeros((), dt)
+        for p, w_full in ooc._Prefetcher(wstore, range(nb), pad_to=c):
+            colnorms = _colnorm_accum(colnorms, w_full)
+            for q in range(p + 1):
+                xq = ooc._dyn_rows(xp, q * panel, size=panel)
+                tr_p, quad_p = _band_trace_quad(
+                    kernel, xq, xp, log_ls, sv, w_full, alpha,
+                    jnp.asarray(q * panel, jnp.int32),
+                )
+                tr_ls = tr_ls + tr_p
+                if q == p:
+                    quad_ls = quad_ls + quad_p
+            # Bound live padded panels to ~2 (this one + the prefetch).
+            jax.block_until_ready(tr_ls)
+            del w_full
+    finally:
+        wstore.clear()
+        st.clear()
+
+    # ---- assemble value + gradients from the O(C) pieces.
+    ya = jnp.dot(yp, alpha)
+    mll = (-0.5 * ya - logdet - 0.5 * c * jnp.log(2.0 * jnp.pi).astype(dt)
+           + jnp.sum(jnp.where(real > 0, 0.0,
+                               0.5 * jnp.log(2.0 * jnp.pi * n_tot))))
+
+    dn = real * np_ * scale
+    a2 = alpha * alpha
+    g_ns = 0.5 * (jnp.dot(a2, dn) - jnp.dot(colnorms, dn))
+    quad_sv = ya - jnp.dot(a2, n_tot)
+    tr_sv = c - jnp.dot(colnorms, n_tot)
+    g_sv = 0.5 * (quad_sv - tr_sv)
+    g_ls = 0.5 * (quad_ls - tr_ls)
+    return mll, {"log_ls": g_ls, "log_noise_scale": g_ns, "log_sv": g_sv}
+
+
+def optimize_ooc(kernel, x, y, noise, init_params, *, panel: int,
+                 block: int = 256, steps: int = 25,
+                 learning_rate: float = 0.1, learn_noise: bool = True,
+                 learn_signal: bool = False, **ooc_kw):
+    """Full-data MLL ascent on the out-of-core system — config 3 with NO
+    subsampling at any N the panel stores can hold.  Each step is one
+    out-of-core factor + TRSM + one streamed gradient pass (see
+    ooc_mll_and_grad — this is deliberate, the same fit-per-step shape as
+    `optimize_sharded`).  Returns a dict: params (optimal), noise_scale,
+    mll, history."""
+    from gpis_tpu.gp.sharded_hyperopt import _mll_ascent
+
+    dt = jnp.asarray(x).dtype
+
+    def eval_fn(prm, scale):
+        return ooc_mll_and_grad(kernel, x, y, noise, prm, panel=panel,
+                                block=block, noise_scale=scale, **ooc_kw)
+
+    return _mll_ascent(eval_fn, kernel, init_params, dt, steps=steps,
+                       learning_rate=learning_rate, learn_noise=learn_noise,
+                       learn_signal=learn_signal)

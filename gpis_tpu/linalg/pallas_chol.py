@@ -81,10 +81,14 @@ def _panel_kernel(j0_ref, l_ref, lrow_ref, apanel_ref, out_ref):
     # skip their update entirely (the strict upper half: 2x fewer FLOPs).
     @pl.when((k * _TK < j0) & (row0 + (i + 1) * _TN > j0))
     def _():
+        # Separate masks: l tiles are (_TN, _TK) but the resident l_row
+        # tile is (block, _TK), and block < _TN is legal (the guard only
+        # requires block <= _TN) — one shared mask shape-errored there.
         cols = k * _TK + jax.lax.broadcasted_iota(jnp.int32, l_ref.shape, 1)
-        mask = (cols < j0).astype(l_ref.dtype)
-        lt = l_ref[...] * mask
-        lr = lrow_ref[...] * mask
+        lt = l_ref[...] * (cols < j0).astype(l_ref.dtype)
+        cols_r = k * _TK + jax.lax.broadcasted_iota(
+            jnp.int32, lrow_ref.shape, 1)
+        lr = lrow_ref[...] * (cols_r < j0).astype(lrow_ref.dtype)
         out_ref[...] -= _dot3(
             lt, lr, (((1,), (1,)), ((), ()))
         ).astype(out_ref.dtype)

@@ -124,6 +124,22 @@ def test_pallas_blocked_cholesky(rng):
     np.testing.assert_allclose(rec, a32, rtol=1e-4, atol=1e-3)
 
 
+def test_pallas_blocked_cholesky_sub_tile_block(rng):
+    """block < _TN (e.g. 64 at n=256) enters the tiled Pallas path too —
+    the l_row mask must be built at the (block, TK) resident-tile shape,
+    not the (TN, TK) l-tile shape (regression: one shared mask
+    shape-errored for every n % 256 == 0, block < 256 caller)."""
+    from gpis_tpu.linalg.pallas_chol import pallas_blocked_cholesky
+
+    a64 = _spd(rng, 256)
+    a = jnp.asarray(np.asarray(a64))
+    for block in (64, 128):
+        got = pallas_blocked_cholesky(a, block=block)
+        rec = np.asarray(got) @ np.asarray(got).T
+        np.testing.assert_allclose(rec, np.asarray(a), rtol=1e-10,
+                                   atol=1e-10)
+
+
 def test_panel_update_pallas_matches_masked(rng):
     from gpis_tpu.linalg.pallas_chol import panel_update_pallas
 

@@ -340,3 +340,33 @@ def test_ooc_pipeline_compiled(prob):
     mean_p, var_p = ms.predict(q, chunk=1024)
     np.testing.assert_array_equal(np.asarray(mean_p), np.asarray(mean_s))
     np.testing.assert_array_equal(np.asarray(var_p), np.asarray(var_s))
+
+def test_ooc_hyperopt_compiled(prob):
+    """One ooc_mll_and_grad evaluation COMPILED on the chip: the streamed
+    dK-band trace/quad GEMMs, colnorm pass, and the byproduct MLL assembly
+    all run on Mosaic/XLA-compiled paths (the factor/TRSM kernels are
+    covered above; this adds the gradient stream).  The noise-scale and
+    signal-variance identities are O(C) algebra — sanity-gate signs/finiteness
+    here, exactness belongs to the f64 CPU parity test."""
+    from gpis_tpu.gp import ooc_hyperopt as oho
+
+    x, noise, params = prob
+    rng = np.random.default_rng(77)
+    y = jnp.asarray(rng.normal(size=N) * 0.2, DT)
+    mll, g = oho.ooc_mll_and_grad("rbf", x, y, noise, params, panel=256,
+                                  noise_scale=1.2)
+    vals = [float(mll)] + [float(g[k]) for k in
+                           ("log_ls", "log_noise_scale", "log_sv")]
+    assert all(np.isfinite(v) for v in vals), vals
+    # Directional check vs finite differences on the lengthscale (the
+    # streamed-trace term — coarse rtol: f32 factor + bf16x3 kernels).
+    eps = 0.02
+    up = dict(params, lengthscale=params["lengthscale"] * float(np.exp(eps)))
+    dn = dict(params, lengthscale=params["lengthscale"] * float(np.exp(-eps)))
+    mu, _ = oho.ooc_mll_and_grad("rbf", x, y, noise, up, panel=256,
+                                 noise_scale=1.2)
+    md, _ = oho.ooc_mll_and_grad("rbf", x, y, noise, dn, panel=256,
+                                 noise_scale=1.2)
+    fd = (float(mu) - float(md)) / (2 * eps)
+    np.testing.assert_allclose(float(g["log_ls"]), fd,
+                               rtol=0.05, atol=2.0)
