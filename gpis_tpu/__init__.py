@@ -33,6 +33,7 @@ __all__ = [
     "optimize_sharded",
     "optimize_ooc",
     "ooc_fit",
+    "ooc_fit_joint",
     "ooc_update",
     "kernel_params",
     "register_kernel",
@@ -54,6 +55,7 @@ _LAZY = {
     "optimize_sharded": ("gpis_tpu.gp.sharded_hyperopt", "optimize_sharded"),
     "optimize_ooc": ("gpis_tpu.gp.ooc_hyperopt", "optimize_ooc"),
     "ooc_fit": ("gpis_tpu.linalg.outofcore", "ooc_fit"),
+    "ooc_fit_joint": ("gpis_tpu.linalg.outofcore", "ooc_fit_joint"),
     "ooc_update": ("gpis_tpu.linalg.outofcore", "ooc_update"),
     "kernel_params": ("gpis_tpu.kernels.functions", "kernel_params"),
     "register_kernel": ("gpis_tpu.kernels.functions", "register_kernel"),

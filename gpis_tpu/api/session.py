@@ -96,21 +96,40 @@ class ObjectModelSession:
         self.frame = ts.frame
         params = params or kf.kernel_params(cfg.lengthscale, cfg.signal_variance)
         if out_of_core:
-            if normals is not None or (
-                    self.mesh_config is not None
+            if (self.mesh_config is not None
                     and self.mesh_config.n_devices > 1):
                 raise ValueError(
-                    "out_of_core fits the value-only single-chip model; "
-                    "use the sharded pipeline for config 2/5 at scale"
+                    "out_of_core is the single-chip beyond-HBM path; "
+                    "use the sharded pipeline (config 5) on a mesh"
                 )
             from gpis_tpu.linalg import outofcore as ooc
 
             n = ts.x.shape[0]
-            panel = 4096 if n > 20480 else (1024 if n > 2048 else 256)
-            self.model = ooc.ooc_fit(
-                cfg.kernel, ts.x, ts.y, ts.noise, params, panel=panel,
-                pad_noise=cfg.pad_noise,
-            )
+            if normals is not None:
+                # Joint out-of-core (config 2 beyond HBM): J = 4C factor
+                # rows, so the panel heuristic keys off the JOINT size.
+                normals = np.asarray(normals, cfg.dtype)
+                if normals.shape != points.shape:
+                    raise ValueError("normals must match the point cloud shape")
+                n_s = ts.n_surface
+                nrm_full = jnp.zeros((n, 3), ts.x.dtype).at[:n_s].set(
+                    jnp.asarray(normals / np.linalg.norm(
+                        normals, axis=1, keepdims=True)))
+                noise_g = jnp.full((n,), cfg.pad_noise, ts.x.dtype).at[:n_s].set(
+                    jnp.asarray(cfg.noise_surface * 10.0, ts.x.dtype))
+                j_est = 4 * n
+                panel = 4096 if j_est > 20480 else (
+                    1024 if j_est > 2048 else 256)
+                self.model = ooc.ooc_fit_joint(
+                    cfg.kernel, ts.x, ts.y, nrm_full, ts.noise, noise_g,
+                    params, panel=panel, pad_noise=cfg.pad_noise,
+                )
+            else:
+                panel = 4096 if n > 20480 else (1024 if n > 2048 else 256)
+                self.model = ooc.ooc_fit(
+                    cfg.kernel, ts.x, ts.y, ts.noise, params, panel=panel,
+                    pad_noise=cfg.pad_noise,
+                )
             # A session's lifetime is query-heavy (exploration, is_done,
             # meshes) and the factorization's HBM working set is gone —
             # pin spilled W panels back on device so repeated queries stop
@@ -425,6 +444,51 @@ class ObjectModelSession:
             # subsample (a few thousand points pin lengthscale/noise; the
             # full objective would need one beyond-HBM factorization per
             # optimizer step), then refit out-of-core with the optimum.
+            from gpis_tpu.linalg import outofcore as ooc
+
+            method = kw.pop("method", "subsample")
+            if getattr(m, "meta", None) is not None:
+                # Joint out-of-core model: optimize the joint MLL on a core
+                # subsample (like the sharded-joint path — a few thousand
+                # points pin the kernel), then refit out-of-core, folding
+                # tactile touches in as value-only observations.
+                if method != "subsample":
+                    raise ValueError(
+                        f"unknown hyperopt method {method!r} for a joint "
+                        "out-of-core model (only 'subsample' is supported; "
+                        "'stream' covers value-only fits)"
+                    )
+                n = m.n_real
+                sub = int(kw.pop("subsample", 1024))
+                step = max(1, n // sub)
+                res = ho.optimize_joint(
+                    m.kernel, m.x[:n:step], m.y[:n:step],
+                    m.normals[:n:step], m.noise[:n:step],
+                    m.noise_g[:n:step], m.params,
+                    n_real=m.x[:n:step].shape[0], **kw,
+                )
+                fx = np.asarray(m.x[:n])
+                fy = np.asarray(m.y[:n])
+                fnrm = np.asarray(m.normals[:n])
+                fnf = np.asarray(m.noise[:n]) * float(res.noise_scale)
+                fng = np.asarray(m.noise_g[:n]) * float(res.noise_scale_g)
+                if m.n_tail:
+                    occ = m.n_tail
+                    fx = np.concatenate([fx, np.asarray(m.tail_x[:occ])])
+                    fy = np.concatenate([fy, np.asarray(m.tail_y[:occ])])
+                    fnrm = np.concatenate([fnrm, np.zeros((occ, 3))])
+                    fnf = np.concatenate(
+                        [fnf, np.asarray(m.tail_noise[:occ])])
+                    fng = np.concatenate(
+                        [fng, np.full((occ,), self.config.pad_noise)])
+                self.model = ooc.ooc_fit_joint(
+                    m.kernel, fx, fy, fnrm, fnf, fng, res.params,
+                    panel=m.panel, pad_noise=self.config.pad_noise,
+                )
+                log.info("hyperopt(out-of-core joint, %d-pt subsample): "
+                         "mll=%.4f ls=%.4f", m.x[:n:step].shape[0], res.mll,
+                         float(res.params["lengthscale"]))
+                return res
             ts = self.training
             if ts is None:
                 raise ValueError(
@@ -432,9 +496,6 @@ class ObjectModelSession:
                     "original training set (not part of the checkpoint); "
                     "re-start() from the cloud, or optimize before saving"
                 )
-            from gpis_tpu.linalg import outofcore as ooc
-
-            method = kw.pop("method", "subsample")
             if method == "stream":
                 # Full-data exact gradients: one out-of-core factor + TRSM
                 # + one streamed W-pass per step (gp.ooc_hyperopt) — config

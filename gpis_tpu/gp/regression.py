@@ -319,7 +319,15 @@ def predict_mean(model: GPModel, q):
         # Out-of-core model: the mean never touches the panel store — pure
         # jnp against the replicated alpha (plus the in-core touch tail),
         # so jax.grad for Newton projection works unchanged.
-        kq = kg.cross_cov(model.kernel, q, model.x, model.params)
+        if getattr(model, "meta", None) is not None:
+            # Joint out-of-core model: alpha spans the dimension-major
+            # [f | d1 | d2 | d3] factor rows; cross_cov_value produces the
+            # matching (M, 4C) value-query block (differentiable).
+            from gpis_tpu.kernels import derivative as kd
+
+            kq = kd.cross_cov_value(model.kernel, q, model.x, model.params)
+        else:
+            kq = kg.cross_cov(model.kernel, q, model.x, model.params)
         mean = kq @ model.alpha
         if model.n_tail:
             cap = model.tail_v.shape[1]

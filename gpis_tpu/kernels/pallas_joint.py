@@ -49,10 +49,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gpis_tpu.kernels import functions as kf
 from gpis_tpu.kernels.pallas_gram import _TM, _TN, _interpret, _pad_rows
-from gpis_tpu.kernels.pallas_query import _TC, _TI, _TQ, quad_dot
+from gpis_tpu.kernels.pallas_query import (_TC, _TCB, _TI, _TIB, _TQ, _TQB,
+                                           quad_dot)
 
-__all__ = ["joint_meta", "joint_rows_pallas", "joint_gram_fused_pallas",
-           "joint_cross_value_pallas", "fused_joint_query_pallas"]
+__all__ = ["joint_meta", "joint_rows_ref", "joint_rows_pallas",
+           "joint_gram_fused_pallas", "joint_cross_value_pallas",
+           "fused_joint_query_pallas", "fused_joint_quad_band_pallas"]
 
 # Query tiles for the fused joint query are SHARED with the value kernel
 # (kernels/pallas_query.py, env GPIS_QTILE_Q/I/C): the sizing arguments are
@@ -99,6 +101,30 @@ def _joint_tile(d0, d1, d2, ud, vd, uv, fr, fc, name, params, dt):
     outer = jnp.where(zero, 0.0, h * ud * vd)
     return (fr * fc * k + 2.0 * dk * (ud * fc - vd * fr - uv)
             - 4.0 * outer)
+
+
+def joint_rows_ref(name: str, rmeta, cmeta, params, noise_col=None, row0=0):
+    """Dense jnp evaluation of the same blended joint operator rows —
+    the CPU / fallback twin of `joint_rows_pallas` (identical formula via
+    `_joint_tile`, so the two paths agree to rounding).  Materializes an
+    (R, S, 3) broadcast: fine for row bands and small crosses, not for a
+    full 100k-class Gram."""
+    rc, rd, rf = rmeta
+    cc, cd, cf = cmeta
+    dt = rc.dtype
+    diff = rc[:, None, :] - cc[None, :, :]            # (R, S, 3)
+    d0, d1, d2 = diff[..., 0], diff[..., 1], diff[..., 2]
+    ud = jnp.einsum("rd,rsd->rs", rd, diff)
+    vd = jnp.einsum("sd,rsd->rs", cd, diff)
+    uv = jnp.dot(rd, cd.T)
+    out = _joint_tile(d0, d1, d2, ud, vd, uv, rf[:, None], cf[None, :],
+                      name, params, dt)
+    if noise_col is not None:
+        r, s = out.shape
+        rows_g = row0 + jax.lax.broadcasted_iota(jnp.int32, (r, s), 0)
+        cols_g = jax.lax.broadcasted_iota(jnp.int32, (r, s), 1)
+        out = jnp.where(rows_g == cols_g, out + noise_col[None, :], out)
+    return out
 
 
 def _rows_kernel(row0_ref, r0, r1, r2c, ru0, ru1, ru2, rf,
@@ -356,3 +382,107 @@ def fused_joint_query_pallas(name: str, q, x, params, alpha, w,
         interpret=_interpret(),
     )(*qc, *cols_in, w, alpha_row, ls, sv)
     return mean[0, :m], quad[0, :m]
+
+
+# --------------------------------------------- fused joint band quad
+
+
+def _joint_band_quad_kernel(row0_ref, q0, q1, q2, z0, z1, z2, cu0, cu1, cu2,
+                            cf, w_ref, ls_ref, sv_ref, quad_ref, v_scr, *,
+                            name):
+    i = pl.program_id(1)
+    c = pl.program_id(2)
+    nc = pl.num_programs(2)
+    row0 = row0_ref[0]
+
+    @pl.when(c == 0)
+    def _():
+        v_scr[...] = jnp.zeros_like(v_scr)
+
+    # W band rows sit at global joint rows [row0 + i*TI, row0 + (i+1)*TI);
+    # tiles whose columns all exceed the last global row are zero (W is
+    # lower-triangular, trimmed panels zero-padded) — skip dot AND blend.
+    @pl.when(c * _TCB < row0 + (i + 1) * _TIB)
+    def _():
+        d0 = q0[...] - z0[...]
+        d1 = q1[...] - z1[...]
+        d2 = q2[...] - z2[...]
+        r2 = d0 * d0 + d1 * d1 + d2 * d2
+        params = {"lengthscale": ls_ref[0, 0], "signal_variance": sv_ref[0, 0]}
+        # Value-query row (f=1, u=0) against a joint column (same collapse
+        # as the fused joint query kernel): f_c k(r2) - 2 dk (u_c . diff).
+        vd = cu0[...] * d0 + cu1[...] * d1 + cu2[...] * d2
+        kq = (cf[...] * kf.k_r2(name, r2, params)
+              - 2.0 * kf.dk_dr2(name, r2, params) * vd)  # (TQ, TC)
+        v_scr[...] += quad_dot(w_ref[...], kq).astype(v_scr.dtype)
+
+    @pl.when(c == nc - 1)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            quad_ref[...] = jnp.zeros_like(quad_ref)
+
+        quad_ref[...] += jnp.sum(v_scr[...] * v_scr[...], axis=0)[
+            None, :
+        ].astype(quad_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("name",))
+def fused_joint_quad_band_pallas(name: str, q, cmeta, params, w_band, row0):
+    """quad partial ||W_band kq^T||^2 colsums for a row band of the JOINT
+    factor's W at global joint rows [row0, row0+R): the joint mirror of
+    kernels.pallas_query.fused_quad_band_pallas, feeding the out-of-core
+    joint query (linalg.outofcore) and any joint ring hop.  cmeta =
+    (coords (J, 3), dirs (J, 3), flag (J,)) from `joint_meta`; the value-
+    query cross-covariance tile is generated in VMEM from the column
+    metadata (never in HBM).  Returns (M,)."""
+    coords, dirs, flag = cmeta
+    m, j = q.shape[0], coords.shape[0]
+    r = w_band.shape[0]
+    dt = q.dtype
+    if j % _TIB or j % _TCB or r % _TIB:
+        raise ValueError(
+            f"joint W band ({r}, {j}) must tile into {_TIB} x {_TCB} blocks"
+        )
+    qp = _pad_rows(q.astype(dt), _TQB)
+    mp = qp.shape[0]
+    qc = [qp[:, d : d + 1] for d in range(3)]
+    cols_in = _meta_cols(coords, dirs, flag, _TCB)
+    ls = jnp.asarray(params["lengthscale"], dt).reshape(1, 1)
+    sv = jnp.asarray(params["signal_variance"], dt).reshape(1, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mp // _TQB, r // _TIB, j // _TCB),
+        in_specs=[
+            *[pl.BlockSpec((_TQB, 1), lambda mq, i, cc, s: (mq, 0),
+                           memory_space=pltpu.VMEM)] * 3,
+            *[pl.BlockSpec((1, _TCB), lambda mq, i, cc, s: (0, cc),
+                           memory_space=pltpu.VMEM)] * 7,
+            # Columns beyond the band's last global row are zero — clamp the
+            # block index to the last live column so the repeated index
+            # elides the dead tiles' DMAs (scalar-prefetched row0 makes the
+            # liveness bound available to the index map).
+            pl.BlockSpec(
+                (_TIB, _TCB),
+                lambda mq, i, cc, s: (
+                    i, jnp.minimum(cc, (s[0] + (i + 1) * _TIB - 1) // _TCB)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1), lambda mq, i, cc, s: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda mq, i, cc, s: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _TQB), lambda mq, i, cc, s: (0, mq), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((_TIB, _TQB), jnp.float32)],
+    )
+    quad = pl.pallas_call(
+        functools.partial(_joint_band_quad_kernel, name=name),
+        out_shape=jax.ShapeDtypeStruct((1, mp), dt),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(jnp.asarray([row0], jnp.int32), *qc, *cols_in, w_band, ls, sv)
+    return quad[0, :m]

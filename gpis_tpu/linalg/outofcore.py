@@ -97,7 +97,8 @@ __all__ = ["HostPanelStore", "DevicePanelStore", "TieredPanelStore",
            "DeviceBudget", "plan_sweeps",
            "ooc_cholesky", "ooc_trsm", "ooc_solve_alpha",
            "ooc_alpha_backward", "ooc_factor_phase", "ooc_solve_phase",
-           "ooc_predict", "ooc_fit", "ooc_update", "OOCModel"]
+           "ooc_predict", "ooc_fit", "ooc_fit_joint", "ooc_update",
+           "OOCModel", "OOCJointModel"]
 
 
 # ------------------------------------------------------------ panel stores
@@ -718,10 +719,36 @@ def _trinv(l, block):
     return blocked_linv(l, l.shape[0])
 
 
+def _meta_triple(m):
+    """(J, 7) packed joint metadata -> (coords, dirs, flag) views."""
+    return m[:, :3], m[:, 3:6], m[:, 6]
+
+
 @functools.partial(jax.jit, static_argnames=("name",))
 def _gram_band(name, x_band, x_full, params, noise_band, row0):
-    """(B, C) Gram row band, Pallas on TPU / jnp elsewhere."""
+    """(B, C) Gram row band, Pallas on TPU / jnp elsewhere.
+
+    x with 7 columns is PACKED JOINT METADATA [coords | grad dir | value
+    flag] (kernels.pallas_joint.joint_meta): the band becomes joint
+    covariance rows with per-row observation noise on the diagonal — the
+    whole factor/TRSM/alpha machinery is layout-agnostic above this
+    dispatch, which is what makes the out-of-core joint fit (config 2 at
+    beyond-HBM N) a data change rather than a second pipeline."""
     b, c = x_band.shape[0], x_full.shape[0]
+    if x_full.shape[1] == 7:
+        from gpis_tpu.kernels import pallas_joint as pj
+
+        rmeta = _meta_triple(x_band)
+        cmeta = _meta_triple(x_full)
+        # The diagonal noise lands at global columns [row0, row0+B); the
+        # kernels take a column-indexed noise vector.
+        noise_col = lax.dynamic_update_slice(
+            jnp.zeros((c,), x_band.dtype), noise_band, (row0,))
+        if _use_pallas_small() and b % 256 == 0 and c % 256 == 0:
+            return pj.joint_rows_pallas(name, rmeta, cmeta, params,
+                                        noise_col=noise_col, row0=row0)
+        return pj.joint_rows_ref(name, rmeta, cmeta, params,
+                                 noise_col=noise_col, row0=row0)
     if _use_pallas_small() and b % 256 == 0 and c % 256 == 0:
         from gpis_tpu.kernels.pallas_gram import gram_band_pallas
 
@@ -1087,13 +1114,46 @@ def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256,
     return jax.block_until_ready(alpha) if accumulate_alpha else None
 
 
+def _value_cross(name, q, x, params):
+    """cov(f(q), training columns) for value (C, 3) OR packed joint (J, 7)
+    column layouts — the one cross-covariance the out-of-core mean/tail
+    paths need."""
+    if x.shape[1] == 7:
+        from gpis_tpu.kernels import pallas_joint as pj
+
+        m = q.shape[0]
+        dt = q.dtype
+        rmeta = (q, jnp.zeros((m, 3), dt), jnp.ones((m,), dt))
+        cmeta = _meta_triple(x)
+        if _use_pallas_small() and x.shape[0] % 256 == 0:
+            return pj.joint_rows_pallas(name, rmeta, cmeta, params)
+        return pj.joint_rows_ref(name, rmeta, cmeta, params)
+    if _use_pallas_small() and x.shape[0] % 256 == 0:
+        from gpis_tpu.kernels.pallas_gram import cross_cov_pallas
+
+        return cross_cov_pallas(name, q, x, params)
+    return kg.cross_cov(name, q, x, params)
+
+
 @functools.partial(jax.jit, static_argnames=("name",))
 def _quad_band(name, q, x, params, w_full, row0):
     """Per-panel variance contribution ||W_j kq^T||^2 (kq generated in VMEM
     on TPU; jnp fallback elsewhere).  Columns of w_full beyond the trimmed
     width are never read on the Pallas path (tile skip); the fallback sees
-    exact zeros from the pad."""
+    exact zeros from the pad.  x with 7 columns is joint metadata (the
+    fused band kernel blends the value-query cross in VMEM)."""
     b, c = w_full.shape
+    if x.shape[1] == 7:
+        if (_use_pallas_small() and b % 256 == 0 and c % 256 == 0
+                and q.shape[0] % 1024 == 0):
+            from gpis_tpu.kernels.pallas_joint import (
+                fused_joint_quad_band_pallas)
+
+            return fused_joint_quad_band_pallas(
+                name, q, _meta_triple(x), params, w_full, row0)
+        kq = _value_cross(name, q, x, params)
+        v = jnp.dot(w_full, kq.T, precision=lax.Precision.HIGHEST)
+        return jnp.sum(v * v, axis=0)
     if (_use_pallas_small() and b % 256 == 0 and c % 256 == 0
             and q.shape[0] % 1024 == 0):
         from gpis_tpu.kernels.pallas_query import fused_quad_band_pallas
@@ -1106,13 +1166,7 @@ def _quad_band(name, q, x, params, w_full, row0):
 
 @functools.partial(jax.jit, static_argnames=("name",))
 def _mean_chunk(name, q, x, params, alpha):
-    if _use_pallas_small() and x.shape[0] % 256 == 0:
-        from gpis_tpu.kernels.pallas_gram import cross_cov_pallas
-
-        kq = cross_cov_pallas(name, q, x, params)
-    else:
-        kq = kg.cross_cov(name, q, x, params)
-    return _mmh(kq, alpha)
+    return _mmh(_value_cross(name, q, x, params), alpha)
 
 
 @functools.partial(jax.jit, static_argnames=("name",))
@@ -1127,12 +1181,7 @@ def _mean_tail_chunk(name, q, x, params, alpha, tail_x, tail_mask,
     needed.  Unused tail slots: masked kq2 columns, zero A columns, and
     Lt's identity pad rows keep them exactly inert.  Returns (mean,
     quad_tail)."""
-    if _use_pallas_small() and x.shape[0] % 256 == 0:
-        from gpis_tpu.kernels.pallas_gram import cross_cov_pallas
-
-        kq = cross_cov_pallas(name, q, x, params)
-    else:
-        kq = kg.cross_cov(name, q, x, params)
+    kq = _value_cross(name, q, x, params)
     kq2 = kg.cross_cov(name, q, tail_x, params) * tail_mask[None, :]
     mean = _mmh(kq, alpha) + _mmh(kq2, tail_alpha)
     s = _mmh(kq, tail_a)                       # (chunk, T)
@@ -1257,13 +1306,21 @@ def ooc_alpha_backward(lstore, u, *, panel: int):
     return jax.block_until_ready(alpha)
 
 
+def _factor_cols(model):
+    """The factor's column carrier: packed joint metadata for the joint
+    model, plain coordinates for the value model."""
+    meta = getattr(model, "meta", None)
+    return model.x if meta is None else meta
+
+
 def ooc_predict(model: "OOCModel", q, *, chunk: int = 8192):
     """Posterior (mean, var) at q (M, 3), chunked.  W panels stream once
     TOTAL: the panel loop is outermost and every chunk's quad accumulates
     per panel visit."""
     q = jnp.asarray(q, model.dtype)
     m = q.shape[0]
-    c = model.capacity
+    cols = _factor_cols(model)
+    c = cols.shape[0]
     pad = (-m) % chunk
     qp = jnp.pad(q, ((0, pad), (0, 0))) if pad else q
     chunks = [qp[i:i + chunk] for i in range(0, qp.shape[0], chunk)]
@@ -1271,7 +1328,7 @@ def ooc_predict(model: "OOCModel", q, *, chunk: int = 8192):
     if model.n_tail:
         cap = model.tail_v.shape[1]
         mask = (jnp.arange(cap) < model.n_tail).astype(model.dtype)
-        pairs = [_mean_tail_chunk(model.kernel, ch, model.x, model.params,
+        pairs = [_mean_tail_chunk(model.kernel, ch, cols, model.params,
                                   model.alpha, model.tail_x, mask,
                                   model.tail_alpha, model.tail_a,
                                   model.tail_chol)
@@ -1279,7 +1336,7 @@ def ooc_predict(model: "OOCModel", q, *, chunk: int = 8192):
         means = [m for m, _ in pairs]
         quads = [qt for _, qt in pairs]
     else:
-        means = [_mean_chunk(model.kernel, ch, model.x, model.params,
+        means = [_mean_chunk(model.kernel, ch, cols, model.params,
                              model.alpha)
                  for ch in chunks]
         quads = [jnp.zeros((chunk,), model.dtype) for _ in chunks]
@@ -1287,7 +1344,7 @@ def ooc_predict(model: "OOCModel", q, *, chunk: int = 8192):
     for j, w_full in _Prefetcher(model.wstore, range(nb), pad_to=c):
         for i, ch in enumerate(chunks):
             quads[i] = quads[i] + _quad_band(
-                model.kernel, ch, model.x, model.params, w_full, j * model.panel
+                model.kernel, ch, cols, model.params, w_full, j * model.panel
             )
         # Bound live w_full buffers to ~2 (this one + the prefetched next).
         jax.block_until_ready(quads[-1])
@@ -1375,14 +1432,12 @@ class OOCModel:
                 "byproducts (u / logdiag_sum); refit with ooc_fit or "
                 "ooc_factor_phase to enable log_marginal_likelihood"
             )
-        c = self.capacity
         u = jnp.asarray(self.u)
         mll = (-0.5 * float(jnp.dot(u, u)) - float(self.logdiag_sum)
-               - 0.5 * c * math.log(2.0 * math.pi))
+               - 0.5 * u.shape[0] * math.log(2.0 * math.pi))
         # Pad rows contribute ~ -0.5*log(2*pi*noise_pad) each (y=0, cross
         # terms O(k^2/pad_noise)); remove that constant like the dense MLL.
-        noise = np.asarray(self.noise)
-        mll += float(np.sum(0.5 * np.log(2.0 * np.pi * noise[self.n_real:])))
+        mll += self._mll_pad_correction()
         if self.n_tail:
             # Bordered factor [[L, 0], [V^T, Lt]]: the tail adds
             # -0.5||u_t||^2 - sum(log diag Lt) - 0.5 T log 2pi with
@@ -1393,6 +1448,12 @@ class OOCModel:
                     - float(jnp.sum(jnp.log(jnp.diagonal(self.tail_chol))))
                     - 0.5 * self.n_tail * math.log(2.0 * math.pi))
         return mll
+
+    def _mll_pad_correction(self) -> float:
+        """Sum of the pad rows' 0.5*log(2*pi*noise) constants (value
+        layout: rows [n_real, C))."""
+        noise = np.asarray(self.noise)
+        return float(np.sum(0.5 * np.log(2.0 * np.pi * noise[self.n_real:])))
 
     def promote_for_serving(self, *, reserve_bytes: int | None = None) -> int:
         """Pin spilled W panels into the HBM freed by the finished fit and
@@ -1408,11 +1469,53 @@ class OOCModel:
         if prom is None:
             return 0
         if reserve_bytes is None:
-            pb = self.panel * self.capacity * jnp.dtype(self.dtype).itemsize
+            # alpha's length is the factor size for BOTH layouts (C for the
+            # value model, J = 4C for the joint one).
+            pb = self.panel * self.alpha.shape[0] * jnp.dtype(self.dtype).itemsize
             reserve_bytes = 2 * pb + 1_000_000_000
         budget = self.wstore._budget
         bonus = max(0, _device_limit() - int(reserve_bytes) - budget.limit)
         return prom(limit_bonus=bonus)
+
+
+@dataclasses.dataclass
+class OOCJointModel(OOCModel):
+    """Out-of-core JOINT (value + gradient) model — config 2 (derivative
+    observations, reference §4.1 normals path) at beyond-HBM N on one chip.
+
+    The factor/TRSM/alpha/query machinery is shared with the value model;
+    only the row assembly differs (packed joint metadata, `_gram_band`).
+    Field reinterpretation vs the value OOCModel (chosen so the planner /
+    projection / session contracts hold uniformly across every joint model
+    type — x[:C] core coords, y[:C] value targets, `noise` value-obs
+    noise):
+
+        x      (C, 3)  core coordinates
+        y      (J,)    joint targets [f(1..C) | d1 | d2 | d3], J = 4C
+        noise  (C,)    value-observation noise (incl. fit jitter)
+        meta   (J, 7)  packed factor-row metadata [coords | dir | flag]
+
+    Tactile updates append VALUE-only rows through the same in-core tail
+    bordering (`ooc_update`); V = W K(rows, x_new) uses the joint cross.
+    """
+
+    meta: jax.Array | None = None      # (J, 7)
+    normals: jax.Array | None = None   # (C, 3) unit normals (zero pad rows)
+    noise_g: jax.Array | None = None   # (C,) gradient-obs noise (incl. jitter)
+    n0: int = 0                        # core capacity C
+
+    @property
+    def noise_f(self):
+        """Alias matching DerivGPModel / ShardedJointModel."""
+        return self.noise
+
+    def _mll_pad_correction(self) -> float:
+        """Joint layout: each padded point contributes one value row and
+        three gradient rows; remove all four constants."""
+        nf = np.asarray(self.noise)[self.n_real:]
+        ng = np.asarray(self.noise_g)[self.n_real:]
+        return float(np.sum(0.5 * np.log(2.0 * np.pi * nf))
+                     + 3.0 * np.sum(0.5 * np.log(2.0 * np.pi * ng)))
 
 
 def ooc_update(model: OOCModel, new_x, new_y, new_noise, *,
@@ -1446,7 +1549,15 @@ def ooc_update(model: OOCModel, new_x, new_y, new_noise, *,
     new_x = jnp.asarray(new_x, dt)
     t = int(new_x.shape[0])
     new_y = jnp.broadcast_to(jnp.asarray(new_y, dt), (t,))
-    new_noise = jnp.broadcast_to(jnp.asarray(new_noise, dt), (t,))
+    # Dtype-aware noise floor, like every in-core/sharded update path: a
+    # touch that duplicates an existing observation (e.g. replayed after a
+    # hyperopt refit folded it into the core) makes the tail Schur
+    # complement ~ noise + O(eps) in f32 — sub-floor noise then NaNs the
+    # tail Cholesky.
+    floor = (4.0 * float(jnp.finfo(dt).eps) * model.alpha.shape[0]
+             * abs(float(kf.k_diag0(model.kernel, model.params))))
+    new_noise = jnp.maximum(
+        jnp.broadcast_to(jnp.asarray(new_noise, dt), (t,)), floor)
     # Spill-compressed W stores (w_dtype=float16) cannot support bordering:
     # W entries scale like 1/sqrt(noise) (O(1e2) here), so eps_f16 relative
     # rounding is O(1e-1) ABSOLUTE in the spilled rows — tolerable inside
@@ -1478,7 +1589,8 @@ def ooc_update(model: OOCModel, new_x, new_y, new_noise, *,
             f"tail into a refit (session.update does this automatically "
             f"for in-core models) or raise tail_capacity"
         )
-    c = model.capacity
+    cols = _factor_cols(model)
+    c = cols.shape[0]
     if model.tail_v is None:
         tail_x = jnp.zeros((cap, 3), dt)
         tail_y = jnp.zeros((cap,), dt)
@@ -1492,8 +1604,10 @@ def ooc_update(model: OOCModel, new_x, new_y, new_noise, *,
     alpha0 = model.alpha0 if model.alpha0 is not None else model.alpha
 
     # One pass over the W panels: rows of v_new land per panel; a_new
-    # accumulates the W^T contraction of the same product.
-    k_n = kg.cross_cov(model.kernel, model.x, new_x, model.params)  # (C, t)
+    # accumulates the W^T contraction of the same product.  The factor-row
+    # cross K(rows, x_new) is the transpose of the value-query cross, which
+    # already handles both the value and packed-joint column layouts.
+    k_n = _value_cross(model.kernel, new_x, cols, model.params).T  # (C, t)
     v_rows = []
     a_new = jnp.zeros((c, t), dt)
     nb = c // model.panel
@@ -1761,6 +1875,95 @@ def ooc_fit(kernel, x, y, noise, params, *, panel: int, block: int = 256,
     return OOCModel(kernel=kernel, x=xp, y=yp, noise=np_, params=params,
                     alpha=alpha, wstore=wstore, panel=panel, n_real=n,
                     u=u, logdiag_sum=stats.get("logdiag_sum"))
+
+
+def ooc_fit_joint(kernel, x, y, normals, noise_f, noise_g, params, *,
+                  panel: int, block: int = 256, store: str = "tiered",
+                  pad_noise: float = 1e10, dtype=None,
+                  max_jitter_retries: int = 3,
+                  initial_jitter: float | None = None,
+                  device_budget: int | None = None, w_dtype=None,
+                  width_quant: int = 2, sweep: int = 2,
+                  trsm_sweep: int | None = None,
+                  spill_dir: str | None = None) -> OOCJointModel:
+    """Out-of-core JOINT (value + gradient) GP fit: config 2 at beyond-HBM
+    N on one chip.  The joint system has J = 4C rows for C padded core
+    points — a 25k-point cloud with normals is already a 100k-row factor —
+    so the out-of-core panel machinery matters at much smaller clouds than
+    the value path.  Same algorithm as `ooc_fit` (row-panel bordering
+    Cholesky, panel-consuming TRSM, inline forward substitution), driven
+    through the packed joint metadata `_gram_band` dispatch; the column
+    layout is dimension-major [f(1..C) | d1 | d2 | d3]
+    (kernels.pallas_joint.joint_meta).  Tactile touches use the in-core
+    tail bordering (`ooc_update`) — no preallocated factor slots needed.
+    """
+    from gpis_tpu.kernels import derivative as kd
+    from gpis_tpu.kernels import pallas_joint as pj
+
+    if not kf.supports_derivatives(kernel):
+        raise ValueError(
+            f"kernel {kernel!r} does not support derivative observations")
+    if panel % 4:
+        raise ValueError(
+            f"joint out-of-core needs panel % 4 == 0 (J = 4C must be a "
+            f"panel multiple), got {panel}")
+    _warm_d2h_async()
+    x = jnp.asarray(x)
+    dtype = dtype or x.dtype
+    n = x.shape[0]
+    cq = max(panel // 4, 1)
+    c = ((n + cq - 1) // cq) * cq
+    xp = jnp.zeros((c, 3), dtype).at[:n].set(x.astype(dtype))
+    yp = jnp.zeros((c,), dtype).at[:n].set(jnp.asarray(y, dtype))
+    nrm = jnp.zeros((c, 3), dtype).at[:n].set(jnp.asarray(normals, dtype))
+    nf = jnp.full((c,), pad_noise, dtype).at[:n].set(
+        jnp.broadcast_to(jnp.asarray(noise_f, dtype), (n,)))
+    ng = jnp.full((c,), pad_noise, dtype).at[:n].set(
+        jnp.broadcast_to(jnp.asarray(noise_g, dtype), (n,)))
+    params = {k: jnp.asarray(v, dtype) for k, v in params.items()}
+    coords, dirs, flag = pj.joint_meta(xp)
+    meta = jnp.concatenate([coords, dirs, flag[:, None]], axis=1)  # (J, 7)
+    yj = kd.joint_targets(yp, nrm)                                 # (J,)
+    j_tot = 4 * c
+
+    eps = float(jnp.finfo(dtype).eps)
+    jitter = 4.0 * eps * j_tot * abs(float(kf.k_diag0(kernel, params)))
+    extra = initial_jitter if initial_jitter is not None else 0.0
+    tsw = min(sweep, 2) if trsm_sweep is None else trsm_sweep
+    budget = DeviceBudget(
+        device_budget if device_budget is not None
+        else _hbm_budget(panel, j_tot, jnp.dtype(dtype).itemsize,
+                         sweep=max(sweep, tsw + 1))
+    )
+    for attempt in range(max_jitter_retries + 1):
+        st = _make_store(store, budget, spill_dir=spill_dir)
+        stats = {}
+        noisej = pj._joint_noise(c, nf + extra, ng + extra, None, dtype)
+        ok, u = ooc_cholesky(kernel, meta, noisej, params, st, panel=panel,
+                             block=block, width_quant=width_quant,
+                             sweep=sweep, y=yj, stats=stats)
+        if ok:
+            # Fold the escalated jitter into the stored noises so tail
+            # borderings recompute K consistently with L/W.
+            nf = nf + extra
+            ng = ng + extra
+            break
+        st.clear()
+        del st
+        extra = max(extra * 10.0, jitter)
+    else:
+        raise FloatingPointError(
+            f"out-of-core joint Cholesky failed even with jitter {extra:.2e}"
+        )
+    alpha = ooc_alpha_backward(st, u, panel=panel)
+    wstore = _make_store(store, budget, spill_dtype=w_dtype,
+                         spill_dir=spill_dir)
+    ooc_trsm(st, wstore, yj, panel=panel, block=block,
+             accumulate_alpha=False, width_quant=width_quant, sweep=tsw)
+    return OOCJointModel(kernel=kernel, x=xp, y=yj, noise=nf, params=params,
+                         alpha=alpha, wstore=wstore, panel=panel, n_real=n,
+                         u=u, logdiag_sum=stats.get("logdiag_sum"),
+                         meta=meta, normals=nrm, noise_g=ng, n0=c)
 
 
 # ------------------------------------------------- process-split phases

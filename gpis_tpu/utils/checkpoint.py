@@ -97,7 +97,8 @@ def _save_ooc(path: str, model) -> None:
 
     wdir = path + ".w"
     os.makedirs(wdir, exist_ok=True)
-    nb = model.capacity // model.panel
+    # alpha's length is the factor size for both layouts (C value, 4C joint).
+    nb = model.alpha.shape[0] // model.panel
     # Delegate the on-disk format to the panel store itself (a zero-budget
     # store routes every put to the disk tier): panel naming, per-panel
     # dtype metadata, and the atomic manifest replace live in ONE place —
@@ -142,6 +143,13 @@ def _save_ooc(path: str, model) -> None:
         arrays["alpha0"] = np.asarray(model.alpha0)
         for k in _OOC_TAIL_KEYS:
             arrays[k] = np.asarray(getattr(model, k))
+    if getattr(model, "meta", None) is not None:
+        # Joint OOC model: normals/noise_g round-trip; the packed (J, 7)
+        # factor metadata is reconstructed from x at load (joint_meta is
+        # deterministic given the padded core coordinates).
+        meta["joint"] = True
+        arrays["normals"] = np.asarray(model.normals)
+        arrays["noise_g"] = np.asarray(model.noise_g)
     np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
 
@@ -149,14 +157,15 @@ def _load_ooc(d, meta, path: str):
     from gpis_tpu.linalg import outofcore as ooc
 
     panel = int(meta["panel"])
-    c = d["x"].shape[0]
-    budget = ooc.DeviceBudget(ooc._hbm_budget(panel, c, d["x"].dtype.itemsize))
+    j_tot = d["alpha"].shape[0]  # factor size for both layouts
+    budget = ooc.DeviceBudget(
+        ooc._hbm_budget(panel, j_tot, d["x"].dtype.itemsize))
     wstore = ooc.TieredPanelStore.open_dir(budget, path + ".w")
     tail = {}
     if meta.get("n_tail"):
         tail = {k: jnp.asarray(d[k]) for k in _OOC_TAIL_KEYS}
         tail["alpha0"] = jnp.asarray(d["alpha0"])
-    return ooc.OOCModel(
+    common = dict(
         kernel=meta["kernel"],
         x=jnp.asarray(d["x"]), y=jnp.asarray(d["y"]),
         noise=jnp.asarray(d["noise"]), alpha=jnp.asarray(d["alpha"]),
@@ -167,6 +176,18 @@ def _load_ooc(d, meta, path: str):
         logdiag_sum=meta.get("logdiag_sum"),
         n_tail=int(meta.get("n_tail", 0)), **tail,
     )
+    if meta.get("joint"):
+        from gpis_tpu.kernels import pallas_joint as pj
+
+        xp = common["x"]
+        coords, dirs, flag = pj.joint_meta(xp)
+        return ooc.OOCJointModel(
+            meta=jnp.concatenate([coords, dirs, flag[:, None]], axis=1),
+            normals=jnp.asarray(d["normals"]),
+            noise_g=jnp.asarray(d["noise_g"]),
+            n0=xp.shape[0], **common,
+        )
+    return ooc.OOCModel(**common)
 
 
 def _save_sharded(path: str, model) -> None:

@@ -341,6 +341,49 @@ def test_ooc_pipeline_compiled(prob):
     np.testing.assert_array_equal(np.asarray(mean_p), np.asarray(mean_s))
     np.testing.assert_array_equal(np.asarray(var_p), np.asarray(var_s))
 
+def test_ooc_joint_pipeline_compiled(prob):
+    """Joint (config 2) out-of-core fit + streamed update + query COMPILED
+    on the chip: covers the packed-metadata joint band Gram
+    (joint_rows_pallas under _gram_band), the fused joint band quad kernel
+    (DMA-elision index map), and the joint tail bordering at a small tiled
+    size (C=256 -> J=1024, panel 256)."""
+    from gpis_tpu.gp import derivative as gpd
+    from gpis_tpu.linalg import outofcore as ooc
+
+    x, _, params = prob
+    rng = np.random.default_rng(37)
+    c = 256
+    xs = x[:c]
+    nrm = xs  # unit sphere: outward normal == position
+    y = jnp.zeros((c,), DT)
+    m = ooc.ooc_fit_joint("rbf", xs, y, nrm, 5e-2, 1e-1, params, panel=256)
+    assert m.alpha.shape[0] == 1024
+    q = jnp.asarray(rng.normal(size=(64, 3)), DT)
+    q = q / jnp.linalg.norm(q, axis=1, keepdims=True) * 1.1
+    mean, var = m.predict(q, chunk=1024)
+    assert np.isfinite(np.asarray(mean)).all()
+    assert (np.asarray(var) >= 0).all()
+
+    # Reference posterior from the in-core joint path on the same chip.
+    ref = gpd.fit_with_normals("rbf", xs, y, nrm, jnp.full(c, 5e-2, DT),
+                               jnp.full(c, 1e-1, DT), params, block=64)
+    mean_r, var_r = gpd.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r),
+                               atol=5e-3)
+    k0 = float(jnp.asarray(params["signal_variance"]))
+    np.testing.assert_allclose(np.asarray(var),
+                               np.clip(np.asarray(var_r), 0.0, k0),
+                               atol=5e-3)
+
+    # Streamed joint bordering update: variance at the touch collapses.
+    touch = jnp.asarray(rng.normal(size=(2, 3)), DT)
+    touch = touch / jnp.linalg.norm(touch, axis=1, keepdims=True) * 1.2
+    _, v0 = m.predict(touch, chunk=1024)
+    m2 = m.update(touch, 0.0, 1e-3)
+    _, v1 = m2.predict(touch, chunk=1024)
+    assert float(jnp.max(v1)) < float(jnp.min(v0))
+
+
 def test_ooc_hyperopt_compiled(prob):
     """One ooc_mll_and_grad evaluation COMPILED on the chip: the streamed
     dK-band trace/quad GEMMs, colnorm pass, and the byproduct MLL assembly
