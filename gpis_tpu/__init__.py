@@ -32,6 +32,7 @@ __all__ = [
     "fit_sharded_joint",
     "optimize_sharded",
     "optimize_ooc",
+    "optimize_ooc_joint",
     "ooc_fit",
     "ooc_fit_joint",
     "ooc_update",
@@ -54,6 +55,7 @@ _LAZY = {
     "fit_sharded_joint": ("gpis_tpu.gp.sharded_joint", "fit_sharded_joint"),
     "optimize_sharded": ("gpis_tpu.gp.sharded_hyperopt", "optimize_sharded"),
     "optimize_ooc": ("gpis_tpu.gp.ooc_hyperopt", "optimize_ooc"),
+    "optimize_ooc_joint": ("gpis_tpu.gp.ooc_hyperopt", "optimize_ooc_joint"),
     "ooc_fit": ("gpis_tpu.linalg.outofcore", "ooc_fit"),
     "ooc_fit_joint": ("gpis_tpu.linalg.outofcore", "ooc_fit_joint"),
     "ooc_update": ("gpis_tpu.linalg.outofcore", "ooc_update"),

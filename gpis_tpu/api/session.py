@@ -448,25 +448,47 @@ class ObjectModelSession:
 
             method = kw.pop("method", "subsample")
             if getattr(m, "meta", None) is not None:
-                # Joint out-of-core model: optimize the joint MLL on a core
-                # subsample (like the sharded-joint path — a few thousand
-                # points pin the kernel), then refit out-of-core, folding
-                # tactile touches in as value-only observations.
-                if method != "subsample":
+                # Joint out-of-core model: optimize the joint MLL — on a
+                # core subsample by default (like the sharded-joint path —
+                # a few thousand points pin the kernel), or with full-data
+                # streamed exact gradients (method="stream", one beyond-HBM
+                # factor + W-pass per step) — then refit out-of-core,
+                # folding tactile touches in as value-only observations.
+                n = m.n_real
+                if method == "stream":
+                    from gpis_tpu.gp import ooc_hyperopt as oho
+
+                    kw.pop("subsample", None)
+                    res_d = oho.optimize_ooc_joint(
+                        m.kernel, m.x[:n], m.y[:n], m.normals[:n],
+                        m.noise[:n], m.noise_g[:n], m.params, panel=m.panel,
+                        pad_noise=self.config.pad_noise, **kw,
+                    )
+                    res = ho.HyperoptResult(
+                        params=res_d["params"],
+                        noise=m.noise[:n] * float(res_d["noise_scale"]),
+                        noise_scale=res_d["noise_scale"],
+                        noise_scale_g=1.0,  # the stream objective's
+                        # value-noise-scale convention (gradient family
+                        # fixed, like optimize_sharded_joint)
+                        history=res_d["history"], mll=res_d["mll"],
+                    )
+                    desc = "stream, full data"
+                elif method == "subsample":
+                    sub = int(kw.pop("subsample", 1024))
+                    step = max(1, n // sub)
+                    res = ho.optimize_joint(
+                        m.kernel, m.x[:n:step], m.y[:n:step],
+                        m.normals[:n:step], m.noise[:n:step],
+                        m.noise_g[:n:step], m.params,
+                        n_real=m.x[:n:step].shape[0], **kw,
+                    )
+                    desc = f"{m.x[:n:step].shape[0]}-pt subsample"
+                else:
                     raise ValueError(
                         f"unknown hyperopt method {method!r} for a joint "
-                        "out-of-core model (only 'subsample' is supported; "
-                        "'stream' covers value-only fits)"
+                        "out-of-core model (use 'subsample' or 'stream')"
                     )
-                n = m.n_real
-                sub = int(kw.pop("subsample", 1024))
-                step = max(1, n // sub)
-                res = ho.optimize_joint(
-                    m.kernel, m.x[:n:step], m.y[:n:step],
-                    m.normals[:n:step], m.noise[:n:step],
-                    m.noise_g[:n:step], m.params,
-                    n_real=m.x[:n:step].shape[0], **kw,
-                )
                 fx = np.asarray(m.x[:n])
                 fy = np.asarray(m.y[:n])
                 fnrm = np.asarray(m.normals[:n])
@@ -485,8 +507,8 @@ class ObjectModelSession:
                     m.kernel, fx, fy, fnrm, fnf, fng, res.params,
                     panel=m.panel, pad_noise=self.config.pad_noise,
                 )
-                log.info("hyperopt(out-of-core joint, %d-pt subsample): "
-                         "mll=%.4f ls=%.4f", m.x[:n:step].shape[0], res.mll,
+                log.info("hyperopt(out-of-core joint, %s): mll=%.4f "
+                         "ls=%.4f", desc, res.mll,
                          float(res.params["lengthscale"]))
                 return res
             ts = self.training

@@ -51,7 +51,8 @@ from gpis_tpu.kernels import functions as kf
 from gpis_tpu.kernels import gram as kg
 from gpis_tpu.linalg import outofcore as ooc
 
-__all__ = ["ooc_mll_and_grad", "optimize_ooc"]
+__all__ = ["ooc_mll_and_grad", "optimize_ooc",
+           "ooc_joint_mll_and_grad", "optimize_ooc_joint"]
 
 
 @functools.partial(jax.jit, static_argnames=("name",))
@@ -190,6 +191,161 @@ def ooc_mll_and_grad(kernel, x, y, noise, params, *, panel: int,
     g_sv = 0.5 * (quad_sv - tr_sv)
     g_ls = 0.5 * (quad_ls - tr_ls)
     return mll, {"log_ls": g_ls, "log_noise_scale": g_ns, "log_sv": g_sv}
+
+
+@functools.partial(jax.jit, static_argnames=("name",))
+def _joint_band_trace_quad(name, meta_band, meta_full, log_ls, sv, w_full,
+                           alpha, q0):
+    """Joint mirror of `_band_trace_quad`: the dK/d(log ls) row band comes
+    from jvp of the blended joint operator (`pallas_joint.joint_rows_ref`),
+    which differentiates the gradient-block diagonals too (they DO depend
+    on the lengthscale, unlike the value path's pinned k(0) diagonal); the
+    observation-noise diagonal is theta-independent and excluded
+    (noise_col=None).  meta_* are packed (rows, 7) factor metadata."""
+    from gpis_tpu.kernels import pallas_joint as pj
+
+    dt = meta_full.dtype
+    b = meta_band.shape[0]
+    rmeta = (meta_band[:, :3], meta_band[:, 3:6], meta_band[:, 6])
+    cmeta = (meta_full[:, :3], meta_full[:, 3:6], meta_full[:, 6])
+
+    def band(lls):
+        prm = {"lengthscale": jnp.exp(lls), "signal_variance": sv}
+        return pj.joint_rows_ref(name, rmeta, cmeta, prm)
+
+    _, kdot = jax.jvp(band, (log_ls,), (jnp.ones((), dt),))
+    wq = lax.dynamic_slice(
+        w_full, (jnp.zeros((), q0.dtype), q0), (w_full.shape[0], b)
+    )
+    yv = jnp.dot(kdot, w_full.T, precision=lax.Precision.HIGHEST)  # (B, P)
+    tr = jnp.sum(yv.T * wq)
+    aq = lax.dynamic_slice(alpha, (q0,), (b,))
+    quad = jnp.dot(aq, jnp.dot(kdot, alpha, precision=lax.Precision.HIGHEST))
+    return tr, quad
+
+
+def ooc_joint_mll_and_grad(kernel, x, y, normals, noise_f, noise_g, params,
+                           *, panel: int, block: int = 256, noise_scale=1.0,
+                           pad_noise: float = 1e10, store: str = "tiered",
+                           sweep: int = 2, trsm_sweep: int | None = None,
+                           width_quant: int = 2,
+                           device_budget: int | None = None,
+                           max_jitter_retries: int = 3, dtype=None):
+    """Exact JOINT-system MLL and gradients w.r.t. (log lengthscale, log
+    value-noise scale, log signal variance) out of core — config 3 on
+    config 2 at beyond-HBM J = 4C.  Same identities as `ooc_mll_and_grad`;
+    the band jvp targets the blended joint operator, the value-noise scale
+    multiplies REAL CORE value rows only (the `optimize_joint` /
+    `optimize_sharded_joint` convention — the gradient-noise family stays
+    fixed), and diag directions live on the dimension-major joint layout
+    [f(1..C) | d1 | d2 | d3]."""
+    from gpis_tpu.kernels import pallas_joint as pj
+
+    ooc._warm_d2h_async()
+    (xp, yj, meta, _nrm, nf, ng, params, c, n,
+     jitter) = ooc._pad_joint_problem(kernel, x, y, normals, noise_f,
+                                      noise_g, params, panel=panel,
+                                      pad_noise=pad_noise, dtype=dtype)
+    dt = xp.dtype
+    j_tot = 4 * c
+    scale = jnp.asarray(noise_scale, dt)
+    real_c = (jnp.arange(c) < n).astype(dt)
+    nf_eff = jnp.where(real_c > 0, nf * scale, nf)
+    noisej = pj._joint_noise(c, nf_eff, ng, None, dt)
+    real_j = jnp.concatenate([real_c] * 4)
+    dn_j = jnp.concatenate([real_c * nf * scale, jnp.zeros((3 * c,), dt)])
+
+    tsw = min(sweep, 2) if trsm_sweep is None else trsm_sweep
+    budget = ooc.DeviceBudget(
+        device_budget if device_budget is not None
+        else ooc._hbm_budget(panel, j_tot, jnp.dtype(dt).itemsize,
+                             sweep=max(sweep, tsw + 1))
+    )
+
+    extra = 0.0
+    for _ in range(max_jitter_retries + 1):
+        st = ooc._make_store(store, budget)
+        stats = {}
+        ok, u = ooc.ooc_cholesky(kernel, meta, noisej + extra, params, st,
+                                 panel=panel, block=block,
+                                 width_quant=width_quant, sweep=sweep,
+                                 y=yj, stats=stats)
+        if ok:
+            break
+        st.clear()
+        del st
+        extra = max(extra * 10.0, jitter)
+    else:
+        raise FloatingPointError(
+            f"out-of-core joint Cholesky failed even with jitter {extra:.2e}"
+        )
+    n_tot = noisej + extra  # the diagonal the factor actually represents
+    logdet = stats["logdiag_sum"]
+
+    alpha = ooc.ooc_alpha_backward(st, u, panel=panel)
+    wstore = ooc._make_store(store, budget)
+    try:
+        ooc.ooc_trsm(st, wstore, yj, panel=panel, block=block,
+                     accumulate_alpha=False, width_quant=width_quant,
+                     sweep=tsw)
+
+        log_ls = jnp.log(jnp.asarray(params["lengthscale"], dt))
+        sv = jnp.asarray(params["signal_variance"], dt)
+        nb = j_tot // panel
+        colnorms = jnp.zeros((j_tot,), dt)
+        tr_ls = jnp.zeros((), dt)
+        quad_ls = jnp.zeros((), dt)
+        for p, w_full in ooc._Prefetcher(wstore, range(nb), pad_to=j_tot):
+            colnorms = _colnorm_accum(colnorms, w_full)
+            for q in range(p + 1):
+                mq = ooc._dyn_rows(meta, q * panel, size=panel)
+                tr_p, quad_p = _joint_band_trace_quad(
+                    kernel, mq, meta, log_ls, sv, w_full, alpha,
+                    jnp.asarray(q * panel, jnp.int32),
+                )
+                tr_ls = tr_ls + tr_p
+                if q == p:
+                    quad_ls = quad_ls + quad_p
+            jax.block_until_ready(tr_ls)
+            del w_full
+    finally:
+        wstore.clear()
+        st.clear()
+
+    ya = jnp.dot(yj, alpha)
+    mll = (-0.5 * ya - logdet
+           - 0.5 * j_tot * jnp.log(2.0 * jnp.pi).astype(dt)
+           + jnp.sum(jnp.where(real_j > 0, 0.0,
+                               0.5 * jnp.log(2.0 * jnp.pi * n_tot))))
+
+    a2 = alpha * alpha
+    g_ns = 0.5 * (jnp.dot(a2, dn_j) - jnp.dot(colnorms, dn_j))
+    quad_sv = ya - jnp.dot(a2, n_tot)
+    tr_sv = j_tot - jnp.dot(colnorms, n_tot)
+    g_sv = 0.5 * (quad_sv - tr_sv)
+    g_ls = 0.5 * (quad_ls - tr_ls)
+    return mll, {"log_ls": g_ls, "log_noise_scale": g_ns, "log_sv": g_sv}
+
+
+def optimize_ooc_joint(kernel, x, y, normals, noise_f, noise_g, init_params,
+                       *, panel: int, block: int = 256, steps: int = 25,
+                       learning_rate: float = 0.1, learn_noise: bool = True,
+                       learn_signal: bool = False, **ooc_kw):
+    """Full-data JOINT MLL ascent out of core — config 3 on config 2 with
+    NO subsampling at any J the panel stores can hold.  Each step is one
+    out-of-core joint factor + TRSM + one streamed gradient pass."""
+    from gpis_tpu.gp.sharded_hyperopt import _mll_ascent
+
+    dt = jnp.asarray(x).dtype
+
+    def eval_fn(prm, scale):
+        return ooc_joint_mll_and_grad(kernel, x, y, normals, noise_f,
+                                      noise_g, prm, panel=panel, block=block,
+                                      noise_scale=scale, **ooc_kw)
+
+    return _mll_ascent(eval_fn, kernel, init_params, dt, steps=steps,
+                       learning_rate=learning_rate, learn_noise=learn_noise,
+                       learn_signal=learn_signal)
 
 
 def optimize_ooc(kernel, x, y, noise, init_params, *, panel: int,

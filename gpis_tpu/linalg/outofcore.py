@@ -1877,6 +1877,44 @@ def ooc_fit(kernel, x, y, noise, params, *, panel: int, block: int = 256,
                     u=u, logdiag_sum=stats.get("logdiag_sum"))
 
 
+def _pad_joint_problem(kernel, x, y, normals, noise_f, noise_g, params, *,
+                       panel: int, pad_noise: float, dtype=None):
+    """Pad a normals problem to a joint-panel multiple (C to panel/4, so
+    J = 4C is a panel multiple) and build the packed factor metadata.
+    Returns (xp, yj, meta, nrm, nf, ng, params, c, n, jitter) — shared by
+    `ooc_fit_joint` and the full-data joint hyperopt
+    (gp.ooc_hyperopt.ooc_joint_mll_and_grad)."""
+    from gpis_tpu.kernels import derivative as kd
+    from gpis_tpu.kernels import pallas_joint as pj
+
+    if not kf.supports_derivatives(kernel):
+        raise ValueError(
+            f"kernel {kernel!r} does not support derivative observations")
+    if panel % 4:
+        raise ValueError(
+            f"joint out-of-core needs panel % 4 == 0 (J = 4C must be a "
+            f"panel multiple), got {panel}")
+    x = jnp.asarray(x)
+    dtype = dtype or x.dtype
+    n = x.shape[0]
+    cq = max(panel // 4, 1)
+    c = ((n + cq - 1) // cq) * cq
+    xp = jnp.zeros((c, 3), dtype).at[:n].set(x.astype(dtype))
+    yp = jnp.zeros((c,), dtype).at[:n].set(jnp.asarray(y, dtype))
+    nrm = jnp.zeros((c, 3), dtype).at[:n].set(jnp.asarray(normals, dtype))
+    nf = jnp.full((c,), pad_noise, dtype).at[:n].set(
+        jnp.broadcast_to(jnp.asarray(noise_f, dtype), (n,)))
+    ng = jnp.full((c,), pad_noise, dtype).at[:n].set(
+        jnp.broadcast_to(jnp.asarray(noise_g, dtype), (n,)))
+    params = {k: jnp.asarray(v, dtype) for k, v in params.items()}
+    coords, dirs, flag = pj.joint_meta(xp)
+    meta = jnp.concatenate([coords, dirs, flag[:, None]], axis=1)  # (J, 7)
+    yj = kd.joint_targets(yp, nrm)                                 # (J,)
+    eps = float(jnp.finfo(dtype).eps)
+    jitter = 4.0 * eps * 4 * c * abs(float(kf.k_diag0(kernel, params)))
+    return xp, yj, meta, nrm, nf, ng, params, c, n, jitter
+
+
 def ooc_fit_joint(kernel, x, y, normals, noise_f, noise_g, params, *,
                   panel: int, block: int = 256, store: str = "tiered",
                   pad_noise: float = 1e10, dtype=None,
@@ -1897,37 +1935,15 @@ def ooc_fit_joint(kernel, x, y, normals, noise_f, noise_g, params, *,
     (kernels.pallas_joint.joint_meta).  Tactile touches use the in-core
     tail bordering (`ooc_update`) — no preallocated factor slots needed.
     """
-    from gpis_tpu.kernels import derivative as kd
     from gpis_tpu.kernels import pallas_joint as pj
 
-    if not kf.supports_derivatives(kernel):
-        raise ValueError(
-            f"kernel {kernel!r} does not support derivative observations")
-    if panel % 4:
-        raise ValueError(
-            f"joint out-of-core needs panel % 4 == 0 (J = 4C must be a "
-            f"panel multiple), got {panel}")
     _warm_d2h_async()
-    x = jnp.asarray(x)
-    dtype = dtype or x.dtype
-    n = x.shape[0]
-    cq = max(panel // 4, 1)
-    c = ((n + cq - 1) // cq) * cq
-    xp = jnp.zeros((c, 3), dtype).at[:n].set(x.astype(dtype))
-    yp = jnp.zeros((c,), dtype).at[:n].set(jnp.asarray(y, dtype))
-    nrm = jnp.zeros((c, 3), dtype).at[:n].set(jnp.asarray(normals, dtype))
-    nf = jnp.full((c,), pad_noise, dtype).at[:n].set(
-        jnp.broadcast_to(jnp.asarray(noise_f, dtype), (n,)))
-    ng = jnp.full((c,), pad_noise, dtype).at[:n].set(
-        jnp.broadcast_to(jnp.asarray(noise_g, dtype), (n,)))
-    params = {k: jnp.asarray(v, dtype) for k, v in params.items()}
-    coords, dirs, flag = pj.joint_meta(xp)
-    meta = jnp.concatenate([coords, dirs, flag[:, None]], axis=1)  # (J, 7)
-    yj = kd.joint_targets(yp, nrm)                                 # (J,)
+    (xp, yj, meta, nrm, nf, ng, params, c, n,
+     jitter) = _pad_joint_problem(kernel, x, y, normals, noise_f, noise_g,
+                                  params, panel=panel, pad_noise=pad_noise,
+                                  dtype=dtype)
+    dtype = xp.dtype
     j_tot = 4 * c
-
-    eps = float(jnp.finfo(dtype).eps)
-    jitter = 4.0 * eps * j_tot * abs(float(kf.k_diag0(kernel, params)))
     extra = initial_jitter if initial_jitter is not None else 0.0
     tsw = min(sweep, 2) if trsm_sweep is None else trsm_sweep
     budget = DeviceBudget(

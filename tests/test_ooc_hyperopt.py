@@ -125,3 +125,86 @@ def test_session_ooc_stream_hyperopt():
     # Unknown methods still fail fast.
     with pytest.raises(ValueError, match="unknown hyperopt method"):
         s.optimize_hyperparameters(method="distributed")
+
+
+def test_ooc_joint_mll_and_grad_matches_dense():
+    """JOINT stream hyperopt (ooc_joint_mll_and_grad): MLL + all three
+    gradients at rtol 1e-7 vs dense jax.grad through the joint MLL on the
+    same padded system (250 -> 256 pads, so the 4-blocks-per-point pad-row
+    bookkeeping is exercised).  The band jvp must differentiate the
+    gradient-block DIAGONALS too (they depend on the lengthscale, unlike
+    the value path's pinned k(0))."""
+    from gpis_tpu.kernels import derivative as kd
+
+    rng = np.random.default_rng(29)
+    n, panel = 250, 128
+    x = rng.normal(size=(n, 3))
+    x = jnp.asarray(x / np.linalg.norm(x, axis=1, keepdims=True))
+    nrm = x
+    y = jnp.asarray(rng.normal(size=n) * 0.05)
+    noise_f = jnp.asarray(rng.uniform(1e-4, 1e-2, size=n))
+    noise_g = jnp.asarray(rng.uniform(1e-3, 1e-1, size=n))
+    params = kf.kernel_params(0.7, 1.3)
+    scale = 1.4
+
+    mll_o, g = oho.ooc_joint_mll_and_grad(
+        "rbf", x, y, nrm, noise_f, noise_g, params, panel=panel, block=64,
+        noise_scale=scale, store="host",
+    )
+
+    (xp, yj, _meta, _nrm, nf, ng, prm0, c, _n,
+     _j) = ooc._pad_joint_problem("rbf", x, y, nrm, noise_f, noise_g,
+                                  params, panel=panel, pad_noise=1e10)
+    real_c = jnp.arange(c) < n
+    j_tot = 4 * c
+    real_j = np.concatenate([np.arange(c) < n] * 4)
+    import math
+
+    def dense_mll(log_ls, log_s, log_sv):
+        prm = {"lengthscale": jnp.exp(log_ls),
+               "signal_variance": jnp.exp(log_sv)}
+        nf_eff = jnp.where(real_c, nf * jnp.exp(log_s), nf)
+        k = kd.joint_gram("rbf", xp, prm, noise_f=nf_eff, noise_g=ng)
+        l = jnp.linalg.cholesky(k)
+        u = jnp.linalg.solve(l, yj)
+        n_tot = jnp.concatenate([nf_eff, ng, ng, ng])
+        return (-0.5 * jnp.dot(u, u) - jnp.sum(jnp.log(jnp.diagonal(l)))
+                - 0.5 * j_tot * math.log(2.0 * math.pi)
+                + jnp.sum(jnp.where(jnp.asarray(real_j), 0.0,
+                                    0.5 * jnp.log(2.0 * jnp.pi * n_tot))))
+
+    args = (jnp.log(prm0["lengthscale"]), jnp.log(jnp.asarray(scale)),
+            jnp.log(prm0["signal_variance"]))
+    want = dense_mll(*args)
+    g_ls, g_s, g_sv = jax.grad(dense_mll, argnums=(0, 1, 2))(*args)
+    np.testing.assert_allclose(float(mll_o), float(want), rtol=1e-9)
+    np.testing.assert_allclose(float(g["log_ls"]), float(g_ls), rtol=1e-7)
+    np.testing.assert_allclose(float(g["log_noise_scale"]), float(g_s),
+                               rtol=1e-7)
+    np.testing.assert_allclose(float(g["log_sv"]), float(g_sv), rtol=1e-7)
+
+
+@pytest.mark.slow
+def test_optimize_ooc_joint_recovers_lengthscale():
+    """Full-data joint out-of-core ascent pulls a 2x-off lengthscale back
+    toward the truth a Hermite-GPIS sample was drawn with."""
+    from gpis_tpu.kernels import derivative as kd
+
+    rng = np.random.default_rng(31)
+    n = 64
+    x = jnp.asarray(rng.normal(size=(n, 3)))
+    x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+    k = kd.joint_gram("rbf", x, kf.kernel_params(0.5, 1.0),
+                      noise_f=jnp.full(n, 1e-6), noise_g=jnp.full(n, 1e-6))
+    yj = jnp.linalg.cholesky(k) @ jnp.asarray(rng.normal(size=4 * n))
+    y, nrm = yj[:n], jnp.stack([yj[n:2 * n], yj[2 * n:3 * n],
+                                yj[3 * n:]], axis=1)
+
+    res = oho.optimize_ooc_joint(
+        "rbf", x, y, nrm, jnp.full(n, 1e-4), jnp.full(n, 1e-3),
+        kf.kernel_params(1.0, 1.0), panel=64, block=32, steps=20,
+        learning_rate=0.1, store="host",
+    )
+    ls = float(res["params"]["lengthscale"])
+    assert 0.35 < ls < 0.75, ls
+    assert res["history"][-1] > res["history"][0]

@@ -276,6 +276,11 @@ def test_session_out_of_core_joint_surface(tmp_path):
     assert isinstance(sess.model, ooc.OOCJointModel)
     assert sess.model.n_tail == 0  # touches folded into the refit core
 
+    # Full-data streamed exact-gradient method on the same session.
+    opt2 = sess.optimize_hyperparameters(method="stream", steps=2)
+    assert np.isfinite(opt2.mll) and len(opt2.history) == 2
+    assert isinstance(sess.model, ooc.OOCJointModel)
+
     path = str(tmp_path / "sess_joint_ooc.npz")
     sess.save(path)
     sess2 = ObjectModelSession.load(path, cfg)
