@@ -258,17 +258,19 @@ def main():
         "n_query": int(coords.shape[0]),
         "ok": bool(ok),
     }
-    # Attach the RECORDED judge-config result (N=100k out-of-core on this
-    # same chip, measured by `bench.py --ooc 100000` and committed as
-    # BENCH_100K.json) so the headline line carries both numbers.  Clearly
-    # labeled as a prior measurement — value/vs_baseline above stay live.
-    try:
-        rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "BENCH_100K.json")
-        with open(rec_path) as f:
-            result["ooc100k_recorded"] = json.load(f)
-    except Exception:
-        pass
+    # Attach the RECORDED judge-config results (N=100k value out-of-core
+    # and the beyond-HBM joint scale point, both measured on this same
+    # chip and committed as BENCH_*.json) so the headline line carries
+    # them.  Clearly labeled as prior measurements — value/vs_baseline
+    # above stay live.
+    here = os.path.dirname(os.path.abspath(__file__))
+    for tag, fname in (("ooc100k_recorded", "BENCH_100K.json"),
+                       ("ooc_joint_recorded", "BENCH_JOINT_OOC.json")):
+        try:
+            with open(os.path.join(here, fname)) as f:
+                result[tag] = json.load(f)
+        except Exception:
+            pass
     print(json.dumps(result))
 
 

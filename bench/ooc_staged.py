@@ -14,7 +14,9 @@ crossing the boundary as disk files (np.memmap, page-cache — evictable).
 `run` spawns phase1/phase2 subprocesses and prints ONE JSON line:
 {"metric": "ooc_fit_query_100k", "n": ..., "fit_s": ..., "query_s": ...,
  "rmse": ..., "ok": true}.  Tunables via env: OOC_PANEL (4096), OOC_SWEEP
-(2, factor), OOC_TRSM_SWEEP (2), GPIS_OOC_TRACE=1 for per-panel timings.
+(2, factor), OOC_TRSM_SWEEP (2), GPIS_OOC_TRACE=1 for per-panel timings,
+OOC_JOINT=1 for the config-2 joint layout (J = 4C factor rows — beyond-HBM
+at n=25k; the metric becomes ooc_joint_fit_query_<n>).
 
 Measured on the shared axon tunnel the sustained host<->device rate is
 ~25-35 MB/s (far below the 1.3 GB/s microbenchmark), so the refetch terms
@@ -48,6 +50,13 @@ def _rss_gb() -> float:
     return 0.0
 
 
+def _joint() -> bool:
+    """OOC_JOINT=1 switches the whole staged pipeline to the config-2
+    joint layout (J = 4C factor rows); the env var propagates to the
+    phase subprocesses for free."""
+    return os.environ.get("OOC_JOINT", "").lower() in ("1", "true", "on")
+
+
 def _problem(n: int):
     import jax.numpy as jnp
     import numpy as np
@@ -56,6 +65,16 @@ def _problem(n: int):
     from gpis_tpu.data import gpis
     from gpis_tpu.kernels import functions as kf
 
+    if _joint():
+        # Hermite GPIS: surface points + outward unit normals, zero value
+        # targets (the gradient observations pin the field) — the same
+        # problem as bench/ooc_joint_scale.py.
+        pts = gpis.fibonacci_sphere(n, radius=1.0).astype(np.float32)
+        params = {k: jnp.asarray(v, jnp.float32)
+                  for k, v in kf.kernel_params(0.7, 1.0).items()}
+        return (jnp.asarray(pts), jnp.zeros((n,), jnp.float32),
+                jnp.full((n,), 1e-3, jnp.float32), params,
+                jnp.asarray(pts), jnp.full((n,), 1e-2, jnp.float32))
     cfg = ModelConfig(kernel="rbf", lengthscale=0.4, noise_surface=1e-3,
                       n_external=127, n_internal=1, block=128,
                       touch_capacity=0)
@@ -64,7 +83,7 @@ def _problem(n: int):
     params = {k: jnp.asarray(v, jnp.float32) for k, v in
               kf.kernel_params(cfg.lengthscale, cfg.signal_variance).items()}
     return (jnp.asarray(ts.x, jnp.float32), jnp.asarray(ts.y, jnp.float32),
-            jnp.asarray(ts.noise, jnp.float32), params)
+            jnp.asarray(ts.noise, jnp.float32), params, None, None)
 
 
 def _phase1_done(spill_dir: str, x, y, params) -> bool:
@@ -96,8 +115,7 @@ def _phase1_done(spill_dir: str, x, y, params) -> bool:
         for k, v in params.items():
             if not np.allclose(np.asarray(d[f"param_{k}"]), np.asarray(v)):
                 return False
-        c = int(np.asarray(d["x"]).shape[0])
-        nb = c // int(d["panel"])
+        nb = int(np.asarray(d["alpha"]).shape[0]) // int(d["panel"])
         for j in range(nb):
             fn = f"panel_{j}.bin"
             if not (os.path.exists(os.path.join(spill_dir, "L", fn))
@@ -112,13 +130,17 @@ def phase1(n: int, spill_dir: str) -> None:
     """Factor + alpha; persists the L store + state under spill_dir."""
     from gpis_tpu.linalg import outofcore as ooc
 
-    x, y, noise, params = _problem(n)
+    x, y, noise, params, nrm, ng = _problem(n)
     if _phase1_done(spill_dir, x, y, params):
         print(f"PHASE1 SKIP (complete factor for n={x.shape[0]} already "
               f"under {spill_dir})", flush=True)
         return
     panel = int(os.environ.get("OOC_PANEL", "4096"))
-    c = ((int(x.shape[0]) + panel - 1) // panel) * panel
+    if _joint():
+        cq = panel // 4
+        c = 4 * (((int(x.shape[0]) + cq - 1) // cq) * cq)  # factor dim J
+    else:
+        c = ((int(x.shape[0]) + panel - 1) // panel) * panel
     sweep = os.environ.get("OOC_SWEEP")
     budget = None
     if sweep is not None:
@@ -136,7 +158,7 @@ def phase1(n: int, spill_dir: str) -> None:
     t0 = time.perf_counter()
     ooc.ooc_factor_phase(
         "rbf", x, y, noise, params, panel=panel, spill_dir=spill_dir,
-        sweep=sweep, device_budget=budget,
+        sweep=sweep, device_budget=budget, normals=nrm, noise_g=ng,
     )
     dt = time.perf_counter() - t0
     print(f"PHASE1 OK n={x.shape[0]} t={dt:.1f}s rss={_rss_gb():.1f}GB",
@@ -189,8 +211,8 @@ def phase2(spill_dir: str, *, grid_res: int = 64) -> None:
         # smaller panel with a larger sweep.
         st = np.load(os.path.join(spill_dir, "state.npz"),
                      allow_pickle=False)
-        plan = ooc.plan_sweeps(int(st["x"].shape[0]), int(st["panel"]), 4,
-                               w_itemsize=2)
+        plan = ooc.plan_sweeps(int(st["alpha"].shape[0]), int(st["panel"]),
+                               4, w_itemsize=2)
         tsw, budget = plan["trsm_sweep"], plan["trsm_budget"]
         print(f"[phase2] plan: sweep={tsw} budget={budget / 1e9:.1f}GB "
               f"modeled refetch={plan['trsm_traffic'] / 1e9:.0f}GB",
@@ -284,18 +306,19 @@ def run(n: int, spill_dir: str, *, wd1: int = 7100, wd2: int = 12600) -> int:
     """Orchestrate both phases as subprocesses; print the ONE JSON line."""
     os.makedirs(spill_dir, exist_ok=True)
     me = os.path.abspath(__file__)
+    metric = f"ooc_joint_fit_query_{n}" if _joint() else f"ooc_fit_query_{n}"
     t0 = time.perf_counter()
     r1 = subprocess.run([sys.executable, me, "phase1", str(n), spill_dir,
                          str(wd1)], timeout=wd1 + 120)
     if r1.returncode != 0:
-        print(json.dumps({"metric": f"ooc_fit_query_{n}", "ok": False,
+        print(json.dumps({"metric": metric, "ok": False,
                           "error": f"phase1 rc={r1.returncode}"}))
         return 1
     r2 = subprocess.run([sys.executable, me, "phase2", spill_dir, str(wd2)],
                         timeout=wd2 + 120)
     total = time.perf_counter() - t0
     if r2.returncode != 0:
-        print(json.dumps({"metric": f"ooc_fit_query_{n}", "ok": False,
+        print(json.dumps({"metric": metric, "ok": False,
                           "error": f"phase2 rc={r2.returncode}"}))
         return 1
     with open(os.path.join(spill_dir, "phase1.json")) as f:
@@ -304,7 +327,7 @@ def run(n: int, spill_dir: str, *, wd1: int = 7100, wd2: int = 12600) -> int:
         p2 = json.load(f)
     ok = p2["rmse"] < 0.01
     print(json.dumps({
-        "metric": f"ooc_fit_query_{n}", "n": p1["n"],
+        "metric": metric, "n": p1["n"],
         "fit_s": round(p1["fit_factor_s"] + p2["trsm_s"], 1),
         "query_s": round(p2["query_s"], 1), "total_s": round(total, 1),
         "rmse": p2["rmse"], "ok": bool(ok),

@@ -1991,7 +1991,8 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
                      dtype=None, max_jitter_retries: int = 3,
                      initial_jitter: float | None = None,
                      device_budget: int | None = None,
-                     resume: bool = True) -> None:
+                     resume: bool = True, normals=None,
+                     noise_g=None) -> None:
     """Phase 1 of the process-split out-of-core fit: factorize, solve
     alpha, persist the L store + problem state under `spill_dir`.
 
@@ -2009,16 +2010,34 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
     resume=True a rerun reattaches the store and continues from the last
     completed sweep instead of refactoring from scratch (the shared
     tunnel stalls for minutes and sessions get killed — a ~1 h 100k
-    factorization must survive both)."""
+    factorization must survive both).
+
+    `normals` (+ `noise_g`) switches to the JOINT layout (config 2 at
+    beyond-HBM J = 4C): the factor columns become packed joint metadata
+    and the persisted state carries normals/noise_f/noise_g so
+    `ooc_solve_phase` reconstructs an `OOCJointModel`."""
     import json
     import os
 
     _warm_d2h_async()
-    xp, yp, np_, params, c, n, jitter = _pad_problem(
-        kernel, x, y, noise, params, panel=panel, pad_noise=pad_noise,
-        dtype=dtype,
-    )
-    dtype = xp.dtype
+    joint = normals is not None
+    if joint:
+        from gpis_tpu.kernels import pallas_joint as pj
+
+        (xp, yp, cols, nrm, nf, ng, params, c0, n,
+         jitter) = _pad_joint_problem(kernel, x, y, normals, noise, noise_g,
+                                      params, panel=panel,
+                                      pad_noise=pad_noise, dtype=dtype)
+        dtype = xp.dtype
+        np_ = pj._joint_noise(c0, nf, ng, None, dtype)
+        c = 4 * c0  # factor dimension
+    else:
+        xp, yp, np_, params, c, n, jitter = _pad_problem(
+            kernel, x, y, noise, params, panel=panel, pad_noise=pad_noise,
+            dtype=dtype,
+        )
+        dtype = xp.dtype
+        cols = xp
     budget = DeviceBudget(
         device_budget if device_budget is not None
         else _hbm_budget(panel, c, jnp.dtype(dtype).itemsize, sweep=sweep)
@@ -2037,6 +2056,8 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
     h.update(np.asarray(xp).tobytes())
     h.update(np.asarray(yp).tobytes())  # u = L^{-1} y is checkpointed too
     h.update(np.asarray(np_).tobytes())
+    if joint:
+        h.update(np.asarray(nrm).tobytes())
     for k in sorted(params):
         h.update(k.encode())
         h.update(np.asarray(params[k]).tobytes())
@@ -2083,7 +2104,7 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
             budget, spill_dir=ldir, write_through=True)
         st0 = None
         stats = {}
-        ok, u = ooc_cholesky(kernel, xp, np_ + extra, params, st_cur,
+        ok, u = ooc_cholesky(kernel, cols, np_ + extra, params, st_cur,
                              panel=panel, block=block,
                              width_quant=width_quant, sweep=sweep, y=yp,
                              start_panel=start_panel, u0=u0,
@@ -2113,6 +2134,13 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
              "noise": np.asarray(np_), "alpha": np.asarray(alpha),
              "u": np.asarray(u), "kernel": kernel, "panel": panel,
              "n_real": n, "block": block, "width_quant": width_quant}
+    if joint:
+        # extra was folded uniformly into the joint diagonal; the model's
+        # per-family noises fold it the same way (tail borderings must
+        # recompute K consistently with L/W).
+        state["normals"] = np.asarray(nrm)
+        state["noise_f"] = np.asarray(nf) + extra
+        state["noise_g"] = np.asarray(ng) + extra
     if stats.get("logdiag_sum") is not None:
         state["logdiag_sum"] = stats["logdiag_sum"]
     for k, v in params.items():
@@ -2155,7 +2183,7 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
     alpha = jnp.asarray(d["alpha"])
     params = {k[len("param_"):]: jnp.asarray(d[k])
               for k in d.files if k.startswith("param_")}
-    c = xp.shape[0]
+    c = alpha.shape[0]  # factor dimension: C (value) or J = 4C (joint)
     nb = c // panel
     budget = DeviceBudget(
         device_budget if device_budget is not None
@@ -2217,9 +2245,20 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
                  progress_cb=lambda _j: wstore.save_manifest())
     if stop_after is not None and stop_after < nb:
         return None
-    return OOCModel(kernel=kernel, x=xp, y=yp, noise=np_, params=params,
-                    alpha=alpha, wstore=wstore, panel=panel,
-                    n_real=int(d["n_real"]),
-                    u=jnp.asarray(d["u"]) if "u" in d.files else None,
-                    logdiag_sum=(float(d["logdiag_sum"])
-                                 if "logdiag_sum" in d.files else None))
+    common = dict(kernel=kernel, x=xp, y=yp, params=params,
+                  alpha=alpha, wstore=wstore, panel=panel,
+                  n_real=int(d["n_real"]),
+                  u=jnp.asarray(d["u"]) if "u" in d.files else None,
+                  logdiag_sum=(float(d["logdiag_sum"])
+                               if "logdiag_sum" in d.files else None))
+    if "normals" in d.files:
+        from gpis_tpu.kernels import pallas_joint as pj
+
+        coords, dirs, flag = pj.joint_meta(xp)
+        return OOCJointModel(
+            noise=jnp.asarray(d["noise_f"]),
+            meta=jnp.concatenate([coords, dirs, flag[:, None]], axis=1),
+            normals=jnp.asarray(d["normals"]),
+            noise_g=jnp.asarray(d["noise_g"]), n0=xp.shape[0], **common,
+        )
+    return OOCModel(noise=np_, **common)

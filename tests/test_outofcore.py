@@ -1078,3 +1078,85 @@ def test_ooc_promote_for_serving(problem, tmp_path):
     # Stores without a spill tier are a no-op.
     m3 = ooc.ooc_fit("rbf", x, y, noise, params, panel=B, store="host")
     assert m3.promote_for_serving() == 0
+
+
+@pytest.mark.slow
+@pytest.mark.e2e
+def test_ooc_staged_driver_joint_cpu(tmp_path):
+    """OOC_JOINT=1 drives the SAME process-split staged pipeline through
+    the config-2 joint layout (packed-metadata factor phase, state carrying
+    normals/noise_g, phase-2 reattach as an OOCJointModel): run -> JSON
+    line -> serve reattach with bit-identical promoted queries, plus the
+    phase-1 completion gate (a rerun must SKIP, not refactor)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, GPIS_OOC_CPU="1", OOC_PANEL="256",
+               OOC_JOINT="1", OOC_KEEP_W="1")
+    driver = os.path.join(os.path.dirname(__file__), "..", "bench",
+                          "ooc_staged.py")
+    store = str(tmp_path / "store")
+    out = subprocess.run(
+        [sys.executable, driver, "run", "300", store],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    doc = json.loads(line)
+    assert doc["ok"] is True and doc["rmse"] < 0.01
+    assert doc["metric"] == "ooc_joint_fit_query_300"
+
+    # Re-running phase 1 must hit the completion gate (the joint problem
+    # hash covers normals), not refactor from scratch.
+    out = subprocess.run(
+        [sys.executable, driver, "phase1", "300", store],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "PHASE1 SKIP" in out.stdout
+
+    # serve reattaches the finished JOINT model (W kept) and the promoted
+    # query is bit-identical to the streamed one.
+    out = subprocess.run(
+        [sys.executable, driver, "serve", store],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    doc = json.loads(line)
+    assert doc["ok"] is True
+    assert doc["mean_parity"] == 0.0 and doc["var_parity"] == 0.0
+
+
+def test_ooc_factor_solve_phase_joint_matches_fit(tmp_path):
+    """The process-split joint phases reconstruct the SAME posterior as
+    the one-shot ooc_fit_joint (factor state + packed metadata rebuilt at
+    reattach), and the reattached model keeps updating."""
+    rng = np.random.default_rng(41)
+    n = 90
+    x = rng.normal(size=(n, 3))
+    x = jnp.asarray(x / np.linalg.norm(x, axis=1, keepdims=True))
+    nrm = x
+    y = jnp.zeros((n,))
+    params = kf.kernel_params(0.7, 1.1)
+
+    ooc.ooc_factor_phase("rbf", x, y, jnp.full(n, 1e-4), params, panel=64,
+                         block=32, spill_dir=str(tmp_path / "s"),
+                         normals=nrm, noise_g=jnp.full(n, 1e-3))
+    m = ooc.ooc_solve_phase(str(tmp_path / "s"))
+    assert isinstance(m, ooc.OOCJointModel)
+    assert m.alpha.shape[0] == 4 * m.n0
+
+    ref = ooc.ooc_fit_joint("rbf", x, y, nrm, 1e-4, 1e-3, params, panel=64,
+                            block=32, store="host")
+    q = jnp.asarray(rng.normal(size=(17, 3)))
+    for a, b in zip(m.predict(q, chunk=32), ref.predict(q, chunk=32)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    tx = jnp.asarray([[0.0, 0.0, 1.05]])
+    m2 = m.update(tx, jnp.zeros(1), 1e-5)
+    r2 = ref.update(tx, jnp.zeros(1), 1e-5)
+    for a, b in zip(m2.predict(q, chunk=32), r2.predict(q, chunk=32)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
