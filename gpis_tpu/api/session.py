@@ -36,6 +36,27 @@ __all__ = ["ObjectModelSession"]
 log = get_logger("session")
 
 
+def _joint_obs(ts, normals, points, cfg):
+    """Gradient-observation arrays for a joint fit: unit-normalized cloud
+    normals scattered onto the SURFACE rows of the training set (internal/
+    external label points observe values only — pad_noise gradients), and
+    the matching gradient-noise vector (noise_surface * 10, the calibrated
+    normals-noise heuristic).  One definition for all three joint fit
+    paths (in-core, sharded, out-of-core)."""
+    normals = np.asarray(normals, cfg.dtype)
+    if normals.shape != points.shape:
+        raise ValueError("normals must match the point cloud shape")
+    n_s = ts.n_surface
+    c = ts.x.shape[0]
+    nrm_full = jnp.zeros((c, 3), ts.x.dtype).at[:n_s].set(
+        jnp.asarray(normals / np.linalg.norm(normals, axis=1, keepdims=True))
+    )
+    noise_g = jnp.full((c,), cfg.pad_noise, ts.x.dtype).at[:n_s].set(
+        jnp.asarray(cfg.noise_surface * 10.0, ts.x.dtype)
+    )
+    return nrm_full, noise_g
+
+
 class ObjectModelSession:
     """Fit / query / update / explore loop over one object model."""
 
@@ -108,15 +129,7 @@ class ObjectModelSession:
             if normals is not None:
                 # Joint out-of-core (config 2 beyond HBM): J = 4C factor
                 # rows, so the panel heuristic keys off the JOINT size.
-                normals = np.asarray(normals, cfg.dtype)
-                if normals.shape != points.shape:
-                    raise ValueError("normals must match the point cloud shape")
-                n_s = ts.n_surface
-                nrm_full = jnp.zeros((n, 3), ts.x.dtype).at[:n_s].set(
-                    jnp.asarray(normals / np.linalg.norm(
-                        normals, axis=1, keepdims=True)))
-                noise_g = jnp.full((n,), cfg.pad_noise, ts.x.dtype).at[:n_s].set(
-                    jnp.asarray(cfg.noise_surface * 10.0, ts.x.dtype))
+                nrm_full, noise_g = _joint_obs(ts, normals, points, cfg)
                 j_est = 4 * n
                 panel = 4096 if j_est > 20480 else (
                     1024 if j_est > 2048 else 256)
@@ -145,19 +158,7 @@ class ObjectModelSession:
         if normals is not None:
             from gpis_tpu.gp import derivative as gpd
 
-            normals = np.asarray(normals, cfg.dtype)
-            if normals.shape != points.shape:
-                raise ValueError("normals must match the point cloud shape")
-            # Surface points carry gradient observations; internal/external
-            # label points observe values only (huge gradient noise).
-            n_s = ts.n_surface
-            c = ts.x.shape[0]
-            nrm_full = jnp.zeros((c, 3), ts.x.dtype).at[:n_s].set(
-                jnp.asarray(normals / np.linalg.norm(normals, axis=1, keepdims=True))
-            )
-            noise_g = jnp.full((c,), cfg.pad_noise, ts.x.dtype).at[:n_s].set(
-                jnp.asarray(cfg.noise_surface * 10.0, ts.x.dtype)
-            )
+            nrm_full, noise_g = _joint_obs(ts, normals, points, cfg)
             if self.mesh_config is not None and self.mesh_config.n_devices > 1:
                 # Config 2 x config 5: distributed joint fit.
                 from gpis_tpu.gp import sharded_joint as gsj

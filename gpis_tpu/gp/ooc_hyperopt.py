@@ -125,23 +125,10 @@ def ooc_mll_and_grad(kernel, x, y, noise, params, *, panel: int,
                              sweep=max(sweep, tsw + 1))
     )
 
-    extra = 0.0
-    for _ in range(max_jitter_retries + 1):
-        st = ooc._make_store(store, budget)
-        stats = {}
-        ok, u = ooc.ooc_cholesky(kernel, xp, noise_eff + extra, params, st,
-                                 panel=panel, block=block,
-                                 width_quant=width_quant, sweep=sweep,
-                                 y=yp, stats=stats)
-        if ok:
-            break
-        st.clear()
-        del st
-        extra = max(extra * 10.0, jitter)
-    else:
-        raise FloatingPointError(
-            f"out-of-core Cholesky failed even with jitter {extra:.2e}"
-        )
+    st, u, stats, extra = ooc._factor_with_jitter(
+        kernel, xp, noise_eff, params, budget, panel=panel, block=block,
+        store=store, width_quant=width_quant, sweep=sweep, y=yp,
+        jitter=jitter, max_jitter_retries=max_jitter_retries)
     n_tot = noise_eff + extra  # the diagonal the factor actually represents
     logdet = stats["logdiag_sum"]
 
@@ -201,27 +188,45 @@ def _joint_band_trace_quad(name, meta_band, meta_full, log_ls, sv, w_full,
     which differentiates the gradient-block diagonals too (they DO depend
     on the lengthscale, unlike the value path's pinned k(0) diagonal); the
     observation-noise diagonal is theta-independent and excluded
-    (noise_col=None).  meta_* are packed (rows, 7) factor metadata."""
+    (noise_col=None).  meta_* are packed (rows, 7) factor metadata.
+
+    The dK band is generated in (B, B)-column chunks inside a fori_loop:
+    `joint_rows_ref` materializes O(rows * cols * 3) broadcast temps, so
+    a single J-wide call would hold panel*J*3 floats (+ jvp tangents) —
+    ~13 GB at J=131k — defeating the out-of-core point.  Chunked, the
+    transient is O(B^2) regardless of J; tr and dK@alpha accumulate per
+    chunk (y = sum_s kdot_s W_s^T distributes over column blocks)."""
     from gpis_tpu.kernels import pallas_joint as pj
 
     dt = meta_full.dtype
     b = meta_band.shape[0]
+    j = meta_full.shape[0]
     rmeta = (meta_band[:, :3], meta_band[:, 3:6], meta_band[:, 6])
-    cmeta = (meta_full[:, :3], meta_full[:, 3:6], meta_full[:, 6])
-
-    def band(lls):
-        prm = {"lengthscale": jnp.exp(lls), "signal_variance": sv}
-        return pj.joint_rows_ref(name, rmeta, cmeta, prm)
-
-    _, kdot = jax.jvp(band, (log_ls,), (jnp.ones((), dt),))
     wq = lax.dynamic_slice(
         w_full, (jnp.zeros((), q0.dtype), q0), (w_full.shape[0], b)
     )
-    yv = jnp.dot(kdot, w_full.T, precision=lax.Precision.HIGHEST)  # (B, P)
-    tr = jnp.sum(yv.T * wq)
+
+    def step(i, carry):
+        tr, ka = carry
+        s0 = i * b
+        mc = lax.dynamic_slice(meta_full, (s0, 0), (b, 7))
+        cmeta = (mc[:, :3], mc[:, 3:6], mc[:, 6])
+
+        def band(lls):
+            prm = {"lengthscale": jnp.exp(lls), "signal_variance": sv}
+            return pj.joint_rows_ref(name, rmeta, cmeta, prm)
+
+        _, kdot = jax.jvp(band, (log_ls,), (jnp.ones((), dt),))
+        ws = lax.dynamic_slice(w_full, (0, s0), (w_full.shape[0], b))
+        yv = jnp.dot(kdot, ws.T, precision=lax.Precision.HIGHEST)  # (B, P)
+        als = lax.dynamic_slice(alpha, (s0,), (b,))
+        return (tr + jnp.sum(yv.T * wq),
+                ka + jnp.dot(kdot, als, precision=lax.Precision.HIGHEST))
+
+    tr, ka = lax.fori_loop(
+        0, j // b, step, (jnp.zeros((), dt), jnp.zeros((b,), dt)))
     aq = lax.dynamic_slice(alpha, (q0,), (b,))
-    quad = jnp.dot(aq, jnp.dot(kdot, alpha, precision=lax.Precision.HIGHEST))
-    return tr, quad
+    return tr, jnp.dot(aq, ka)
 
 
 def ooc_joint_mll_and_grad(kernel, x, y, normals, noise_f, noise_g, params,
@@ -262,23 +267,10 @@ def ooc_joint_mll_and_grad(kernel, x, y, normals, noise_f, noise_g, params,
                              sweep=max(sweep, tsw + 1))
     )
 
-    extra = 0.0
-    for _ in range(max_jitter_retries + 1):
-        st = ooc._make_store(store, budget)
-        stats = {}
-        ok, u = ooc.ooc_cholesky(kernel, meta, noisej + extra, params, st,
-                                 panel=panel, block=block,
-                                 width_quant=width_quant, sweep=sweep,
-                                 y=yj, stats=stats)
-        if ok:
-            break
-        st.clear()
-        del st
-        extra = max(extra * 10.0, jitter)
-    else:
-        raise FloatingPointError(
-            f"out-of-core joint Cholesky failed even with jitter {extra:.2e}"
-        )
+    st, u, stats, extra = ooc._factor_with_jitter(
+        kernel, meta, noisej, params, budget, panel=panel, block=block,
+        store=store, width_quant=width_quant, sweep=sweep, y=yj,
+        jitter=jitter, max_jitter_retries=max_jitter_retries)
     n_tot = noisej + extra  # the diagonal the factor actually represents
     logdet = stats["logdiag_sum"]
 

@@ -1814,6 +1814,33 @@ def _make_store(kind: str, budget, spill_dtype=None, device_dtype=None,
     raise ValueError(f"unknown panel store kind {kind!r}")
 
 
+def _factor_with_jitter(kernel, cols, noise_vec, params, budget, *, panel,
+                        block, store, width_quant, sweep, y, jitter,
+                        initial_jitter=None, max_jitter_retries=3,
+                        spill_dir=None):
+    """The NaN-escalation jitter ladder around `ooc_cholesky`, shared by
+    every one-shot factor site (value/joint fits and both stream-hyperopt
+    objectives).  Returns (store, u, stats, extra); `extra` is the jitter
+    baked into the factor's diagonal — callers must fold it into their
+    stored noises so later tail borderings recompute K consistently with
+    L/W."""
+    extra = initial_jitter if initial_jitter is not None else 0.0
+    for _ in range(max_jitter_retries + 1):
+        st = _make_store(store, budget, spill_dir=spill_dir)
+        stats = {}
+        ok, u = ooc_cholesky(kernel, cols, noise_vec + extra, params, st,
+                             panel=panel, block=block,
+                             width_quant=width_quant, sweep=sweep, y=y,
+                             stats=stats)
+        if ok:
+            return st, u, stats, extra
+        st.clear()
+        del st
+        extra = max(extra * 10.0, jitter)
+    raise FloatingPointError(
+        f"out-of-core Cholesky failed even with jitter {extra:.2e}")
+
+
 def ooc_fit(kernel, x, y, noise, params, *, panel: int, block: int = 256,
             store: str = "tiered", pad_noise: float = 1e10, dtype=None,
             max_jitter_retries: int = 3, initial_jitter: float | None = None,
@@ -1838,29 +1865,18 @@ def ooc_fit(kernel, x, y, noise, params, *, panel: int, block: int = 256,
         dtype=dtype,
     )
     dtype = xp.dtype
-    extra = initial_jitter if initial_jitter is not None else 0.0
     tsw = min(sweep, 2) if trsm_sweep is None else trsm_sweep
     budget = DeviceBudget(
         device_budget if device_budget is not None
         else _hbm_budget(panel, c, jnp.dtype(dtype).itemsize,
                          sweep=max(sweep, tsw + 1))
     )
-    for attempt in range(max_jitter_retries + 1):
-        st = _make_store(store, budget, spill_dir=spill_dir)
-        stats = {}
-        ok, u = ooc_cholesky(kernel, xp, np_ + extra, params, st, panel=panel,
-                             block=block, width_quant=width_quant,
-                             sweep=sweep, y=yp, stats=stats)
-        if ok:
-            np_ = np_ + extra
-            break
-        st.clear()
-        del st
-        extra = max(extra * 10.0, jitter)
-    else:
-        raise FloatingPointError(
-            f"out-of-core Cholesky failed even with jitter {extra:.2e}"
-        )
+    st, u, stats, extra = _factor_with_jitter(
+        kernel, xp, np_, params, budget, panel=panel, block=block,
+        store=store, width_quant=width_quant, sweep=sweep, y=yp,
+        jitter=jitter, initial_jitter=initial_jitter,
+        max_jitter_retries=max_jitter_retries, spill_dir=spill_dir)
+    np_ = np_ + extra
     alpha = ooc_alpha_backward(st, u, panel=panel)
     # W spill-only compression: device-resident W panels stay f32 (the
     # left-looking recursion reads EARLY panels most, and they inherit L's
@@ -1944,33 +1960,22 @@ def ooc_fit_joint(kernel, x, y, normals, noise_f, noise_g, params, *,
                                   dtype=dtype)
     dtype = xp.dtype
     j_tot = 4 * c
-    extra = initial_jitter if initial_jitter is not None else 0.0
     tsw = min(sweep, 2) if trsm_sweep is None else trsm_sweep
     budget = DeviceBudget(
         device_budget if device_budget is not None
         else _hbm_budget(panel, j_tot, jnp.dtype(dtype).itemsize,
                          sweep=max(sweep, tsw + 1))
     )
-    for attempt in range(max_jitter_retries + 1):
-        st = _make_store(store, budget, spill_dir=spill_dir)
-        stats = {}
-        noisej = pj._joint_noise(c, nf + extra, ng + extra, None, dtype)
-        ok, u = ooc_cholesky(kernel, meta, noisej, params, st, panel=panel,
-                             block=block, width_quant=width_quant,
-                             sweep=sweep, y=yj, stats=stats)
-        if ok:
-            # Fold the escalated jitter into the stored noises so tail
-            # borderings recompute K consistently with L/W.
-            nf = nf + extra
-            ng = ng + extra
-            break
-        st.clear()
-        del st
-        extra = max(extra * 10.0, jitter)
-    else:
-        raise FloatingPointError(
-            f"out-of-core joint Cholesky failed even with jitter {extra:.2e}"
-        )
+    noisej = pj._joint_noise(c, nf, ng, None, dtype)
+    st, u, stats, extra = _factor_with_jitter(
+        kernel, meta, noisej, params, budget, panel=panel, block=block,
+        store=store, width_quant=width_quant, sweep=sweep, y=yj,
+        jitter=jitter, initial_jitter=initial_jitter,
+        max_jitter_retries=max_jitter_retries, spill_dir=spill_dir)
+    # Fold the escalated jitter into the stored noises so tail borderings
+    # recompute K consistently with L/W.
+    nf = nf + extra
+    ng = ng + extra
     alpha = ooc_alpha_backward(st, u, panel=panel)
     wstore = _make_store(store, budget, spill_dtype=w_dtype,
                          spill_dir=spill_dir)
