@@ -1,0 +1,103 @@
+"""Expert-committee (EP) scale bench: the fast APPROXIMATE path for
+100k-class clouds on one chip.
+
+The exact N=100k judge configuration needs the out-of-core panel-streamed
+factorization (hours over the shared tunnel link; bench/ooc_staged.py).
+The committee trades exactness (rBCM posterior, SURVEY.md §3 EP row /
+gp/experts.py) for E independent in-core O(B²) factors — the whole fit
+lives in HBM and runs in seconds.  Accuracy is gated by the same
+surface-RMSE bar as the exact paths (the committee's implicit surface must
+still reconstruct the sphere to <1e-2).
+
+Usage:  python bench/experts_scale.py [N=100000] [E=16] [GRID=64] [GATE=6]
+Prints ONE JSON line: {"metric": "experts_fit_query_<N>", ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _watchdog(s: float, metric: str) -> None:
+    def fire():
+        print(json.dumps({"metric": metric, "ok": False,
+                          "error": f"watchdog: no result after {s:.0f}s"}),
+              flush=True)
+        os._exit(3)
+
+    t = threading.Timer(s, fire)
+    t.daemon = True
+    t.start()
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    e = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    grid_res = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    gate = int(sys.argv[4]) if len(sys.argv) > 4 else 6
+    metric = f"experts_fit_query_{n}"
+    _watchdog(float(os.environ.get("EXPERTS_WD", "3600")), metric)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpis_tpu.config import ModelConfig
+    from gpis_tpu.data import gpis
+    from gpis_tpu.gp import experts as ex
+    from gpis_tpu.kernels import functions as kf
+    from gpis_tpu.surface import grid as grid_mod
+    from gpis_tpu.surface import marching
+
+    cfg = ModelConfig(kernel="rbf", lengthscale=1.0, noise_surface=1e-4,
+                      touch_capacity=64)
+    pts = gpis.fibonacci_sphere(n, radius=1.0).astype(np.float32)
+    ts = gpis.build_training_set(pts, cfg)
+    params = {k: jnp.asarray(v, jnp.float32)
+              for k, v in kf.kernel_params(cfg.lengthscale,
+                                           cfg.signal_variance).items()}
+
+    t0 = time.perf_counter()
+    m = ex.fit_experts(cfg.kernel, ts.x, ts.y, ts.noise, params,
+                       n_experts=e,
+                       n_shared_tail=ts.n_internal + ts.n_external,
+                       block=cfg.block, touch_capacity=cfg.touch_capacity,
+                       pad_noise=cfg.pad_noise, gate=gate)
+    jax.block_until_ready(m.alpha)
+    fit_s = time.perf_counter() - t0
+    print(f"[fit] n={n} E={e} B={m.capacity} fit={fit_s:.1f}s", flush=True)
+
+    coords, axis = grid_mod.make_grid(grid_res, 1.5, dtype=jnp.float32)
+    t0 = time.perf_counter()
+    mean, var = ex.predict(m, coords)
+    jax.block_until_ready((mean, var))
+    query_s = time.perf_counter() - t0
+    # warm pass (cached compiles) — the serving-loop number
+    t0 = time.perf_counter()
+    mean, var = ex.predict(m, coords)
+    jax.block_until_ready((mean, var))
+    query_warm_s = time.perf_counter() - t0
+
+    field = np.asarray(mean).reshape(grid_res, grid_res, grid_res)
+    verts, _ = marching.marching_tetrahedra(field, np.asarray(axis))
+    r = np.linalg.norm(verts, axis=1)
+    rmse = float(np.sqrt(np.mean((r - 1.0) ** 2))) if len(verts) else float("nan")
+    ok = bool(np.isfinite(rmse) and rmse < 0.01)
+    out = {"metric": metric, "value": round(fit_s + query_s, 2), "unit": "s",
+           "n": n, "experts": e, "capacity": int(m.capacity), "gate": gate,
+           "fit_s": round(fit_s, 2), "query_s": round(query_s, 2),
+           "query_warm_s": round(query_warm_s, 2), "grid": grid_res,
+           "rmse": rmse, "ok": ok,
+           "factors_gb": round(2 * e * m.capacity ** 2 * 4 / 1e9, 2)}
+    print(json.dumps(out), flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

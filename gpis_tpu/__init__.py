@@ -28,6 +28,7 @@ __all__ = [
     "predict",
     "update",
     "fit_with_normals",
+    "fit_experts",
     "fit_sharded",
     "fit_sharded_joint",
     "optimize_sharded",
@@ -51,6 +52,7 @@ _LAZY = {
     "predict": ("gpis_tpu.gp.regression", "predict"),
     "update": ("gpis_tpu.gp.regression", "update"),
     "fit_with_normals": ("gpis_tpu.gp.derivative", "fit_with_normals"),
+    "fit_experts": ("gpis_tpu.gp.experts", "fit_experts"),
     "fit_sharded": ("gpis_tpu.gp.sharded_model", "fit_sharded"),
     "fit_sharded_joint": ("gpis_tpu.gp.sharded_joint", "fit_sharded_joint"),
     "optimize_sharded": ("gpis_tpu.gp.sharded_hyperopt", "optimize_sharded"),

@@ -92,6 +92,10 @@ def make_server(session: ObjectModelSession, host: str = "127.0.0.1", port: int 
                             # Panel-streamed 100k+ fit; the node then serves
                             # /query //done /mesh from the live session.
                             kw["out_of_core"] = True
+                        if req.get("experts"):
+                            # Local-expert committee (fast approximate path).
+                            kw["experts"] = int(req["experts"])
+                            kw["expert_gate"] = int(req.get("expert_gate", 0))
                         session.start(np.asarray(req["points"], np.float64), **kw)
                         self._send(200, {"ok": True, "capacity": session.model.capacity})
                     elif self.path == "/query":
@@ -100,9 +104,10 @@ def make_server(session: ObjectModelSession, host: str = "127.0.0.1", port: int 
                     elif self.path == "/update":
                         session.update(np.asarray(req["points"], np.float64))
                         m = session.model
-                        # OOCModel counts touches in its tail block.
-                        n_touch = int(getattr(m, "n_touch",
-                                              getattr(m, "n_tail", 0)))
+                        # OOCModel counts touches in its tail block; the
+                        # expert committee carries a per-expert (E,) vector.
+                        n_touch = int(np.sum(getattr(m, "n_touch",
+                                                     getattr(m, "n_tail", 0))))
                         self._send(200, {"ok": True, "n_touch": n_touch})
                     elif self.path == "/save":
                         session.save(req["path"])
@@ -115,9 +120,9 @@ def make_server(session: ObjectModelSession, host: str = "127.0.0.1", port: int 
                         self._send(200, {
                             "ok": True,
                             "capacity": int(session.model.capacity),
-                            "n_touch": int(getattr(
+                            "n_touch": int(np.sum(getattr(
                                 session.model, "n_touch",
-                                getattr(session.model, "n_tail", 0))),
+                                getattr(session.model, "n_tail", 0)))),
                         })
                     elif self.path == "/hyperopt":
                         kw = {"steps": int(req.get("steps", 100))}

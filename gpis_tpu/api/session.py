@@ -78,7 +78,8 @@ class ObjectModelSession:
     # ------------------------------------------------------------ start/fit
 
     def start(self, points, *, normals=None, params=None,
-              out_of_core: bool = False):
+              out_of_core: bool = False, experts: int = 0,
+              expert_gate: int = 0, expert_beta: str = "rbcm"):
         """Reference `start_process` (§4.1): downsample, normalize, label,
         fit.  `points` is an (N,3) world-frame cloud.  With `normals`
         (N,3), surface orientation becomes first-class derivative
@@ -116,6 +117,38 @@ class ObjectModelSession:
         self.training = ts
         self.frame = ts.frame
         params = params or kf.kernel_params(cfg.lengthscale, cfg.signal_variance)
+        if experts:
+            # Local-expert committee (the EP axis, gp.experts): E balanced
+            # spatial experts combined by (r)BCM — an approximate posterior
+            # that fits 100k-class clouds in-core on one chip in seconds.
+            if normals is not None or out_of_core:
+                raise ValueError(
+                    "experts= is the value-observation committee path; it "
+                    "does not compose with normals= or out_of_core= (use "
+                    "the exact joint / out-of-core fits for those)"
+                )
+            if self.mesh_config is not None and self.mesh_config.n_devices > 1:
+                raise ValueError(
+                    "experts= and mesh= are separate scaling axes; shard an "
+                    "expert model with gp.experts.shard_experts/"
+                    "predict_sharded directly"
+                )
+            from gpis_tpu.gp import experts as gpe
+
+            self.model = gpe.fit_experts(
+                cfg.kernel, ts.x, ts.y, ts.noise, params,
+                n_experts=int(experts),
+                n_shared_tail=ts.n_internal + ts.n_external,
+                block=cfg.block, touch_capacity=cfg.touch_capacity,
+                pad_noise=cfg.pad_noise, beta=expert_beta,
+                gate=int(expert_gate),
+            )
+            self.stats["fit_s"] = _time.perf_counter() - _t0
+            log.info("fit(experts): %d pts -> %d experts x capacity %d "
+                     "(%s, %s) in %.3fs", len(points), self.model.n_experts,
+                     self.model.capacity, cfg.kernel, expert_beta,
+                     self.stats["fit_s"])
+            return self
         if out_of_core:
             if (self.mesh_config is not None
                     and self.mesh_config.n_devices > 1):
@@ -334,6 +367,15 @@ class ObjectModelSession:
         )
         y = (jnp.zeros(pts.shape[0], pts.dtype) if targets is None
              else jnp.asarray(targets, pts.dtype))
+        if hasattr(self.model, "centroids"):
+            # Expert committee: each touch is routed to its nearest expert
+            # and bordered into that expert's factor only (gp.experts).
+            from gpis_tpu.gp import experts as gpe
+
+            self.model = gpe.update(self.model, pts, y, self.config.noise_touch)
+            log.info("update(experts): +%d touch points (per-expert totals %s)",
+                     pts.shape[0], np.asarray(self.model.n_touch).tolist())
+            return self
         if hasattr(self.model, "normals"):
             from gpis_tpu.gp import derivative as gpd
 
@@ -579,6 +621,63 @@ class ObjectModelSession:
             log.info("hyperopt(out-of-core, %s): mll=%.4f "
                      "ls=%.4f noise x%.3f", desc, res.mll,
                      float(res.params["lengthscale"]), scale)
+            return res
+        if hasattr(m, "centroids"):
+            # Expert committee: hyperparameters are global, so optimize the
+            # exact MLL on a training-set subsample (like the out-of-core
+            # path), then refit the committee and replay routed touches.
+            from gpis_tpu.gp import experts as gpe
+
+            method = kw.pop("method", "subsample")
+            if method != "subsample":
+                raise ValueError(
+                    f"unknown hyperopt method {method!r} for an expert "
+                    "committee (use 'subsample')"
+                )
+            ts = self.training
+            if ts is None:
+                raise ValueError(
+                    "hyperopt on a restored experts session needs the "
+                    "original training set (not part of the checkpoint); "
+                    "re-start() from the cloud, or optimize before saving"
+                )
+            sub = int(kw.pop("subsample", 4096))
+            step = max(1, ts.x.shape[0] // sub)
+            xs = jnp.asarray(ts.x[::step])
+            res = ho.optimize(
+                m.kernel, xs, jnp.asarray(ts.y[::step]),
+                jnp.asarray(ts.noise[::step]), m.params,
+                n_real=xs.shape[0], **kw,
+            )
+            scale = float(res.noise_scale)
+            old = m
+            self.model = gpe.fit_experts(
+                m.kernel, ts.x, ts.y, ts.noise * scale, res.params,
+                n_experts=old.n_experts,
+                n_shared_tail=ts.n_internal + ts.n_external,
+                block=self.config.block,
+                touch_capacity=self.config.touch_capacity,
+                pad_noise=self.config.pad_noise, beta=old.beta,
+                gate=old.gate,
+            )
+            # Replay the routed touch observations from the old slots
+            # (re-routing against the fresh centroids is fine — routing is
+            # a locality heuristic, the bordering math is exact either way).
+            occ = np.asarray(old.n_touch)
+            if occ.any():
+                n0 = old.n0
+                tx = np.concatenate([
+                    np.asarray(old.x[e, n0:n0 + k]) for e, k in enumerate(occ) if k
+                ])
+                ty = np.concatenate([
+                    np.asarray(old.y[e, n0:n0 + k]) for e, k in enumerate(occ) if k
+                ])
+                tn = np.concatenate([
+                    np.asarray(old.noise[e, n0:n0 + k]) for e, k in enumerate(occ) if k
+                ])
+                self.model = gpe.update(self.model, tx, ty, tn)
+            log.info("hyperopt(experts, %d-pt subsample): mll=%.4f ls=%.4f",
+                     xs.shape[0], res.mll, float(res.params["lengthscale"]))
             return res
         if hasattr(m, "mesh") and getattr(m, "normals", None) is not None:
             from gpis_tpu.gp import sharded_joint as gsj

@@ -72,6 +72,13 @@ def main(argv=None):
                    help="panel-streamed fit for clouds whose Gram exceeds "
                         "HBM (the 100k+ single-chip path); the checkpoint's "
                         "W panels land beside the output in OUTPUT.w/")
+    p.add_argument("--experts", type=int, default=0, metavar="E",
+                   help="fit an E-expert local-GP committee (rBCM) instead "
+                        "of the exact GP — the fast approximate path for "
+                        "100k-class clouds on one chip")
+    p.add_argument("--expert-gate", type=int, default=0, metavar="G",
+                   help="evaluate only the G nearest experts per query "
+                        "chunk (0 = all)")
     _add_model_args(p)
 
     p = sub.add_parser("mesh", help="extract isosurface mesh from a model")
@@ -160,6 +167,7 @@ def main(argv=None):
             sess = ObjectModelSession(model_cfg, explore_cfg, mesh_cfg).start(
                 pts, normals=nrm if args.normals else None,
                 out_of_core=args.out_of_core,
+                experts=args.experts, expert_gate=args.expert_gate,
             )
         sess.save(args.output)
         print(f"model saved to {args.output} (capacity {sess.model.capacity})"

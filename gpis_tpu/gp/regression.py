@@ -239,6 +239,10 @@ def predict(model: GPModel, q, *, precision=None):
     the surface-RMSE gates; kq never materialized in HBM); everything else
     uses HIGHEST-precision GEMMs (~f32-exact).  Pass an explicit jax
     Precision (or "bf16x3") to force a specific GEMM path."""
+    if hasattr(model, "centroids"):  # local-expert committee (EP axis)
+        from gpis_tpu.gp import experts as gpe
+
+        return gpe.predict(model, q)
     if hasattr(model, "mesh"):  # sharded models (value-only or joint)
         return model.predict(q)
     if hasattr(model, "wstore"):  # out-of-core model (panel-streamed W)
@@ -315,6 +319,10 @@ def predict_mean(model: GPModel, q):
     """Posterior mean only — the cheap path used by Newton projection
     (reference §4.3), where `jax.grad` of this function supplies the
     posterior gradient the reference computed from kernel derivatives."""
+    if hasattr(model, "centroids"):  # local-expert committee (EP axis)
+        from gpis_tpu.gp import experts as gpe
+
+        return gpe.predict_mean(model, q)
     if hasattr(model, "wstore"):
         # Out-of-core model: the mean never touches the panel store — pure
         # jnp against the replicated alpha (plus the in-core touch tail),

@@ -30,6 +30,9 @@ def save_model(path: str, model, *, factor: bool = True) -> None:
     if hasattr(model, "mesh"):
         _save_sharded(path, model)
         return
+    if hasattr(model, "centroids"):
+        _save_experts(path, model, factor=factor)
+        return
     joint = hasattr(model, "normals")
     meta = {
         "format": _FORMAT_VERSION,
@@ -190,6 +193,69 @@ def _load_ooc(d, meta, path: str):
     return ooc.OOCModel(**common)
 
 
+def _save_experts(path: str, model, *, factor: bool = True) -> None:
+    """Expert committee: all stacked (E, …) leaves round-trip; W factors
+    are stored when present (they alias nothing, unlike fit_inference)."""
+    meta = {
+        "format": _FORMAT_VERSION,
+        "kernel": model.kernel,
+        "n0": model.n0,
+        "dtype": str(np.dtype(model.dtype)),
+        "experts": True,
+        "pad_noise": float(model.pad_noise),
+        "beta": model.beta,
+        "gate": int(model.gate),
+        "has_factor": bool(factor),
+        "has_linv": bool(factor) and model.linv is not None,
+    }
+    arrays = {
+        "x": np.asarray(model.x),
+        "y": np.asarray(model.y),
+        "noise": np.asarray(model.noise),
+        "alpha": np.asarray(model.alpha),
+        "n_touch": np.asarray(model.n_touch),
+        "centroids": np.asarray(model.centroids),
+        "param_lengthscale": np.asarray(model.params["lengthscale"]),
+        "param_signal_variance": np.asarray(model.params["signal_variance"]),
+    }
+    if factor:
+        arrays["chol"] = np.asarray(model.chol)
+        if model.linv is not None:
+            arrays["linv"] = np.asarray(model.linv)
+    np.savez_compressed(path, meta=json.dumps(meta), **arrays)
+
+
+def _load_experts(d, meta):
+    from gpis_tpu.gp.experts import ExpertGPModel
+    from gpis_tpu.linalg import cholesky as lin
+
+    params = {
+        "lengthscale": jnp.asarray(d["param_lengthscale"]),
+        "signal_variance": jnp.asarray(d["param_signal_variance"]),
+    }
+    x = jnp.asarray(d["x"])
+    if meta["has_factor"]:
+        chol = jnp.asarray(d["chol"])
+    else:
+        from gpis_tpu.kernels import gram as kg
+
+        chol = jnp.stack([
+            lin.cholesky(kg.gram(meta["kernel"], x[e], params,
+                                 noise=jnp.asarray(d["noise"][e])))
+            for e in range(x.shape[0])
+        ])
+    return ExpertGPModel(
+        x=x, y=jnp.asarray(d["y"]), noise=jnp.asarray(d["noise"]),
+        params=params, chol=chol, alpha=jnp.asarray(d["alpha"]),
+        linv=jnp.asarray(d["linv"]) if meta.get("has_linv") else None,
+        n_touch=jnp.asarray(d["n_touch"]),
+        centroids=jnp.asarray(d["centroids"]),
+        kernel=meta["kernel"], n0=int(meta["n0"]),
+        pad_noise=float(meta["pad_noise"]),
+        beta=meta["beta"], gate=int(meta["gate"]),
+    )
+
+
 def _save_sharded(path: str, model) -> None:
     joint = getattr(model, "normals", None) is not None
     meta = {
@@ -272,6 +338,8 @@ def load_model(path: str):
         return _load_ooc(d, meta, path)
     if meta.get("sharded"):
         return _load_sharded(d, meta)
+    if meta.get("experts"):
+        return _load_experts(d, meta)
     params = {
         "lengthscale": jnp.asarray(d["param_lengthscale"]),
         "signal_variance": jnp.asarray(d["param_signal_variance"]),

@@ -412,5 +412,13 @@ def test_service_start_normals_and_out_of_core():
                          timeout=300) as r:
             nbp = json_mod.loads(r.read())
         assert len(nbp["path"]) >= 1
+
+        # Expert-committee fit (the fast approximate path) over the wire.
+        out = call(port, "/start", {"points": pts.tolist(), "experts": 4,
+                                    "expert_gate": 2})
+        assert out["ok"]
+        got = call(port, "/query", {"points": [[0.0, 0.0, 0.0]]})
+        assert got["mean"][0] < -0.5
+        assert call(port, "/update", {"points": touch})["ok"]
     finally:
         srv.shutdown()
