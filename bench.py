@@ -265,7 +265,8 @@ def main():
     # above stay live.
     here = os.path.dirname(os.path.abspath(__file__))
     for tag, fname in (("ooc100k_recorded", "BENCH_100K.json"),
-                       ("ooc_joint_recorded", "BENCH_JOINT_OOC.json")):
+                       ("ooc_joint_recorded", "BENCH_JOINT_OOC.json"),
+                       ("experts100k_recorded", "BENCH_EXPERTS.json")):
         try:
             with open(os.path.join(here, fname)) as f:
                 result[tag] = json.load(f)

@@ -73,6 +73,21 @@ def main() -> int:
     fit_s = time.perf_counter() - t0
     print(f"[fit] n={n} E={e} B={m.capacity} fit={fit_s:.1f}s", flush=True)
 
+    fit_warm_s = None
+    if os.environ.get("EXPERTS_WARM"):
+        # Second fit at the same shapes = cached compiles: the steady
+        # (serving/refit) number, vs the cold one-time-compile number above.
+        t0 = time.perf_counter()
+        m = ex.fit_experts(cfg.kernel, ts.x, ts.y, ts.noise, params,
+                           n_experts=e,
+                           n_shared_tail=ts.n_internal + ts.n_external,
+                           block=cfg.block,
+                           touch_capacity=cfg.touch_capacity,
+                           pad_noise=cfg.pad_noise, gate=gate)
+        jax.block_until_ready(m.alpha)
+        fit_warm_s = round(time.perf_counter() - t0, 2)
+        print(f"[fit-warm] {fit_warm_s}s", flush=True)
+
     coords, axis = grid_mod.make_grid(grid_res, 1.5, dtype=jnp.float32)
     t0 = time.perf_counter()
     mean, var = ex.predict(m, coords)
@@ -91,7 +106,8 @@ def main() -> int:
     ok = bool(np.isfinite(rmse) and rmse < 0.01)
     out = {"metric": metric, "value": round(fit_s + query_s, 2), "unit": "s",
            "n": n, "experts": e, "capacity": int(m.capacity), "gate": gate,
-           "fit_s": round(fit_s, 2), "query_s": round(query_s, 2),
+           "fit_s": round(fit_s, 2), "fit_warm_s": fit_warm_s,
+           "query_s": round(query_s, 2),
            "query_warm_s": round(query_warm_s, 2), "grid": grid_res,
            "rmse": rmse, "ok": ok,
            "factors_gb": round(2 * e * m.capacity ** 2 * 4 / 1e9, 2)}

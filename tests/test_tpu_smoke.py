@@ -413,3 +413,49 @@ def test_ooc_hyperopt_compiled(prob):
     fd = (float(mu) - float(md)) / (2 * eps)
     np.testing.assert_allclose(float(g["log_ls"]), fd,
                                rtol=0.05, atol=2.0)
+
+
+def test_experts_committee_compiled():
+    """Expert committee (EP axis) compiled on the chip: the stacked
+    lax.map fit program (native chol + Pallas TRSM + Newton-refined W),
+    the host-gated fused query program, and a routed touch bordering.
+    Guards PERF.md rule 7: the Newton step must keep committee variances
+    POSITIVE and sane (raw Pallas W drove them negative at this scale)."""
+    from gpis_tpu.config import ModelConfig
+    from gpis_tpu.data import gpis as gpis_mod
+    from gpis_tpu.gp import experts as ex
+    from gpis_tpu.kernels import functions as kf
+
+    cfg = ModelConfig(lengthscale=1.0, touch_capacity=64)
+    pts = gpis_mod.fibonacci_sphere(4096, radius=1.0).astype(np.float32)
+    ts = gpis_mod.build_training_set(pts, cfg)
+    params = {k: v.astype(DT)
+              for k, v in kf.kernel_params(1.0, 1.0).items()}
+    m = ex.fit_experts("rbf", ts.x, ts.y, ts.noise, params, n_experts=4,
+                       n_shared_tail=ts.n_internal + ts.n_external,
+                       block=cfg.block, touch_capacity=cfg.touch_capacity,
+                       pad_noise=cfg.pad_noise, gate=2)
+    assert m.capacity >= 1024 and m.linv is not None  # Pallas TRSM engaged
+
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(2048, 3)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q *= rng.uniform(0.9, 1.6, size=(2048, 1)).astype(np.float32)
+    mean, var = ex.predict(m, jnp.asarray(q), chunk=1024)  # gated program
+    mean, var = np.asarray(mean), np.asarray(var)
+    assert np.isfinite(mean).all() and np.isfinite(var).all()
+    assert (var > 0).all() and var.max() <= 1.01  # no negative-quad regression
+    # Queries within 0.02 of the surface read |f| up to ~dist * |grad f|
+    # (grad magnitude is O(2-4) for the normalized GPIS field) — this is a
+    # compile smoke, accuracy bars live in the f64 CPU tier.
+    on = np.abs(np.linalg.norm(q, axis=1) - 1.0) < 0.02
+    assert np.abs(mean[on]).max() < 0.15
+
+    # Routed touch bordering with the Schur-gated ladder, compiled.
+    tp = jnp.asarray([[0.0, 0.0, 1.3]], DT)
+    m0, v0 = ex.predict(m, tp)
+    mu = ex.update(m, tp, jnp.zeros(1, DT), jnp.full(1, 1e-4, DT))
+    m1, v1 = ex.predict(mu, tp)
+    assert int(np.asarray(mu.n_touch).sum()) == 1
+    assert abs(float(m1[0])) < 0.6 * abs(float(m0[0]))  # pulled toward 0
+    assert float(v1[0]) < float(v0[0]) * 1.5 + 1e-3
