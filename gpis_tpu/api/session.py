@@ -623,32 +623,49 @@ class ObjectModelSession:
                      float(res.params["lengthscale"]), scale)
             return res
         if hasattr(m, "centroids"):
-            # Expert committee: hyperparameters are global, so optimize the
-            # exact MLL on a training-set subsample (like the out-of-core
-            # path), then refit the committee and replay routed touches.
+            # Expert committee: hyperparameters are global.  Two methods:
+            # "subsample" (default) optimizes the exact single-GP MLL on a
+            # training-set subsample, like the out-of-core path; "poe"
+            # optimizes the full-data product-of-experts objective
+            # sum_e MLL_e — the factorized likelihood the committee
+            # actually deploys (gp.experts.optimize_experts).  Both then
+            # refit the committee and replay routed touches.
             from gpis_tpu.gp import experts as gpe
 
             method = kw.pop("method", "subsample")
-            if method != "subsample":
+            if method == "poe":
+                kw.pop("subsample", None)
+                res = gpe.optimize_experts(m, **kw)
+            elif method == "subsample":
+                ts_sub = self.training
+                if ts_sub is None:
+                    raise ValueError(
+                        "subsample hyperopt on a restored experts session "
+                        "needs the original training set (not part of the "
+                        "checkpoint); re-start() from the cloud, or use "
+                        "method='poe' (optimizes on the committee's own "
+                        "stored rows)"
+                    )
+                sub = int(kw.pop("subsample", 4096))
+                step = max(1, ts_sub.x.shape[0] // sub)
+                xs = jnp.asarray(ts_sub.x[::step])
+                res = ho.optimize(
+                    m.kernel, xs, jnp.asarray(ts_sub.y[::step]),
+                    jnp.asarray(ts_sub.noise[::step]), m.params,
+                    n_real=xs.shape[0], **kw,
+                )
+            else:
                 raise ValueError(
                     f"unknown hyperopt method {method!r} for an expert "
-                    "committee (use 'subsample')"
+                    "committee (use 'subsample' or 'poe')"
                 )
             ts = self.training
             if ts is None:
                 raise ValueError(
-                    "hyperopt on a restored experts session needs the "
-                    "original training set (not part of the checkpoint); "
-                    "re-start() from the cloud, or optimize before saving"
+                    "refitting a restored experts session needs the "
+                    "original training set; re-start() from the cloud, or "
+                    "optimize before saving"
                 )
-            sub = int(kw.pop("subsample", 4096))
-            step = max(1, ts.x.shape[0] // sub)
-            xs = jnp.asarray(ts.x[::step])
-            res = ho.optimize(
-                m.kernel, xs, jnp.asarray(ts.y[::step]),
-                jnp.asarray(ts.noise[::step]), m.params,
-                n_real=xs.shape[0], **kw,
-            )
             scale = float(res.noise_scale)
             old = m
             self.model = gpe.fit_experts(
@@ -676,8 +693,8 @@ class ObjectModelSession:
                     np.asarray(old.noise[e, n0:n0 + k]) for e, k in enumerate(occ) if k
                 ])
                 self.model = gpe.update(self.model, tx, ty, tn)
-            log.info("hyperopt(experts, %d-pt subsample): mll=%.4f ls=%.4f",
-                     xs.shape[0], res.mll, float(res.params["lengthscale"]))
+            log.info("hyperopt(experts, %s): mll=%.4f ls=%.4f", method,
+                     res.mll, float(res.params["lengthscale"]))
             return res
         if hasattr(m, "mesh") and getattr(m, "normals", None) is not None:
             from gpis_tpu.gp import sharded_joint as gsj

@@ -67,6 +67,7 @@ __all__ = [
     "ExpertGPModel",
     "partition_cloud",
     "fit_experts",
+    "optimize_experts",
     "predict",
     "predict_mean",
     "predict_sharded",
@@ -526,6 +527,104 @@ def shard_experts(model: ExpertGPModel, mesh, *, axis: str = "expert"):
         model, x=put(model.x), y=put(model.y), noise=put(model.noise),
         chol=put(model.chol), alpha=put(model.alpha), linv=put(model.linv),
         n_touch=put(model.n_touch),
+    )
+
+
+# ---------------------------------------------------------------- hyperopt
+
+
+def optimize_experts(
+    model: ExpertGPModel,
+    *,
+    learn_noise: bool = True,
+    learn_signal: bool = False,
+    steps: int = 100,
+    learning_rate: float = 0.05,
+):
+    """Full-data hyperparameter optimization for the committee: maximize
+    the PRODUCT-OF-EXPERTS objective sum_e log p(y_e | X_e, theta) — the
+    standard distributed-GP training objective [Deisenroth & Ng, ICML
+    2015]: the factorized likelihood the committee actually deploys, using
+    ALL rows (vs the session's subsample fallback).  One jitted lax.map
+    program evaluates every expert's MLL (custom-VJP Gram assembly +
+    blocked-Cholesky AD via `gpr.log_marginal_likelihood`), so the
+    gradient is one compiled graph over the stacked (E, B, ...) leaves.
+
+    Caveat (documented, standard for PoE training): the shared GPIS
+    anchor rows appear in every expert, so their likelihood contribution
+    is counted E times; they are O(10-100) rows against O(B) surface rows
+    per expert and carry their own noise, so the bias on (ls, noise_scale,
+    sv) is second-order.
+
+    The noise scale applies to real rows only (noise < pad_noise / 2 —
+    pad AND occupied-touch rows keep their stored noise: touches arrive
+    with their own calibrated noise and may already ride a jitter ladder).
+    Returns a `gp.hyperopt.HyperoptResult` (params, noise_scale, history,
+    mll)."""
+    import optax
+
+    from gpis_tpu.gp.hyperopt import HyperoptResult
+
+    dt = model.dtype
+    xs, ys, ns = model.x, model.y, model.noise
+    n0 = model.n0
+    # Real fit rows: finite noise in the leading [0, n0) block.
+    real = (ns < 0.5 * model.pad_noise) & (jnp.arange(ns.shape[1])[None, :] < n0)
+    kernel = model.kernel
+    init = model.params
+
+    theta0 = {"log_ls": jnp.log(jnp.asarray(init["lengthscale"], dt))}
+    if learn_signal:
+        theta0["log_sv"] = jnp.log(jnp.asarray(init["signal_variance"], dt))
+    if learn_noise:
+        theta0["log_noise_scale"] = jnp.zeros((), dt)
+
+    def unpack(theta):
+        params = {
+            "lengthscale": jnp.exp(theta["log_ls"]),
+            "signal_variance": (
+                jnp.exp(theta["log_sv"]) if learn_signal
+                else jnp.asarray(init["signal_variance"], dt)
+            ),
+        }
+        scale = jnp.exp(theta.get("log_noise_scale", jnp.zeros((), dt)))
+        return params, jnp.where(real, ns * scale, ns)
+
+    def loss(theta):
+        params, noise = unpack(theta)
+
+        def one(args):
+            xe, ye, ne = args
+            return gpr.log_marginal_likelihood(kernel, xe, ye, ne, params)
+
+        return -jnp.sum(jax.lax.map(one, (xs, ys, noise)))
+
+    opt = optax.adam(learning_rate)
+
+    @jax.jit
+    def step(theta, opt_state):
+        val, g = jax.value_and_grad(loss)(theta)
+        updates, opt_state = opt.update(g, opt_state, theta)
+        return optax.apply_updates(theta, updates), opt_state, val
+
+    theta, opt_state = theta0, opt.init(theta0)
+    history, best_theta, best_val = [], theta0, jnp.inf
+    for _ in range(steps):
+        new_theta, opt_state, val = step(theta, opt_state)
+        v = float(val)
+        history.append(-v)
+        if v < best_val:
+            best_theta, best_val = theta, v
+        theta = new_theta
+
+    params, _ = unpack(best_theta)
+    scale = jnp.exp(best_theta.get("log_noise_scale", jnp.zeros((), dt)))
+    return HyperoptResult(
+        params={k: jnp.asarray(v) for k, v in params.items()},
+        noise=None,
+        noise_scale=scale,
+        history=history,
+        mll=-float(best_val),
     )
 
 

@@ -260,3 +260,49 @@ def test_session_experts_rejects_joint_and_ooc():
         s.start(pts, normals=nrm, experts=4)
     with pytest.raises(ValueError, match="experts"):
         s.start(pts, out_of_core=True, experts=4)
+
+
+def test_optimize_experts_poe_matches_exact_mll_at_e1(fixture64):
+    """At E=1 the product-of-experts objective IS the exact padded-GP MLL:
+    the history's first entry (MLL at the init theta) must match
+    log_marginal_likelihood on the same stacked arrays."""
+    from gpis_tpu.gp import regression as gpr2
+
+    ts, params = fixture64
+    shared = ts.n_internal + ts.n_external
+    m1 = ex.fit_experts("rbf", ts.x, ts.y, ts.noise, params, n_experts=1,
+                        n_shared_tail=shared)
+    res = ex.optimize_experts(m1, steps=1, learn_noise=False)
+    direct = float(gpr2.log_marginal_likelihood(
+        "rbf", m1.x[0], m1.y[0], m1.noise[0], m1.params))
+    np.testing.assert_allclose(res.history[0], direct, rtol=1e-10)
+
+
+def test_optimize_experts_poe_improves_objective(fixture64):
+    """Starting from a deliberately wrong lengthscale, the PoE optimizer
+    must improve its own objective and move the lengthscale toward the
+    fixture's well-fit region."""
+    ts, params = fixture64
+    shared = ts.n_internal + ts.n_external
+    bad = kf.kernel_params(3.0, 1.0)
+    m = ex.fit_experts("rbf", ts.x, ts.y, ts.noise, bad, n_experts=4,
+                       n_shared_tail=shared)
+    res = ex.optimize_experts(m, steps=40, learning_rate=0.1)
+    assert res.mll > res.history[0]
+    ls = float(res.params["lengthscale"])
+    assert 0.1 < ls < 3.0  # moved off the bad init
+    assert float(res.noise_scale) > 0
+
+
+def test_session_experts_hyperopt_poe_replays_touches():
+    from gpis_tpu.api.session import ObjectModelSession
+
+    pts, _ = synthetic.sphere_cloud(400, seed=2, dtype=np.float32)
+    s = ObjectModelSession(ModelConfig(lengthscale=1.0, touch_capacity=32))
+    s.start(pts, experts=4)
+    s.update(pts[:2] * 1.0)
+    res = s.optimize_hyperparameters(method="poe", steps=5)
+    assert float(res.params["lengthscale"]) > 0
+    assert int(np.asarray(s.model.n_touch).sum()) == 2
+    with pytest.raises(ValueError, match="unknown hyperopt method"):
+        s.optimize_hyperparameters(method="bogus")
