@@ -88,6 +88,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from gpis_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()
+
     from gpis_tpu.config import ModelConfig
     from gpis_tpu.data import gpis
     from gpis_tpu.gp import regression as gpr

@@ -29,7 +29,10 @@ from gpis_tpu.kernels import functions as kf
 from gpis_tpu.surface import grid as grid_mod
 from gpis_tpu.surface import marching, projection
 from gpis_tpu.utils import checkpoint as ckpt
+from gpis_tpu.utils.compile_cache import enable as _enable_compile_cache
 from gpis_tpu.utils.logging import get_logger
+
+_enable_compile_cache()
 
 __all__ = ["ObjectModelSession"]
 

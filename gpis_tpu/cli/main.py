@@ -19,6 +19,10 @@ import sys
 
 import numpy as np
 
+from gpis_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
+
 
 def _add_model_args(p):
     p.add_argument("--kernel", default="rbf",

@@ -28,6 +28,10 @@ if not _tpu_tier:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
+from gpis_tpu.utils.compile_cache import enable as _enable_compile_cache  # noqa: E402
+
+_enable_compile_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
