@@ -57,6 +57,24 @@ def _joint() -> bool:
     return os.environ.get("OOC_JOINT", "").lower() in ("1", "true", "on")
 
 
+def _l_codec() -> str | None:
+    """Stored-L compression codec (OOC_LQUANT, default int16): blockwise
+    int16 quantization halves the dominant L-panel link traffic at a
+    measured ~1e-5 posterior parity cost (docs/PERF.md round 4).  Set
+    OOC_LQUANT=off for the uncompressed f32 store."""
+    v = os.environ.get("OOC_LQUANT", "int16").lower()
+    return None if v in ("", "0", "off", "none", "false") else v
+
+
+def _fmt_link(link: dict) -> str:
+    h, d = link.get("h2d_bytes", 0), link.get("d2h_bytes", 0)
+    hs, ds = link.get("h2d_s", 0.0), link.get("d2h_s", 0.0)
+    return (f"h2d {h / 1e9:.1f}GB/{hs:.0f}s "
+            f"({h / max(hs, 1e-9) / 1e6:.0f}MB/s) "
+            f"d2h {d / 1e9:.1f}GB/{ds:.0f}s "
+            f"({d / max(ds, 1e-9) / 1e6:.0f}MB/s)")
+
+
 def _problem(n: int):
     import jax.numpy as jnp
     import numpy as np
@@ -141,6 +159,7 @@ def phase1(n: int, spill_dir: str) -> None:
         c = 4 * (((int(x.shape[0]) + cq - 1) // cq) * cq)  # factor dim J
     else:
         c = ((int(x.shape[0]) + panel - 1) // panel) * panel
+    l_codec = _l_codec()
     sweep = os.environ.get("OOC_SWEEP")
     budget = None
     if sweep is not None:
@@ -149,22 +168,26 @@ def phase1(n: int, spill_dir: str) -> None:
         # Traffic-model sweep: minimizes the L-panel refetch volume that
         # dominates wall-clock on the tunnel (see ooc.plan_sweeps).  The
         # matching DeviceBudget must travel with it.
-        plan = ooc.plan_sweeps(c, panel, 4)
+        plan = ooc.plan_sweeps(c, panel, 4,
+                               l_itemsize=2 if l_codec else None)
         sweep, budget = plan["factor_sweep"], plan["factor_budget"]
         print(f"[phase1] plan: sweep={sweep} budget={budget / 1e9:.1f}GB "
-              f"modeled refetch={plan['factor_traffic'] / 1e9:.0f}GB",
-              flush=True)
+              f"modeled refetch={plan['factor_traffic'] / 1e9:.0f}GB "
+              f"l_codec={l_codec}", flush=True)
     print(f"[phase1] n={x.shape[0]} rss={_rss_gb():.1f}GB", flush=True)
     t0 = time.perf_counter()
     ooc.ooc_factor_phase(
         "rbf", x, y, noise, params, panel=panel, spill_dir=spill_dir,
         sweep=sweep, device_budget=budget, normals=nrm, noise_g=ng,
+        l_codec=l_codec,
     )
     dt = time.perf_counter() - t0
-    print(f"PHASE1 OK n={x.shape[0]} t={dt:.1f}s rss={_rss_gb():.1f}GB",
-          flush=True)
+    link = ooc.link_stats()
+    print(f"PHASE1 OK n={x.shape[0]} t={dt:.1f}s rss={_rss_gb():.1f}GB "
+          f"link={_fmt_link(link)}", flush=True)
     with open(os.path.join(spill_dir, "phase1.json"), "w") as f:
-        json.dump({"n": int(x.shape[0]), "fit_factor_s": dt}, f)
+        json.dump({"n": int(x.shape[0]), "fit_factor_s": dt,
+                   "l_codec": l_codec, "link": link}, f)
 
 
 def phase2(spill_dir: str, *, grid_res: int = 64) -> None:
@@ -221,8 +244,9 @@ def phase2(spill_dir: str, *, grid_res: int = 64) -> None:
     m = ooc.ooc_solve_phase(spill_dir, w_dtype=jnp.float16, trsm_sweep=tsw,
                             device_budget=budget)
     trsm_s = time.perf_counter() - t0
-    print(f"PHASE2 trsm={trsm_s:.1f}s sweep={tsw} rss={_rss_gb():.1f}GB",
-          flush=True)
+    link_trsm = ooc.link_stats(reset=True)
+    print(f"PHASE2 trsm={trsm_s:.1f}s sweep={tsw} rss={_rss_gb():.1f}GB "
+          f"link={_fmt_link(link_trsm)}", flush=True)
 
     coords, axis = grid_mod.make_grid(grid_res, 1.5, dtype=jnp.float32)
     t0 = time.perf_counter()
@@ -233,12 +257,14 @@ def phase2(spill_dir: str, *, grid_res: int = 64) -> None:
     verts, _ = marching.marching_tetrahedra(field, np.asarray(axis))
     r = np.linalg.norm(verts, axis=1)
     rmse = float(np.sqrt(np.mean((r - 1.0) ** 2))) if len(verts) else float("nan")
+    link_query = ooc.link_stats(reset=True)
     print(f"PHASE2 query={query_s:.1f}s rmse={rmse:.2e} "
           f"varmin={float(jnp.min(var)):.1e} varmax={float(jnp.max(var)):.2e} "
-          f"rss={_rss_gb():.1f}GB", flush=True)
+          f"rss={_rss_gb():.1f}GB link={_fmt_link(link_query)}", flush=True)
     with open(os.path.join(spill_dir, "phase2.json"), "w") as f:
         json.dump({"trsm_s": trsm_s, "query_s": query_s, "rmse": rmse,
-                   "grid": grid_res}, f)
+                   "grid": grid_res, "link_trsm": link_trsm,
+                   "link_query": link_query}, f)
     # The solved W is ~C^2/2 spilled bytes; default-clear to return the
     # disk, but keep it on request so a later `serve` run can reattach the
     # finished model (promoted-serving measurement, long-lived sessions).

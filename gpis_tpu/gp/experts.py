@@ -85,7 +85,13 @@ class ExpertGPModel:
     y: jax.Array  # (E, B) targets
     noise: jax.Array  # (E, B) observation variances (pad rows: pad_noise)
     params: dict  # shared kernel hyperparameters
-    chol: jax.Array  # (E, B, B) per-expert lower Cholesky factors
+    # (E, B, B) per-expert lower Cholesky factors — or None for large
+    # committees (retain_chol=False): queries need only `linv`, and the
+    # rare touch-update recomputes one expert's factor on demand
+    # (`expert_chol`), which halves the committee's resident factor HBM
+    # and the fit program's stacked outputs (the E=16 x B=7168 OOM of
+    # BASELINE.md r3 was exactly the stacked L+W).
+    chol: jax.Array | None
     alpha: jax.Array  # (E, B) per-expert weights
     linv: jax.Array | None  # (E, B, B) per-expert W = L^{-1} (fast variance)
     n_touch: jax.Array  # (E,) int32 touch-slot occupancy per expert
@@ -188,6 +194,8 @@ def fit_experts(
     gate: int = 0,
     seed: int = 0,
     max_jitter_retries: int = 6,
+    n_halo: int = 0,
+    retain_chol: bool | None = None,
 ) -> ExpertGPModel:
     """Partition rows [0, N - n_shared_tail) spatially into `n_experts`
     local GPs; the trailing `n_shared_tail` rows (the GPIS internal/external
@@ -196,7 +204,21 @@ def fit_experts(
     Each expert gets `touch_capacity` private tactile slots at rows
     [n0, B).  All experts share one capacity, so the fit is one compiled
     program run E times (Pallas Cholesky + TRSM on TPU via the single-model
-    path)."""
+    path).
+
+    `n_halo` > 0 additionally replicates, into each expert, the `n_halo`
+    surface points nearest its centroid that the balanced partition
+    assigned elsewhere — boundary overlap that smooths the committee seam
+    where two neighboring experts both extrapolate (the rBCM weights fade
+    each expert near its boundary; the halo keeps its local posterior
+    accurate there instead).
+
+    `retain_chol=None` (auto) keeps the stacked (E, B, B) Cholesky factors
+    only while L+W together stay under ~4 GB; beyond that the model carries
+    W alone (`chol=None`) — queries never read L, and `expert_chol`
+    recomputes one expert's factor on demand for touch updates.  This is
+    what lets E=16 x B=7168 (and beyond) fit at N=100k on one 16 GB chip
+    (the r3 OOM held stacked L AND W plus per-step temps)."""
     dtype = dtype or x.dtype
     x = jnp.asarray(x, dtype)
     y = jnp.asarray(y, dtype)
@@ -208,6 +230,22 @@ def fit_experts(
     x_host = np.asarray(x)
     centroids, groups = partition_cloud(x_host[:n_own], n_experts, seed=seed)
     e = len(groups)
+    if n_halo > 0 and e > 1:
+        # Boundary halo: nearest foreign surface points by centroid
+        # distance.  Host prep, O(N·E) like the partition itself.
+        own = x_host[:n_own].astype(np.float64)
+        member = np.zeros((n_own, e), bool)
+        for k, g in enumerate(groups):
+            member[g, k] = True
+        d = ((own[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        halo_groups = []
+        for k, g in enumerate(groups):
+            dk = np.where(member[:, k], np.inf, d[:, k])
+            take = min(int(n_halo), n_own - len(g))
+            halo = np.argpartition(dk, take - 1)[:take] if take > 0 else \
+                np.empty((0,), np.int64)
+            halo_groups.append(np.concatenate([g, np.sort(halo)]))
+        groups = halo_groups
 
     max_own = max(len(g) for g in groups)
     n0 = round_up(max_own + n_shared_tail, block)
@@ -254,39 +292,47 @@ def fit_experts(
             return pallas_blocked_linv(l, 256)
         return lin.blocked_linv(l, 512 if b_tot % 512 == 0 else b_tot)
 
+    itemsize = jnp.dtype(dtype).itemsize
+    retain = (not want_linv if retain_chol is None
+              else (retain_chol or not want_linv))
+    if retain_chol is None and want_linv:
+        # Auto: keep the stacked L only while L+W together are cheap.
+        retain = 2 * e * b_tot * b_tot * itemsize <= 4_000_000_000
+
     @jax.jit
     def _fit_program(xs, ys, ns):
         def one(args):
             xe, ye, ne = args
             k = kg.gram(kernel, xe, params_cast, noise=ne)
             l = lin.cholesky(k)
-            if want_linv:
-                w = _linv(l)
-                # One Newton step W <- W + W(I - L W): the explicit Pallas
-                # inverse carries O(eps*kappa) absolute error that the rBCM
-                # variance weights can't tolerate (measured on-chip at
-                # B=1280: quad error 1.5e-3 raw vs 7e-7 refined, against a
-                # 5.6e-3 posterior variance — raw W drove the variance
-                # NEGATIVE).  Means are insensitive; committee weights are
-                # not.  Cost: two B^3 GEMMs per expert, once, at fit time.
-                # tril keeps the exact-zero upper triangle the fused query
-                # kernels' DMA elision relies on.
-                eye = jnp.eye(b_tot, dtype=w.dtype)
-                r = eye - _mm(l, w, precision=hp)
-                w = jnp.tril(w + _mm(w, r, precision=hp))
-                alpha = _mm(w.T, _mm(w, ye, precision=hp), precision=hp)
-                return l, w, alpha
-            return l, lin.cho_solve(l, ye)
+            if not want_linv:
+                return {"diag": jnp.diagonal(l), "l": l,
+                        "alpha": lin.cho_solve(l, ye)}
+            w = _linv(l)
+            # One Newton step W <- W + W(I - L W): the explicit Pallas
+            # inverse carries O(eps*kappa) absolute error that the rBCM
+            # variance weights can't tolerate (measured on-chip at
+            # B=1280: quad error 1.5e-3 raw vs 7e-7 refined, against a
+            # 5.6e-3 posterior variance — raw W drove the variance
+            # NEGATIVE).  Means are insensitive; committee weights are
+            # not.  Cost: two B^3 GEMMs per expert, once, at fit time.
+            # tril keeps the exact-zero upper triangle the fused query
+            # kernels' DMA elision relies on.
+            eye = jnp.eye(b_tot, dtype=w.dtype)
+            r = eye - _mm(l, w, precision=hp)
+            w = jnp.tril(w + _mm(w, r, precision=hp))
+            alpha = _mm(w.T, _mm(w, ye, precision=hp), precision=hp)
+            out = {"diag": jnp.diagonal(l), "w": w, "alpha": alpha}
+            if retain:
+                out["l"] = l
+            return out
 
         return jax.lax.map(one, (xs, ys, ns))
 
     extra = np.zeros((e,), np.float64)
     for attempt in range(max_jitter_retries + 1):
         out = _fit_program(xs, ys, ns + jnp.asarray(extra, dtype)[:, None])
-        chol = out[0]
-        bad = np.asarray(
-            jnp.isnan(jnp.diagonal(chol, axis1=1, axis2=2)).any(axis=1)
-        )
+        bad = np.asarray(jnp.isnan(out["diag"]).any(axis=1))
         if not bad.any():
             break
         extra[bad] = jitter * (10.0 ** attempt)
@@ -300,9 +346,9 @@ def fit_experts(
         y=ys,
         noise=ns + jnp.asarray(extra, dtype)[:, None],
         params=params_cast,
-        chol=chol,
-        alpha=out[-1],
-        linv=out[1] if want_linv else None,
+        chol=out.get("l"),
+        alpha=out["alpha"],
+        linv=out.get("w"),
         n_touch=jnp.zeros((e,), jnp.int32),
         centroids=jnp.asarray(centroids, dtype),
         kernel=kernel,
@@ -313,11 +359,21 @@ def fit_experts(
     )
 
 
+def expert_chol(model: ExpertGPModel, e: int) -> jax.Array:
+    """Expert e's Cholesky factor — the stored stack when retained, else
+    one on-demand refactor (touch updates on a chol=None large committee:
+    one B³/3 Pallas factorization beats holding E of them in HBM)."""
+    if model.chol is not None:
+        return model.chol[e]
+    k = kg.gram(model.kernel, model.x[e], model.params, noise=model.noise[e])
+    return lin.cholesky(k)
+
+
 def expert_view(model: ExpertGPModel, e: int) -> GPModel:
     """Expert e as a plain GPModel (reuses the single-model update/tests)."""
     return GPModel(
         x=model.x[e], y=model.y[e], noise=model.noise[e], params=model.params,
-        chol=model.chol[e], alpha=model.alpha[e],
+        chol=expert_chol(model, e), alpha=model.alpha[e],
         n_touch=model.n_touch[e], kernel=model.kernel, n0=model.n0,
         pad_noise=model.pad_noise,
         linv=None if model.linv is None else model.linv[e],
@@ -659,10 +715,11 @@ def update(model: ExpertGPModel, new_x, new_y, new_noise,
     for e in np.unique(route):
         sel = route == e
         base = np.maximum(new_noise[sel], floor)
+        ev = expert_view(model, int(e))  # one factor recompute if chol=None
         for attempt in range(max_jitter_retries + 1):
             noise_a = base * (10.0 ** attempt)
             m_e = gpr.update(
-                expert_view(model, int(e)),
+                ev,
                 jnp.asarray(new_x[sel], dt),
                 jnp.asarray(new_y[sel], dt),
                 jnp.asarray(noise_a, dt),
@@ -692,7 +749,8 @@ def update(model: ExpertGPModel, new_x, new_y, new_noise,
             x=model.x.at[ei].set(m_e.x),
             y=model.y.at[ei].set(m_e.y),
             noise=model.noise.at[ei].set(m_e.noise),
-            chol=model.chol.at[ei].set(m_e.chol),
+            chol=(None if model.chol is None
+                  else model.chol.at[ei].set(m_e.chol)),
             alpha=model.alpha.at[ei].set(m_e.alpha),
             linv=None if model.linv is None else model.linv.at[ei].set(m_e.linv),
             n_touch=model.n_touch.at[ei].set(m_e.n_touch),

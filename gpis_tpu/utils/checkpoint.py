@@ -207,6 +207,9 @@ def _save_experts(path: str, model, *, factor: bool = True) -> None:
         "gate": int(model.gate),
         "has_factor": bool(factor),
         "has_linv": bool(factor) and model.linv is not None,
+        # Large committees drop the stacked L (gp.experts retain_chol) —
+        # queries need only W; touch updates refactor one expert on demand.
+        "has_chol": bool(factor) and model.chol is not None,
     }
     arrays = {
         "x": np.asarray(model.x),
@@ -219,7 +222,8 @@ def _save_experts(path: str, model, *, factor: bool = True) -> None:
         "param_signal_variance": np.asarray(model.params["signal_variance"]),
     }
     if factor:
-        arrays["chol"] = np.asarray(model.chol)
+        if model.chol is not None:
+            arrays["chol"] = np.asarray(model.chol)
         if model.linv is not None:
             arrays["linv"] = np.asarray(model.linv)
     np.savez_compressed(path, meta=json.dumps(meta), **arrays)
@@ -235,7 +239,10 @@ def _load_experts(d, meta):
     }
     x = jnp.asarray(d["x"])
     if meta["has_factor"]:
-        chol = jnp.asarray(d["chol"])
+        # Pre-r4 checkpoints always stored chol; retain_chol=False ones
+        # carry W only (chol stays None — expert_chol refactors on demand).
+        chol = (jnp.asarray(d["chol"])
+                if meta.get("has_chol", True) and "chol" in d else None)
     else:
         from gpis_tpu.kernels import gram as kg
 

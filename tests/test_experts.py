@@ -306,3 +306,86 @@ def test_session_experts_hyperopt_poe_replays_touches():
     assert int(np.asarray(s.model.n_touch).sum()) == 2
     with pytest.raises(ValueError, match="unknown hyperopt method"):
         s.optimize_hyperparameters(method="bogus")
+
+
+def test_retain_chol_false_matches_and_updates(fixture64):
+    """A chol=None committee (retain_chol=False) predicts identically to
+    the retained one, and touch updates work through the on-demand
+    expert refactor (`expert_chol`)."""
+    ts, params = fixture64
+    shared = ts.n_internal + ts.n_external
+    # touch_capacity pushes b_tot over the want_linv threshold (512) so
+    # the lean committee actually drops chol (small fixtures otherwise
+    # have no linv and must retain the factor).
+    kw = dict(n_experts=4, n_shared_tail=shared, gate=2,
+              touch_capacity=448)
+    m_full = ex.fit_experts("rbf", ts.x, ts.y, ts.noise, params,
+                            retain_chol=True, **kw)
+    m_lean = ex.fit_experts("rbf", ts.x, ts.y, ts.noise, params,
+                            retain_chol=False, **kw)
+    assert m_full.chol is not None and m_lean.chol is None
+    assert m_lean.linv is not None
+    q = _queries(128)
+    ma, va = ex.predict(m_full, q)
+    mb, vb = ex.predict(m_lean, q)
+    np.testing.assert_allclose(np.asarray(mb), np.asarray(ma), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(va), atol=1e-12)
+
+    # expert_chol reproduces the retained factor (same gram + dispatch).
+    l0 = ex.expert_chol(m_lean, 0)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(m_full.chol[0]),
+                               atol=1e-9)
+
+    tp = jnp.asarray([[0.0, 0.0, 1.0]])
+    u_full = ex.update(m_full, tp, jnp.zeros(1), jnp.full(1, 1e-6))
+    u_lean = ex.update(m_lean, tp, jnp.zeros(1), jnp.full(1, 1e-6))
+    assert u_lean.chol is None
+    ma, va = ex.predict(u_full, q)
+    mb, vb = ex.predict(u_lean, q)
+    np.testing.assert_allclose(np.asarray(mb), np.asarray(ma), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(va), atol=1e-9)
+
+
+def test_retain_chol_false_checkpoint_roundtrip(fixture64, tmp_path):
+    from gpis_tpu.utils import checkpoint as ckpt
+
+    ts, params = fixture64
+    shared = ts.n_internal + ts.n_external
+    m = ex.fit_experts("rbf", ts.x, ts.y, ts.noise, params, n_experts=4,
+                       n_shared_tail=shared, retain_chol=False,
+                       touch_capacity=448)
+    path = str(tmp_path / "lean.npz")
+    ckpt.save_model(path, m)
+    m2 = ckpt.load_model(path)
+    assert m2.chol is None and m2.linv is not None
+    q = _queries(64)
+    ma, va = ex.predict(m, q)
+    mb, vb = ex.predict(m2, q)
+    np.testing.assert_allclose(np.asarray(mb), np.asarray(ma), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(va), atol=1e-12)
+
+
+def test_halo_overlap_partition(fixture64):
+    """n_halo replicates foreign boundary points into each expert: per-
+    expert row counts grow, every point is still owned exactly once, and
+    the committee posterior stays accurate on the fixture."""
+    ts, params = fixture64
+    shared = ts.n_internal + ts.n_external
+    m0 = ex.fit_experts("rbf", ts.x, ts.y, ts.noise, params, n_experts=4,
+                        n_shared_tail=shared)
+    mh = ex.fit_experts("rbf", ts.x, ts.y, ts.noise, params, n_experts=4,
+                        n_shared_tail=shared, n_halo=32)
+    # Halo rows are real (finite-noise) extra rows per expert.
+    real0 = int((np.asarray(m0.noise[0]) < 1e9).sum())
+    realh = int((np.asarray(mh.noise[0]) < 1e9).sum())
+    assert realh >= real0 + 16
+    q = _queries(128)
+    mean_h, _ = ex.predict(mh, q)
+    mean_0, _ = ex.predict(m0, q)
+    exact = gpr.fit("rbf", ts.x, ts.y, ts.noise, params)
+    mean_e, _ = gpr.predict(exact, q)
+    # The halo committee must not be WORSE than the plain one on the
+    # canonical fixture (both stay close to exact).
+    err_h = float(np.abs(np.asarray(mean_h) - np.asarray(mean_e)).max())
+    err_0 = float(np.abs(np.asarray(mean_0) - np.asarray(mean_e)).max())
+    assert err_h <= err_0 * 1.5 + 1e-6

@@ -1160,3 +1160,101 @@ def test_ooc_factor_solve_phase_joint_matches_fit(tmp_path):
     r2 = ref.update(tx, jnp.zeros(1), 1e-5)
     for a, b in zip(m2.predict(q, chunk=32), r2.predict(q, chunk=32)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_qpack_roundtrip_bound():
+    """int16 block quantization: roundtrip error bounded by half an LSB of
+    each (row, 512-col) block's scale, ragged widths included."""
+    rng = np.random.default_rng(7)
+    for w in (1024, 777):
+        a = jnp.asarray(rng.normal(size=(64, w)) *
+                        np.exp(rng.uniform(-3, 3, size=(64, 1))))
+        q, s = ooc._qpack(a)
+        assert q.dtype == jnp.int16 and q.shape[1] % 512 == 0
+        back = ooc._qunpack(q, s, w=w, dtype=a.dtype)
+        err = np.abs(np.asarray(back) - np.asarray(a))
+        nb = q.shape[1] // 512
+        ap = np.pad(np.asarray(a), ((0, 0), (0, nb * 512 - w)))
+        bmax = np.abs(ap.reshape(64, nb, 512)).max(2)
+        bound = np.repeat(0.501 * bmax / 32767.0, 512, axis=1)[:, :w]
+        assert (err <= bound + 1e-12).all()
+
+
+@pytest.fixture(scope="module")
+def gpis_problem():
+    """A structured GPIS problem (smooth labels, calibrated noise) — the
+    int16 L codec's SUPPORTED regime.  Quantization perturbs K at the
+    absolute ~3e-5·k0 level; with random targets and noise floors below
+    that the perturbation is amplified by cond(K) into the posterior mean
+    (measured 0.28 abs on this file's random-y `problem` fixture — see
+    docs/PERF.md round 4), while the structured judge configuration sits
+    at the 1e-4 grade.  The codec therefore stays opt-in and is validated
+    on what it ships: the GPIS labeling."""
+    from gpis_tpu.config import ModelConfig
+    from gpis_tpu.data import gpis
+
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.4, noise_surface=1e-3,
+                      n_external=127, n_internal=1, block=128,
+                      touch_capacity=0)
+    pts = gpis.fibonacci_sphere(896, radius=1.0)
+    ts = gpis.build_training_set(pts, cfg)
+    params = kf.kernel_params(cfg.lengthscale, cfg.signal_variance)
+    return (jnp.asarray(ts.x), jnp.asarray(ts.y), jnp.asarray(ts.noise),
+            params)
+
+
+def test_ooc_fit_int16_l_codec_close(gpis_problem):
+    """l_codec="int16" with EVERY panel forced through the codec
+    (device_budget=0) must track the exact f32 out-of-core posterior at the
+    measured quantization grade on the structured GPIS problem (mean
+    ~1e-4, variance ~1e-3 — docs/PERF.md round 4); f16 L was measured to
+    break the mean outright, and random-y/low-noise problems are outside
+    the codec's supported regime (see gpis_problem's docstring)."""
+    x, y, noise, params = gpis_problem
+    m32 = ooc.ooc_fit("rbf", x, y, noise, params, panel=B, device_budget=0)
+    mq = ooc.ooc_fit("rbf", x, y, noise, params, panel=B, device_budget=0,
+                     l_codec="int16")
+    q = jnp.asarray(np.random.default_rng(5).normal(size=(256, 3)) * 0.8)
+    mean32, var32 = m32.predict(q, chunk=256)
+    meanq, varq = mq.predict(q, chunk=256)
+    np.testing.assert_allclose(np.asarray(meanq), np.asarray(mean32),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(varq), np.asarray(var32),
+                               atol=1e-3)
+
+
+def test_ooc_phase_split_int16_codec(gpis_problem, tmp_path):
+    """Phase-split fit with the int16 L codec: quantized panels cross the
+    process boundary through the manifest (codec metadata round-trips) and
+    the posterior stays at quantization grade vs the dense reference."""
+    x, y, noise, params = gpis_problem
+    sd = str(tmp_path / "q16")
+    ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=B, spill_dir=sd,
+                         device_budget=0, l_codec="int16")
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(sd, "L", "manifest.json")) as f:
+        man = _json.load(f)
+    assert any(len(e) > 2 and e[2].get("codec") == "int16"
+               for e in man["panels"].values())
+    m = ooc.ooc_solve_phase(sd, device_budget=0)
+    q = jnp.asarray(np.random.default_rng(29).normal(size=(128, 3)) * 0.8)
+    mean, var = m.predict(q, chunk=128)
+    ref = gpr.fit("rbf", x, y, noise, params, block=B, touch_capacity=0)
+    mean_r, var_r = gpr.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-3)
+
+
+def test_link_stats_accounting(problem):
+    """h2d/d2h counters move when panels stream through a host store."""
+    x, y, noise, params = problem
+    ooc.link_stats(reset=True)
+    ooc.ooc_fit("rbf", x, y, noise, params, panel=B, device_budget=0)
+    st = ooc.link_stats()
+    assert st.get("d2h_n", 0) > 0 and st.get("d2h_bytes", 0) > 0
+    # h2d counts panel refetches; on a pure-CPU run device_put is still
+    # exercised through _chunked_put.
+    assert st.get("h2d_n", 0) > 0
