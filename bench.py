@@ -107,6 +107,9 @@ def main():
     cancel = _watchdog(150.0)
     probe = jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
     cancel()
+    from gpis_tpu.utils.compile_cache import guard_cpu_backend
+
+    guard_cpu_backend()  # backend live now; uncache a CPU fallback
     log(f"backend={jax.default_backend()} n_surface={n_surface} grid={res}^3")
     # Main run guarded by a generous envelope (compiles included).
     _watchdog(3000.0)
@@ -266,16 +269,28 @@ def main():
     # and the beyond-HBM joint scale point, both measured on this same
     # chip and committed as BENCH_*.json) so the headline line carries
     # them.  Clearly labeled as prior measurements — value/vs_baseline
-    # above stay live.
+    # above stay live.  Each record carries its measuring git rev
+    # (utils.provenance); a record whose rev no longer matches HEAD is
+    # flagged stale_rev so it cannot silently describe rewritten code.
     here = os.path.dirname(os.path.abspath(__file__))
+    from gpis_tpu.utils.provenance import head_rev, provenance
+
+    result.update(provenance(here))
+    head, _ = head_rev(here)
     for tag, fname in (("ooc100k_recorded", "BENCH_100K.json"),
                        ("ooc_joint_recorded", "BENCH_JOINT_OOC.json"),
                        ("experts100k_recorded", "BENCH_EXPERTS.json")):
         try:
             with open(os.path.join(here, fname)) as f:
-                result[tag] = json.load(f)
+                rec = json.load(f)
         except Exception:
-            pass
+            continue
+        rec_rev = rec.get("rev")
+        if head and rec_rev and rec_rev != head:
+            rec["stale_rev"] = True
+            log(f"WARNING {fname} was measured at rev {rec_rev}, "
+                f"HEAD is {head}")
+        result[tag] = rec
     print(json.dumps(result))
 
 

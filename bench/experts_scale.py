@@ -111,6 +111,9 @@ def main() -> int:
            "query_warm_s": round(query_warm_s, 2), "grid": grid_res,
            "rmse": rmse, "ok": ok,
            "factors_gb": round(2 * e * m.capacity ** 2 * 4 / 1e9, 2)}
+    from gpis_tpu.utils.provenance import provenance
+
+    out.update(provenance())
     print(json.dumps(out), flush=True)
     return 0 if ok else 1
 

@@ -89,6 +89,9 @@ def main() -> int:
            "query_s": round(query_s, 1), "grid": grid_res,
            "rmse": rmse, "ok": ok,
            "gram_gb": round(j_tot * j_tot * 4 / 1e9, 1)}
+    from gpis_tpu.utils.provenance import provenance
+
+    out.update(provenance())
     print(json.dumps(out), flush=True)
     m.wstore.clear()
     return 0 if ok else 1

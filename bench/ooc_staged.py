@@ -240,18 +240,29 @@ def phase2(spill_dir: str, *, grid_res: int = 64) -> None:
         print(f"[phase2] plan: sweep={tsw} budget={budget / 1e9:.1f}GB "
               f"modeled refetch={plan['trsm_traffic'] / 1e9:.0f}GB",
               flush=True)
+    coords, axis = grid_mod.make_grid(grid_res, 1.5, dtype=jnp.float32)
+    keep_w = os.environ.get("OOC_KEEP_W", "").lower() not in \
+        ("", "0", "false", "off")
+    # The grid variance quad rides the TRSM itself (each W band consumed
+    # while device-resident, outofcore.ooc_solve_phase fused_query): no
+    # post-hoc W re-stream, and without OOC_KEEP_W the final sweep group
+    # skips its writeback entirely.  A mid-TRSM resume falls back to the
+    # post-hoc query (earlier bands' contributions are gone).
     t0 = time.perf_counter()
-    m = ooc.ooc_solve_phase(spill_dir, w_dtype=jnp.float16, trsm_sweep=tsw,
-                            device_budget=budget)
+    m, pair = ooc.ooc_solve_phase(spill_dir, w_dtype=jnp.float16,
+                                  trsm_sweep=tsw, device_budget=budget,
+                                  fused_query=coords, keep_w=keep_w)
     trsm_s = time.perf_counter() - t0
     link_trsm = ooc.link_stats(reset=True)
-    print(f"PHASE2 trsm={trsm_s:.1f}s sweep={tsw} rss={_rss_gb():.1f}GB "
-          f"link={_fmt_link(link_trsm)}", flush=True)
+    print(f"PHASE2 trsm={trsm_s:.1f}s sweep={tsw} fused={pair is not None} "
+          f"rss={_rss_gb():.1f}GB link={_fmt_link(link_trsm)}", flush=True)
 
-    coords, axis = grid_mod.make_grid(grid_res, 1.5, dtype=jnp.float32)
     t0 = time.perf_counter()
-    mean, var = m.predict(coords)
-    jax.block_until_ready((mean, var))
+    if pair is not None:
+        mean, var = pair
+    else:
+        mean, var = m.predict(coords)
+        jax.block_until_ready((mean, var))
     query_s = time.perf_counter() - t0
     field = np.asarray(mean).reshape(grid_res, grid_res, grid_res)
     verts, _ = marching.marching_tetrahedra(field, np.asarray(axis))
@@ -352,12 +363,24 @@ def run(n: int, spill_dir: str, *, wd1: int = 7100, wd2: int = 12600) -> int:
     with open(os.path.join(spill_dir, "phase2.json")) as f:
         p2 = json.load(f)
     ok = p2["rmse"] < 0.01
-    print(json.dumps({
+    doc = {
         "metric": metric, "n": p1["n"],
         "fit_s": round(p1["fit_factor_s"] + p2["trsm_s"], 1),
         "query_s": round(p2["query_s"], 1), "total_s": round(total, 1),
         "rmse": p2["rmse"], "ok": bool(ok),
-    }))
+        "l_codec": p1.get("l_codec"),
+        "link": {"phase1": p1.get("link"), "trsm": p2.get("link_trsm"),
+                 "query": p2.get("link_query")},
+    }
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from gpis_tpu.utils.provenance import provenance
+
+        doc.update(provenance())
+    except Exception:
+        pass
+    print(json.dumps(doc))
     return 0 if ok else 1
 
 

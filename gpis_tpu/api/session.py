@@ -29,10 +29,9 @@ from gpis_tpu.kernels import functions as kf
 from gpis_tpu.surface import grid as grid_mod
 from gpis_tpu.surface import marching, projection
 from gpis_tpu.utils import checkpoint as ckpt
-from gpis_tpu.utils.compile_cache import enable as _enable_compile_cache
+from gpis_tpu.gp.kinds import model_kind
+from gpis_tpu.utils import compile_cache as _compile_cache
 from gpis_tpu.utils.logging import get_logger
-
-_enable_compile_cache()
 
 __all__ = ["ObjectModelSession"]
 
@@ -66,6 +65,11 @@ class ObjectModelSession:
     def __init__(self, config: ModelConfig | None = None,
                  explore: ExploreConfig | None = None,
                  mesh: MeshConfig | None = None):
+        # Session construction (not library import) arms the persistent
+        # compile cache — still before the first compile it should serve,
+        # without mutating process-wide JAX config for applications that
+        # merely import gpis_tpu (GPIS_COMPILE_CACHE=0 opts out).
+        _compile_cache.enable()
         self.config = config or ModelConfig()
         self.explore_config = explore or ExploreConfig()
         # Sharded fitting is opt-in: only an explicitly-passed MeshConfig
@@ -102,6 +106,10 @@ class ObjectModelSession:
         import time as _time
 
         _t0 = _time.perf_counter()
+        # A live backend exists from here on: drop the persistent compile
+        # cache if JAX actually fell back to CPU (ADVICE r3 — stale CPU
+        # executables are machine-feature-unsafe across hosts).
+        _compile_cache.guard_cpu_backend()
         points = np.asarray(points, dtype=self.config.dtype)
         if points.ndim != 2 or points.shape[1] != 3 or len(points) == 0:
             raise ValueError(
@@ -124,11 +132,13 @@ class ObjectModelSession:
             # Local-expert committee (the EP axis, gp.experts): E balanced
             # spatial experts combined by (r)BCM — an approximate posterior
             # that fits 100k-class clouds in-core on one chip in seconds.
-            if normals is not None or out_of_core:
+            # With normals= each expert is a local JOINT GP (config 2 × EP:
+            # per-expert (4B)² factors are in-core at any committee scale).
+            if out_of_core:
                 raise ValueError(
-                    "experts= is the value-observation committee path; it "
-                    "does not compose with normals= or out_of_core= (use "
-                    "the exact joint / out-of-core fits for those)"
+                    "experts= is the in-core committee path; it does not "
+                    "compose with out_of_core= (the committee exists so the "
+                    "factor never exceeds HBM — use one or the other)"
                 )
             if self.mesh_config is not None and self.mesh_config.n_devices > 1:
                 raise ValueError(
@@ -138,17 +148,29 @@ class ObjectModelSession:
                 )
             from gpis_tpu.gp import experts as gpe
 
-            self.model = gpe.fit_experts(
-                cfg.kernel, ts.x, ts.y, ts.noise, params,
+            kw = dict(
                 n_experts=int(experts),
                 n_shared_tail=ts.n_internal + ts.n_external,
                 block=cfg.block, touch_capacity=cfg.touch_capacity,
                 pad_noise=cfg.pad_noise, beta=expert_beta,
                 gate=int(expert_gate),
             )
+            if normals is not None:
+                nrm_full, noise_g = _joint_obs(ts, normals, points, cfg)
+                # Kept for the hyperopt refit (the stacked per-expert
+                # normals are not trivially un-partitionable).
+                self._joint_expert_obs = (nrm_full, noise_g)
+                self.model = gpe.fit_experts_joint(
+                    cfg.kernel, ts.x, ts.y, nrm_full, ts.noise, noise_g,
+                    params, **kw)
+            else:
+                self.model = gpe.fit_experts(
+                    cfg.kernel, ts.x, ts.y, ts.noise, params, **kw)
             self.stats["fit_s"] = _time.perf_counter() - _t0
-            log.info("fit(experts): %d pts -> %d experts x capacity %d "
-                     "(%s, %s) in %.3fs", len(points), self.model.n_experts,
+            log.info("fit(experts%s): %d pts -> %d experts x capacity %d "
+                     "(%s, %s) in %.3fs",
+                     ", joint" if normals is not None else "",
+                     len(points), self.model.n_experts,
                      self.model.capacity, cfg.kernel, expert_beta,
                      self.stats["fit_s"])
             return self
@@ -336,7 +358,8 @@ class ObjectModelSession:
         """Reference `update` service (§4.5): append tactile points (label 0,
         low touch noise) and refit incrementally."""
         self._require_model()
-        if hasattr(self.model, "wstore"):
+        kind = model_kind(self.model)
+        if kind in ("ooc", "ooc_joint"):
             # Out-of-core model: bordering with the factor streamed from the
             # panel store (one W stream per batch, linalg.outofcore
             # .ooc_update) — the in-core tail block holds up to
@@ -352,7 +375,7 @@ class ObjectModelSession:
             log.info("update(out-of-core): +%d touch points (%d/%d tail "
                      "slots)", pts.shape[0], self.model.n_tail, cap)
             return self
-        if hasattr(self.model, "mesh"):
+        if kind in ("sharded", "sharded_joint"):
             # Both sharded models (value-only and joint) implement the
             # tail-band bordering update; touch points land in preallocated
             # last-band slots, never a full refactor.
@@ -370,7 +393,7 @@ class ObjectModelSession:
         )
         y = (jnp.zeros(pts.shape[0], pts.dtype) if targets is None
              else jnp.asarray(targets, pts.dtype))
-        if hasattr(self.model, "centroids"):
+        if kind == "experts":
             # Expert committee: each touch is routed to its nearest expert
             # and bordered into that expert's factor only (gp.experts).
             from gpis_tpu.gp import experts as gpe
@@ -379,7 +402,7 @@ class ObjectModelSession:
             log.info("update(experts): +%d touch points (per-expert totals %s)",
                      pts.shape[0], np.asarray(self.model.n_touch).tolist())
             return self
-        if hasattr(self.model, "normals"):
+        if kind == "joint":
             from gpis_tpu.gp import derivative as gpd
 
             m = self.model
@@ -485,7 +508,8 @@ class ObjectModelSession:
         Dispatches to the joint objective when the model carries normals."""
         self._require_model()
         m = self.model
-        if hasattr(m, "wstore"):
+        kind = model_kind(m)
+        if kind in ("ooc", "ooc_joint"):
             # Out-of-core model: optimize the MLL on a training-set
             # subsample (a few thousand points pin lengthscale/noise; the
             # full objective would need one beyond-HBM factorization per
@@ -493,7 +517,7 @@ class ObjectModelSession:
             from gpis_tpu.linalg import outofcore as ooc
 
             method = kw.pop("method", "subsample")
-            if getattr(m, "meta", None) is not None:
+            if kind == "ooc_joint":
                 # Joint out-of-core model: optimize the joint MLL — on a
                 # core subsample by default (like the sharded-joint path —
                 # a few thousand points pin the kernel), or with full-data
@@ -625,7 +649,7 @@ class ObjectModelSession:
                      "ls=%.4f noise x%.3f", desc, res.mll,
                      float(res.params["lengthscale"]), scale)
             return res
-        if hasattr(m, "centroids"):
+        if kind == "experts":
             # Expert committee: hyperparameters are global.  Two methods:
             # "subsample" (default) optimizes the exact single-GP MLL on a
             # training-set subsample, like the out-of-core path; "poe"
@@ -636,6 +660,7 @@ class ObjectModelSession:
             from gpis_tpu.gp import experts as gpe
 
             method = kw.pop("method", "subsample")
+            joint_obs = getattr(self, "_joint_expert_obs", None)
             if method == "poe":
                 kw.pop("subsample", None)
                 res = gpe.optimize_experts(m, **kw)
@@ -652,18 +677,26 @@ class ObjectModelSession:
                 sub = int(kw.pop("subsample", 4096))
                 step = max(1, ts_sub.x.shape[0] // sub)
                 xs = jnp.asarray(ts_sub.x[::step])
-                res = ho.optimize(
-                    m.kernel, xs, jnp.asarray(ts_sub.y[::step]),
-                    jnp.asarray(ts_sub.noise[::step]), m.params,
-                    n_real=xs.shape[0], **kw,
-                )
+                if m.joint:
+                    nrm_full, noise_g = joint_obs
+                    res = ho.optimize_joint(
+                        m.kernel, xs, jnp.asarray(ts_sub.y[::step]),
+                        nrm_full[::step], jnp.asarray(ts_sub.noise[::step]),
+                        noise_g[::step], m.params, n_real=xs.shape[0], **kw,
+                    )
+                else:
+                    res = ho.optimize(
+                        m.kernel, xs, jnp.asarray(ts_sub.y[::step]),
+                        jnp.asarray(ts_sub.noise[::step]), m.params,
+                        n_real=xs.shape[0], **kw,
+                    )
             else:
                 raise ValueError(
                     f"unknown hyperopt method {method!r} for an expert "
                     "committee (use 'subsample' or 'poe')"
                 )
             ts = self.training
-            if ts is None:
+            if ts is None or (m.joint and joint_obs is None):
                 raise ValueError(
                     "refitting a restored experts session needs the "
                     "original training set; re-start() from the cloud, or "
@@ -671,8 +704,7 @@ class ObjectModelSession:
                 )
             scale = float(res.noise_scale)
             old = m
-            self.model = gpe.fit_experts(
-                m.kernel, ts.x, ts.y, ts.noise * scale, res.params,
+            ekw = dict(
                 n_experts=old.n_experts,
                 n_shared_tail=ts.n_internal + ts.n_external,
                 block=self.config.block,
@@ -680,26 +712,39 @@ class ObjectModelSession:
                 pad_noise=self.config.pad_noise, beta=old.beta,
                 gate=old.gate,
             )
+            if m.joint:
+                nrm_full, noise_g = joint_obs
+                scale_g = float(getattr(res, "noise_scale_g", 1.0) or 1.0)
+                self.model = gpe.fit_experts_joint(
+                    m.kernel, ts.x, ts.y, nrm_full, ts.noise * scale,
+                    noise_g * scale_g, res.params, **ekw)
+            else:
+                self.model = gpe.fit_experts(
+                    m.kernel, ts.x, ts.y, ts.noise * scale, res.params,
+                    **ekw)
             # Replay the routed touch observations from the old slots
             # (re-routing against the fresh centroids is fine — routing is
             # a locality heuristic, the bordering math is exact either way).
             occ = np.asarray(old.n_touch)
             if occ.any():
-                n0 = old.n0
-                tx = np.concatenate([
-                    np.asarray(old.x[e, n0:n0 + k]) for e, k in enumerate(occ) if k
-                ])
-                ty = np.concatenate([
-                    np.asarray(old.y[e, n0:n0 + k]) for e, k in enumerate(occ) if k
-                ])
-                tn = np.concatenate([
-                    np.asarray(old.noise[e, n0:n0 + k]) for e, k in enumerate(occ) if k
-                ])
+                if old.joint:
+                    slots = [(old.touch_x[e, :k], old.touch_y[e, :k],
+                              old.touch_noise[e, :k])
+                             for e, k in enumerate(occ) if k]
+                else:
+                    n0 = old.n0
+                    slots = [(old.x[e, n0:n0 + k], old.y[e, n0:n0 + k],
+                              old.noise[e, n0:n0 + k])
+                             for e, k in enumerate(occ) if k]
+                tx = np.concatenate([np.asarray(s[0]) for s in slots])
+                ty = np.concatenate([np.asarray(s[1]) for s in slots])
+                tn = np.concatenate([np.asarray(s[2]) for s in slots])
                 self.model = gpe.update(self.model, tx, ty, tn)
-            log.info("hyperopt(experts, %s): mll=%.4f ls=%.4f", method,
+            log.info("hyperopt(experts%s, %s): mll=%.4f ls=%.4f",
+                     ", joint" if m.joint else "", method,
                      res.mll, float(res.params["lengthscale"]))
             return res
-        if hasattr(m, "mesh") and getattr(m, "normals", None) is not None:
+        if kind == "sharded_joint":
             from gpis_tpu.gp import sharded_joint as gsj
 
             method = kw.pop("method", "subsample")
@@ -767,14 +812,14 @@ class ObjectModelSession:
                      m.x[:n:step].shape[0], res.mll,
                      float(res.params["lengthscale"]))
             return res
-        if hasattr(m, "mesh"):
+        if kind == "sharded":
             method = kw.pop("method", "subsample")
             if method not in ("subsample", "distributed"):
                 raise ValueError(
                     f"unknown hyperopt method {method!r} for a sharded "
                     "model (use 'subsample' or 'distributed')"
                 )
-        if hasattr(m, "mesh") and method == "distributed":
+        if kind == "sharded" and method == "distributed":
             # True distributed hyperopt: exact MLL gradients over the mesh
             # (gp.sharded_hyperopt, gradient identities — no AD through
             # collectives).  Each step costs one sharded fit; the default
@@ -802,7 +847,7 @@ class ObjectModelSession:
                 noise_scale=res_d["noise_scale"], history=res_d["history"],
                 mll=res_d["mll"],
             )
-        if hasattr(m, "mesh"):
+        if kind == "sharded":
             # Sharded model: optimize the MLL on a single-chip subsample
             # (hyperparameters are global; a few thousand points pin them),
             # then refit the full sharded model with the optimum.
@@ -841,7 +886,7 @@ class ObjectModelSession:
                 "('distributed' needs a sharded fit, 'stream' an "
                 "out-of-core fit)"
             )
-        if hasattr(m, "normals"):
+        if kind == "joint":
             from gpis_tpu.gp import derivative as gpd
 
             res = ho.optimize_joint(
@@ -910,7 +955,7 @@ class ObjectModelSession:
         # Restored out-of-core models come back with every W panel on disk;
         # pin them into the idle HBM like start() does (promotion never
         # touches the checkpoint's files — see TieredPanelStore.promote).
-        if hasattr(self.model, "promote_for_serving"):
+        if model_kind(self.model) in ("ooc", "ooc_joint"):
             self.model.promote_for_serving()
         d = np.load(path + ".frame.npz")
         self.frame = gpis.Frame(

@@ -67,12 +67,14 @@ __all__ = [
     "ExpertGPModel",
     "partition_cloud",
     "fit_experts",
+    "fit_experts_joint",
     "optimize_experts",
     "predict",
     "predict_mean",
     "predict_sharded",
     "update",
     "expert_view",
+    "expert_chol",
 ]
 
 
@@ -102,6 +104,16 @@ class ExpertGPModel:
     pad_noise: float = dataclasses.field(metadata=dict(static=True), default=1e10)
     beta: str = dataclasses.field(metadata=dict(static=True), default="rbcm")
     gate: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # --- joint (config-2) committee state: normals as first-class gradient
+    # observations per expert.  When `normals` is set the factors span the
+    # per-expert JOINT system (J = 4B + T rows, gp.derivative layout) and
+    # tactile slots live at the joint tail (touch_* stacks) instead of
+    # inside the B point rows.
+    normals: jax.Array | None = dataclasses.field(default=None)   # (E, B, 3)
+    noise_g: jax.Array | None = dataclasses.field(default=None)   # (E, B)
+    touch_x: jax.Array | None = dataclasses.field(default=None)   # (E, T, 3)
+    touch_y: jax.Array | None = dataclasses.field(default=None)   # (E, T)
+    touch_noise: jax.Array | None = dataclasses.field(default=None)  # (E, T)
 
     @property
     def n_experts(self) -> int:
@@ -110,6 +122,16 @@ class ExpertGPModel:
     @property
     def capacity(self) -> int:  # per-expert capacity B
         return self.x.shape[1]
+
+    @property
+    def joint(self) -> bool:
+        return self.normals is not None
+
+    @property
+    def touch_capacity(self) -> int:
+        if self.joint:
+            return 0 if self.touch_x is None else self.touch_x.shape[1]
+        return self.capacity - self.n0
 
     @property
     def dtype(self):
@@ -174,6 +196,33 @@ def partition_cloud(points, n_experts: int, *, iters: int = 8, seed: int = 0):
     return cent, groups
 
 
+def _partition_with_halo(pts_own, n_experts: int, *, n_halo: int = 0,
+                         seed: int = 0):
+    """Balanced partition plus optional boundary halo: each expert
+    additionally replicates the `n_halo` surface points nearest its
+    centroid that the partition assigned elsewhere (smooths the committee
+    seam where neighboring experts both extrapolate).  Host prep, O(N·E)
+    like the partition itself."""
+    centroids, groups = partition_cloud(pts_own, n_experts, seed=seed)
+    e = len(groups)
+    n_own = pts_own.shape[0]
+    if n_halo > 0 and e > 1:
+        own = np.asarray(pts_own, np.float64)
+        member = np.zeros((n_own, e), bool)
+        for k, g in enumerate(groups):
+            member[g, k] = True
+        d = ((own[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        halo_groups = []
+        for k, g in enumerate(groups):
+            dk = np.where(member[:, k], np.inf, d[:, k])
+            take = min(int(n_halo), n_own - len(g))
+            halo = np.argpartition(dk, take - 1)[:take] if take > 0 else \
+                np.empty((0,), np.int64)
+            halo_groups.append(np.concatenate([g, np.sort(halo)]))
+        groups = halo_groups
+    return centroids, groups
+
+
 # --------------------------------------------------------------------- fit
 
 
@@ -228,24 +277,9 @@ def fit_experts(
     if n_own <= 0:
         raise ValueError("no partitionable rows (n_shared_tail >= N)")
     x_host = np.asarray(x)
-    centroids, groups = partition_cloud(x_host[:n_own], n_experts, seed=seed)
+    centroids, groups = _partition_with_halo(
+        x_host[:n_own], n_experts, n_halo=n_halo, seed=seed)
     e = len(groups)
-    if n_halo > 0 and e > 1:
-        # Boundary halo: nearest foreign surface points by centroid
-        # distance.  Host prep, O(N·E) like the partition itself.
-        own = x_host[:n_own].astype(np.float64)
-        member = np.zeros((n_own, e), bool)
-        for k, g in enumerate(groups):
-            member[g, k] = True
-        d = ((own[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-        halo_groups = []
-        for k, g in enumerate(groups):
-            dk = np.where(member[:, k], np.inf, d[:, k])
-            take = min(int(n_halo), n_own - len(g))
-            halo = np.argpartition(dk, take - 1)[:take] if take > 0 else \
-                np.empty((0,), np.int64)
-            halo_groups.append(np.concatenate([g, np.sort(halo)]))
-        groups = halo_groups
 
     max_own = max(len(g) for g in groups)
     n0 = round_up(max_own + n_shared_tail, block)
@@ -359,18 +393,213 @@ def fit_experts(
     )
 
 
+def fit_experts_joint(
+    kernel: str,
+    x,
+    y,
+    normals,
+    noise_f,
+    noise_g,
+    params,
+    *,
+    n_experts: int,
+    n_shared_tail: int = 0,
+    block: int = 128,
+    touch_capacity: int = 64,
+    pad_noise: float = 1e10,
+    dtype=None,
+    beta: str = "rbcm",
+    gate: int = 0,
+    seed: int = 0,
+    max_jitter_retries: int = 6,
+    n_halo: int = 0,
+    retain_chol: bool | None = None,
+) -> ExpertGPModel:
+    """Config 2 × EP: a committee of local JOINT GPs — each expert observes
+    its own surface points' values AND unit normals (gradient rows, the
+    gp.derivative layout: per-expert factor J = 4B + T).  Each expert's
+    joint factor is only (4B)² — in-core at any committee scale — so
+    derivative observations compose with the fast approximate 100k-class
+    path (VERDICT r3 missing #3).  The rBCM combine is observation-type
+    agnostic: expert posteriors enter as (mean, variance) regardless of
+    what they were conditioned on.  Tactile slots live at each expert's
+    joint tail and take the exact single-model bordering
+    (gp.derivative.update_joint) via `update`.
+
+    `normals` rows for the shared GPIS anchor tail should be zero with
+    `noise_g` at pad_noise (the session's `_joint_obs` builds exactly
+    that), so anchors stay value-only observations in every expert."""
+    from gpis_tpu.kernels import derivative as kd
+
+    dtype = dtype or x.dtype
+    x = jnp.asarray(x, dtype)
+    y = jnp.asarray(y, dtype)
+    normals = jnp.asarray(normals, dtype)
+    n = x.shape[0]
+    noise_f = jnp.broadcast_to(jnp.asarray(noise_f, dtype), (n,))
+    noise_g = jnp.broadcast_to(jnp.asarray(noise_g, dtype), (n,))
+    n_own = n - n_shared_tail
+    if n_own <= 0:
+        raise ValueError("no partitionable rows (n_shared_tail >= N)")
+    x_host = np.asarray(x)
+    centroids, groups = _partition_with_halo(
+        x_host[:n_own], n_experts, n_halo=n_halo, seed=seed)
+    e = len(groups)
+
+    max_own = max(len(g) for g in groups)
+    c = round_up(max_own + n_shared_tail, block)
+    t = round_up(touch_capacity, block) if touch_capacity else 0
+    if 4 * c + t >= 4096:
+        # Same MXU-friendly joint sizing as gp.derivative.fit_with_normals.
+        c = round_up(c, 256)
+        if t:
+            t = align_capacity(4 * c + t) - 4 * c
+    j_tot = 4 * c + t
+
+    shared = np.arange(n_own, n)
+    xs, ys, nfs, ngs, nrms = [], [], [], [], []
+    for g in groups:
+        idx = np.concatenate([g, shared])
+        m = len(idx)
+        xs.append(jnp.zeros((c, 3), dtype).at[:m].set(x[idx]))
+        ys.append(jnp.zeros((c,), dtype).at[:m].set(y[idx]))
+        nfs.append(jnp.full((c,), pad_noise, dtype).at[:m].set(noise_f[idx]))
+        ngs.append(jnp.full((c,), pad_noise, dtype).at[:m].set(noise_g[idx]))
+        nrms.append(jnp.zeros((c, 3), dtype).at[:m].set(normals[idx]))
+    xs, ys = jnp.stack(xs), jnp.stack(ys)
+    nfs, ngs, nrms = jnp.stack(nfs), jnp.stack(ngs), jnp.stack(nrms)
+
+    eps = float(jnp.finfo(dtype).eps)
+    params_cast = {k: jnp.asarray(v, dtype) for k, v in params.items()}
+    k0 = float(kf.k_diag0(kernel, params_cast))
+    jitter = 4.0 * eps * j_tot * abs(k0)
+
+    want_linv = j_tot >= 512
+    hp = jax.lax.Precision.HIGHEST
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+
+    def _linv(l):
+        if on_tpu and j_tot >= 1024 and j_tot % 256 == 0:
+            from gpis_tpu.linalg.pallas_chol import pallas_blocked_linv
+
+            return pallas_blocked_linv(l, 256)
+        return lin.blocked_linv(l, 512 if j_tot % 512 == 0 else j_tot)
+
+    itemsize = jnp.dtype(dtype).itemsize
+    retain = (not want_linv if retain_chol is None
+              else (retain_chol or not want_linv))
+    if retain_chol is None and want_linv:
+        retain = 2 * e * j_tot * j_tot * itemsize <= 4_000_000_000
+
+    tx0 = jnp.zeros((t, 3), dtype) if t else None
+    tn0 = jnp.full((t,), pad_noise, dtype) if t else None
+
+    @jax.jit
+    def _fit_program(xs, ys, nfs, ngs, nrms):
+        def one(args):
+            xe, ye, nfe, nge, nrme = args
+            k = kd.joint_gram(kernel, xe, params_cast, noise_f=nfe,
+                              noise_g=nge, touch_x=tx0, touch_noise=tn0)
+            l = lin.cholesky(k)
+            yj = kd.joint_targets(ye, nrme)
+            if t:
+                yj = jnp.concatenate([yj, jnp.zeros((t,), dtype)])
+            if not want_linv:
+                return {"diag": jnp.diagonal(l), "l": l,
+                        "alpha": lin.cho_solve(l, yj)}
+            w = _linv(l)
+            # Newton-refined W — same rationale as the value committee
+            # (docs/PERF.md rule 7: rBCM weights cannot tolerate the raw
+            # Pallas inverse's O(eps·κ) absolute quad error).
+            eye = jnp.eye(j_tot, dtype=w.dtype)
+            r = eye - _mm(l, w, precision=hp)
+            w = jnp.tril(w + _mm(w, r, precision=hp))
+            alpha = _mm(w.T, _mm(w, yj, precision=hp), precision=hp)
+            out = {"diag": jnp.diagonal(l), "w": w, "alpha": alpha}
+            if retain:
+                out["l"] = l
+            return out
+
+        return jax.lax.map(one, (xs, ys, nfs, ngs, nrms))
+
+    extra = np.zeros((e,), np.float64)
+    for attempt in range(max_jitter_retries + 1):
+        ej = jnp.asarray(extra, dtype)[:, None]
+        out = _fit_program(xs, ys, nfs + ej, ngs + ej, nrms)
+        bad = np.asarray(jnp.isnan(out["diag"]).any(axis=1))
+        if not bad.any():
+            break
+        extra[bad] = jitter * (10.0 ** attempt)
+    else:
+        raise FloatingPointError(
+            f"joint expert Cholesky failed even with jitter {extra.max():.2e}"
+        )
+
+    ej = jnp.asarray(extra, dtype)[:, None]
+    return ExpertGPModel(
+        x=xs,
+        y=ys,
+        noise=nfs + ej,
+        params=params_cast,
+        chol=out.get("l"),
+        alpha=out["alpha"],
+        linv=out.get("w"),
+        n_touch=jnp.zeros((e,), jnp.int32),
+        centroids=jnp.asarray(centroids, dtype),
+        kernel=kernel,
+        n0=c,
+        pad_noise=pad_noise,
+        beta=beta,
+        gate=int(gate),
+        normals=nrms,
+        noise_g=ngs + ej,
+        touch_x=jnp.zeros((e, t, 3), dtype) if t else None,
+        touch_y=jnp.zeros((e, t), dtype) if t else None,
+        touch_noise=jnp.full((e, t), pad_noise, dtype) if t else None,
+    )
+
+
 def expert_chol(model: ExpertGPModel, e: int) -> jax.Array:
     """Expert e's Cholesky factor — the stored stack when retained, else
     one on-demand refactor (touch updates on a chol=None large committee:
     one B³/3 Pallas factorization beats holding E of them in HBM)."""
     if model.chol is not None:
         return model.chol[e]
+    if model.joint:
+        from gpis_tpu.kernels import derivative as kd
+
+        k = kd.joint_gram(model.kernel, model.x[e], model.params,
+                          noise_f=model.noise[e], noise_g=model.noise_g[e],
+                          touch_x=(None if model.touch_x is None
+                                   else model.touch_x[e]),
+                          touch_noise=(None if model.touch_noise is None
+                                       else model.touch_noise[e]))
+        return lin.cholesky(k)
     k = kg.gram(model.kernel, model.x[e], model.params, noise=model.noise[e])
     return lin.cholesky(k)
 
 
-def expert_view(model: ExpertGPModel, e: int) -> GPModel:
-    """Expert e as a plain GPModel (reuses the single-model update/tests)."""
+def expert_view(model: ExpertGPModel, e: int):
+    """Expert e as a plain single-expert model (GPModel, or DerivGPModel
+    for a joint committee) — reuses the single-model update/tests."""
+    if model.joint:
+        from gpis_tpu.gp.derivative import DerivGPModel
+
+        return DerivGPModel(
+            x=model.x[e], y=model.y[e], normals=model.normals[e],
+            noise_f=model.noise[e], noise_g=model.noise_g[e],
+            params=model.params, chol=expert_chol(model, e),
+            alpha=model.alpha[e], kernel=model.kernel, n0=model.n0,
+            linv=None if model.linv is None else model.linv[e],
+            touch_x=None if model.touch_x is None else model.touch_x[e],
+            touch_y=None if model.touch_y is None else model.touch_y[e],
+            touch_noise=(None if model.touch_noise is None
+                         else model.touch_noise[e]),
+            n_touch=None if model.touch_x is None else model.n_touch[e],
+        )
     return GPModel(
         x=model.x[e], y=model.y[e], noise=model.noise[e], params=model.params,
         chol=expert_chol(model, e), alpha=model.alpha[e],
@@ -415,11 +644,28 @@ def _combine(means, varis, k0, mode: str, capacity: int = 4):
     return mean, 1.0 / prec
 
 
+def _expert_cross(kernel, q, x_e, params, joint: bool, tx_e):
+    """cov(f(q), expert e's observation columns): plain value cross for the
+    value committee, the joint value-row layout (+ tactile tail columns)
+    for the config-2 committee."""
+    if not joint:
+        return kg.cross_cov(kernel, q, x_e, params)
+    from gpis_tpu.kernels import derivative as kd
+
+    kq = kd.cross_cov_value(kernel, q, x_e, params)  # (M, 4B)
+    if tx_e is not None:
+        kq = jnp.concatenate(
+            [kq, kg.cross_cov(kernel, q, tx_e, params)], axis=1)
+    return kq
+
+
 @functools.partial(
-    jax.jit, static_argnames=("kernel", "mode", "use_fused", "use_linv")
+    jax.jit,
+    static_argnames=("kernel", "mode", "use_fused", "use_linv", "joint"),
 )
 def _gated_program(kernel, params, x, alpha, fac, qp, sel, k0,
-                   mode: str, use_fused: bool, use_linv: bool):
+                   mode: str, use_fused: bool, use_linv: bool,
+                   joint: bool = False, tx=None):
     """ONE dispatch for a whole gated dense-grid query (docs/PERF.md: the
     remote dispatch round-trip dominates unjitted chunk loops).
 
@@ -427,22 +673,36 @@ def _gated_program(kernel, params, x, alpha, fac, qp, sel, k0,
     ids per chunk (host-gated by centroid distance).  Outer lax.map streams
     chunks; per chunk the G gated experts' (B,·) state is gathered from the
     stacked (E,·) leaves and an inner lax.map runs the per-expert posterior
-    — the fused Pallas query kernel on TPU (kq in VMEM vs W tiles)."""
+    — the fused Pallas query kernel on TPU (kq in VMEM vs W tiles).
+    `joint=True` (config-2 committee) builds the value-query cross against
+    each expert's JOINT columns plus tactile tail columns from `tx`."""
 
     def chunk_fn(args):
         qc, s = args
         xg = jnp.take(x, s, axis=0)  # (G, B, 3)
-        ag = jnp.take(alpha, s, axis=0)  # (G, B)
-        fg = jnp.take(fac, s, axis=0)  # (G, B, B)
+        ag = jnp.take(alpha, s, axis=0)  # (G, J)
+        fg = jnp.take(fac, s, axis=0)  # (G, J, J)
+        tg = None if tx is None else jnp.take(tx, s, axis=0)  # (G, T, 3)
 
         def one(arg):
-            xe, ae, fe = arg
+            if tx is None:
+                xe, ae, fe = arg
+                txe = None
+            else:
+                xe, ae, fe, txe = arg
+            if use_fused and joint:
+                from gpis_tpu.kernels.pallas_joint import (
+                    fused_joint_query_pallas)
+
+                mean, quad = fused_joint_query_pallas(
+                    kernel, qc, xe, params, ae, fe, touch_x=txe)
+                return mean, k0 - quad
             if use_fused:
                 from gpis_tpu.kernels.pallas_query import fused_query_pallas
 
                 mean, quad = fused_query_pallas(kernel, qc, xe, params, ae, fe)
                 return mean, k0 - quad
-            kq = kg.cross_cov(kernel, qc, xe, params)
+            kq = _expert_cross(kernel, qc, xe, params, joint, txe)
             hp = jax.lax.Precision.HIGHEST
             mean = _mm(kq, ae, precision=hp)
             if use_linv:
@@ -451,7 +711,8 @@ def _gated_program(kernel, params, x, alpha, fac, qp, sel, k0,
                 v = lin.solve_lower(fe, kq.T)
             return mean, k0 - jnp.sum(v * v, axis=0)
 
-        means, varis = jax.lax.map(one, (xg, ag, fg))
+        operands = (xg, ag, fg) if tx is None else (xg, ag, fg, tg)
+        means, varis = jax.lax.map(one, operands)
         return _combine(means, varis, k0, mode, x.shape[1])
 
     return jax.lax.map(chunk_fn, (qp, sel))
@@ -462,9 +723,10 @@ def _stats_all(model: ExpertGPModel, q):
     predict_mean under jit/grad and by small query batches."""
     k0 = kf.k_diag0(model.kernel, model.params)
     hp = jax.lax.Precision.HIGHEST
+    joint = model.joint
 
-    def one(x_e, alpha_e, fac_e):
-        kq = kg.cross_cov(model.kernel, q, x_e, model.params)
+    def one(x_e, alpha_e, fac_e, tx_e=None):
+        kq = _expert_cross(model.kernel, q, x_e, model.params, joint, tx_e)
         mean = _mm(kq, alpha_e, precision=hp)
         if model.linv is not None:
             v = _mm(fac_e, kq.T, precision=hp)
@@ -473,6 +735,8 @@ def _stats_all(model: ExpertGPModel, q):
         return mean, k0 - jnp.sum(v * v, axis=0)
 
     fac = model.linv if model.linv is not None else model.chol
+    if joint and model.touch_x is not None:
+        return jax.vmap(one)(model.x, model.alpha, fac, model.touch_x)
     return jax.vmap(one)(model.x, model.alpha, fac)
 
 
@@ -509,14 +773,21 @@ def predict(model: ExpertGPModel, q, *, gate: int | None = None,
     d = np.pad(d, ((0, pad), (0, 0)), constant_values=np.inf)
     d = d.reshape(n_chunks, chunk, e).min(1)  # (n_chunks, E)
     sel = np.argsort(d, axis=1, kind="stable")[:, :g].astype(np.int32)
-    use_fused = model.linv is not None and gpr._use_fused_query(
-        expert_view(model, 0), qp[0]
-    )
+    ev0 = expert_view(model, 0)
+    if model.joint:
+        from gpis_tpu.gp import derivative as gpd
+
+        use_fused = model.linv is not None and gpd._use_fused_joint_query(
+            ev0, qp[0])
+    else:
+        use_fused = model.linv is not None and gpr._use_fused_query(
+            ev0, qp[0])
     fac = model.linv if model.linv is not None else model.chol
     mean, var = _gated_program(
         model.kernel, model.params, model.x, model.alpha, fac, qp,
         jnp.asarray(sel), jnp.asarray(k0, model.dtype), model.beta,
-        use_fused, model.linv is not None,
+        use_fused, model.linv is not None, joint=model.joint,
+        tx=model.touch_x if model.joint else None,
     )
     return mean.ravel()[:m], var.ravel()[:m]
 
@@ -547,15 +818,18 @@ def predict_sharded(model: ExpertGPModel, q, mesh, *, axis: str = "expert"):
     kernel, params = model.kernel, model.params
     use_linv = model.linv is not None
     fac = model.linv if use_linv else model.chol
+    joint = model.joint
+    has_touch = joint and model.touch_x is not None
 
-    def local(xs, alphas, facs, qq):
-        def one(x_e, alpha_e, fac_e):
-            kq = kg.cross_cov(kernel, qq, x_e, params)
+    def local(xs, alphas, facs, txs, qq):
+        def one(x_e, alpha_e, fac_e, tx_e):
+            kq = _expert_cross(kernel, qq, x_e, params, joint,
+                               tx_e if has_touch else None)
             mean = kq @ alpha_e
             v = (fac_e @ kq.T) if use_linv else lin.solve_lower(fac_e, kq.T)
             return mean, k0 - jnp.sum(v * v, axis=0)
 
-        means, varis = jax.vmap(one)(xs, alphas, facs)
+        means, varis = jax.vmap(one)(xs, alphas, facs, txs)
         beta, vc = _beta_weights(varis, k0, mode, means.dtype, xs.shape[1])
         s_prec = jax.lax.psum(jnp.sum(beta / vc, axis=0), axis)
         s_mean = jax.lax.psum(jnp.sum(beta * means / vc, axis=0), axis)
@@ -563,13 +837,17 @@ def predict_sharded(model: ExpertGPModel, q, mesh, *, axis: str = "expert"):
         prec = s_prec + (1.0 - s_beta) / k0
         return s_mean / prec, 1.0 / prec
 
+    # txs rides along even for value committees (a tiny dummy) so the
+    # shard_map signature stays fixed.
+    txs = (model.touch_x if has_touch
+           else jnp.zeros((model.n_experts, 1, 3), model.dtype))
     sm = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=(P(), P()),
     )
-    return jax.jit(sm)(model.x, model.alpha, fac, q)
+    return jax.jit(sm)(model.x, model.alpha, fac, txs, q)
 
 
 def shard_experts(model: ExpertGPModel, mesh, *, axis: str = "expert"):
@@ -582,7 +860,9 @@ def shard_experts(model: ExpertGPModel, mesh, *, axis: str = "expert"):
     return dataclasses.replace(
         model, x=put(model.x), y=put(model.y), noise=put(model.noise),
         chol=put(model.chol), alpha=put(model.alpha), linv=put(model.linv),
-        n_touch=put(model.n_touch),
+        n_touch=put(model.n_touch), normals=put(model.normals),
+        noise_g=put(model.noise_g), touch_x=put(model.touch_x),
+        touch_y=put(model.touch_y), touch_noise=put(model.touch_noise),
     )
 
 
@@ -621,6 +901,13 @@ def optimize_experts(
 
     from gpis_tpu.gp.hyperopt import HyperoptResult
 
+    if model.joint:
+        raise ValueError(
+            "optimize_experts' PoE objective covers value-observation "
+            "committees; for a joint (normals) committee use the session's "
+            "subsample hyperopt (gp.hyperopt.optimize_joint on a core "
+            "subsample), which pins the shared hyperparameters the same way"
+        )
     dt = model.dtype
     xs, ys, ns = model.x, model.y, model.noise
     n0 = model.n0
@@ -712,18 +999,37 @@ def update(model: ExpertGPModel, new_x, new_y, new_noise,
     k0 = float(kf.k_diag0(model.kernel, model.params))
     floor = 4.0 * eps * model.capacity * abs(k0)
     n0 = model.n0
+    joint = model.joint
+    if joint and model.touch_x is None:
+        raise ValueError(
+            "this joint committee was fitted with touch_capacity=0; refit "
+            "with tactile slots to take touch updates"
+        )
     for e in np.unique(route):
         sel = route == e
         base = np.maximum(new_noise[sel], floor)
         ev = expert_view(model, int(e))  # one factor recompute if chol=None
+        prev = int(model.n_touch[int(e)])
+        if joint and prev + int(sel.sum()) > model.touch_capacity:
+            raise ValueError(
+                f"expert {int(e)}'s joint tactile slots would overflow "
+                f"({prev}+{int(sel.sum())} > {model.touch_capacity}); refit "
+                "the committee folding the accumulated touches (session "
+                "hyperopt refit does this) or raise touch_capacity"
+            )
+        # The joint tail rows sit at [4*n0, 4*n0 + T); value slots inside
+        # the point rows at [n0, B).
+        t0 = 4 * n0 if joint else n0
         for attempt in range(max_jitter_retries + 1):
             noise_a = base * (10.0 ** attempt)
-            m_e = gpr.update(
-                ev,
-                jnp.asarray(new_x[sel], dt),
-                jnp.asarray(new_y[sel], dt),
-                jnp.asarray(noise_a, dt),
-            )
+            args = (ev, jnp.asarray(new_x[sel], dt),
+                    jnp.asarray(new_y[sel], dt), jnp.asarray(noise_a, dt))
+            if joint:
+                from gpis_tpu.gp import derivative as gpd
+
+                m_e = gpd.update_joint(*args)
+            else:
+                m_e = gpr.update(*args)
             # Accept only a WELL-CONDITIONED bordered factor: the Schur
             # diagonal of a touch row is noise + (k0 - ||l21||^2) and can
             # come out barely positive when the f32 quad error exceeds the
@@ -731,11 +1037,10 @@ def update(model: ExpertGPModel, new_x, new_y, new_noise,
             # posterior mean moves AWAY from the observation; reproduced
             # on-chip).  diag^2 >= noise/4 is the honest bound: the true
             # Schur is >= the noise the row carries.
-            prev = int(model.n_touch[int(e)])
             occ = int(m_e.n_touch)
             d = np.asarray(jnp.diagonal(m_e.chol))
-            d_new = d[n0 + prev:n0 + occ]
-            if (not np.isnan(d[n0:n0 + occ]).any()
+            d_new = d[t0 + prev:t0 + occ]
+            if (not np.isnan(d[t0:t0 + occ]).any()
                     and (d_new * d_new >= 0.25 * noise_a.min()).all()):
                 break
         else:
@@ -744,15 +1049,25 @@ def update(model: ExpertGPModel, new_x, new_y, new_noise,
                 f"{float(base.max()) * 10.0 ** max_jitter_retries:.2e}"
             )
         ei = int(e)
-        model = dataclasses.replace(
-            model,
-            x=model.x.at[ei].set(m_e.x),
-            y=model.y.at[ei].set(m_e.y),
-            noise=model.noise.at[ei].set(m_e.noise),
+        rep = dict(
             chol=(None if model.chol is None
                   else model.chol.at[ei].set(m_e.chol)),
             alpha=model.alpha.at[ei].set(m_e.alpha),
-            linv=None if model.linv is None else model.linv.at[ei].set(m_e.linv),
+            linv=(None if model.linv is None
+                  else model.linv.at[ei].set(m_e.linv)),
             n_touch=model.n_touch.at[ei].set(m_e.n_touch),
         )
+        if joint:
+            rep.update(
+                touch_x=model.touch_x.at[ei].set(m_e.touch_x),
+                touch_y=model.touch_y.at[ei].set(m_e.touch_y),
+                touch_noise=model.touch_noise.at[ei].set(m_e.touch_noise),
+            )
+        else:
+            rep.update(
+                x=model.x.at[ei].set(m_e.x),
+                y=model.y.at[ei].set(m_e.y),
+                noise=model.noise.at[ei].set(m_e.noise),
+            )
+        model = dataclasses.replace(model, **rep)
     return model

@@ -319,15 +319,18 @@ def predict_mean(model: GPModel, q):
     """Posterior mean only — the cheap path used by Newton projection
     (reference §4.3), where `jax.grad` of this function supplies the
     posterior gradient the reference computed from kernel derivatives."""
-    if hasattr(model, "centroids"):  # local-expert committee (EP axis)
+    from gpis_tpu.gp.kinds import model_kind
+
+    kind = model_kind(model)
+    if kind == "experts":  # local-expert committee (EP axis)
         from gpis_tpu.gp import experts as gpe
 
         return gpe.predict_mean(model, q)
-    if hasattr(model, "wstore"):
+    if kind in ("ooc", "ooc_joint"):
         # Out-of-core model: the mean never touches the panel store — pure
         # jnp against the replicated alpha (plus the in-core touch tail),
         # so jax.grad for Newton projection works unchanged.
-        if getattr(model, "meta", None) is not None:
+        if kind == "ooc_joint":
             # Joint out-of-core model: alpha spans the dimension-major
             # [f | d1 | d2 | d3] factor rows; cross_cov_value produces the
             # matching (M, 4C) value-query block (differentiable).
@@ -344,13 +347,13 @@ def predict_mean(model: GPModel, q):
                                model.params) * mask[None, :]
             mean = mean + kq2 @ model.tail_alpha
         return mean
-    if hasattr(model, "normals") and model.normals is not None:
+    if kind in ("joint", "sharded_joint"):
         # Joint system (single-chip or sharded: x/alpha replicated either
         # way).  The cross-covariance layout must mirror alpha's:
         # [4C value+gradient core columns | T value-only touch columns].
         from gpis_tpu.kernels import derivative as kd
 
-        if hasattr(model, "mesh"):
+        if kind == "sharded_joint":
             # ShardedJointModel: model.x is (C+T, 3) with touch slots at the
             # tail; alpha is (4C+T,) (ADVICE r2 high #2).  The column layout
             # lives in ONE place — sharded_joint._joint_cross_fn — shared

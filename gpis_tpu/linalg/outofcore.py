@@ -1207,7 +1207,8 @@ def ooc_solve_alpha(lstore, y, *, panel: int, block: int = 256):
 def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256,
              accumulate_alpha: bool = True, width_quant: int = 2,
              sweep: int = 1, start_panel: int = 0,
-             end_panel: int | None = None, progress_cb=None):
+             end_panel: int | None = None, progress_cb=None,
+             on_panel=None, store_final: bool = True):
     """W = L^{-1} by left-looking row panels, consuming L panels as it goes
     (L panel j is freed once W panel j is computed).  Returns alpha =
     W^T (W y) accumulated per panel — or None with accumulate_alpha=False
@@ -1297,12 +1298,23 @@ def ooc_trsm(lstore, wstore, y, *, panel: int, block: int = 256,
         del u, ljj
         if accumulate_alpha:
             alpha = _alpha_accum(alpha, wj, y)
+        if on_panel is not None:
+            # Fused consumers (the dense-grid variance quad) see the sweep's
+            # full-width W rows while they are still device-resident — the
+            # post-hoc query's re-stream of spilled panels disappears.
+            on_panel(j0, wj)
         jax.block_until_ready(wj)
         if trace:
             t_fin = _time.perf_counter()
-        for rr in range(r):
-            w = _store_width(j + rr, panel, c, width_quant)
-            writer.put(j + rr, _dyn_rows(wj, rr * panel, size=panel)[:, :w])
+        # The FINAL sweep group's panels are never re-read by this TRSM
+        # (left-looking); when the caller's fused consumer replaced the
+        # post-hoc query and does not need a durable W (store_final=False),
+        # their writeback is pure waste on the slow d2h leg.
+        if store_final or j + r < nb_stop:
+            for rr in range(r):
+                w = _store_width(j + rr, panel, c, width_quant)
+                writer.put(j + rr,
+                           _dyn_rows(wj, rr * panel, size=panel)[:, :w])
         # The trimmed slices above carry the writeback; the full-width wj
         # must not stay resident through the NEXT sweep's k-steps.
         del wj
@@ -2381,7 +2393,8 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
                     trsm_sweep: int = 1,
                     device_budget: int | None = None,
                     resume: bool = True,
-                    stop_after: int | None = None) -> OOCModel | None:
+                    stop_after: int | None = None,
+                    fused_query=None, keep_w: bool = True):
     """Phase 2 of the process-split fit: reattach the persisted L store,
     run the panel-consuming TRSM (W replaces L on disk), and return the
     query-ready OOCModel.  Run in a FRESH process (see ooc_factor_phase).
@@ -2393,7 +2406,15 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
     missing panel (the caller must restore the consumed L panels >= that
     index, e.g. from a hardlink backup — bench/ooc_staged.py does).
     `stop_after` ends the run after that many total W panels and returns
-    None (chunked runs / tests); a later call finishes the job."""
+    None (chunked runs / tests); a later call finishes the job.
+
+    `fused_query` (M, 3 coords): accumulate the dense-grid variance quad
+    per sweep group WHILE each W band is still device-resident — the
+    post-hoc query's re-stream of spilled W panels disappears, and with
+    `keep_w=False` the final (widest, never re-read) sweep group skips its
+    writeback too.  Returns (model, (mean, var)) in this mode — or
+    (model, None) when a mid-TRSM resume already lost earlier bands'
+    contributions and the caller must query post-hoc."""
     import os
 
     _warm_d2h_async()
@@ -2448,6 +2469,7 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
         wstore = TieredPanelStore(budget, spill_dtype=w_dtype,
                                   spill_dir=wdir, write_through=True,
                                   tag=w_tag)
+    fused_pair = None
     if start < nb:
         # Fail fast with the fix instead of a 120 s panel-arrival timeout:
         # the TRSM consumes L panels as W replaces them, so a reattach that
@@ -2464,10 +2486,52 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
                 "unless OOC_KEEP_W=1). Restore the panels (phase2 re-links "
                 "them from L_backup) or re-run the factor phase."
             )
+        on_panel = None
+        fused_ok = (fused_query is not None and start == 0
+                    and stop_after is None)
+        if fused_ok:
+            # Column carrier: packed joint metadata when this is a joint
+            # factor (normals persisted), else the padded coordinates —
+            # same dispatch _quad_band uses.
+            if "normals" in d.files:
+                from gpis_tpu.kernels import pallas_joint as pj
+
+                coords_j, dirs_j, flag_j = pj.joint_meta(xp)
+                cols = jnp.concatenate(
+                    [coords_j, dirs_j, flag_j[:, None]], axis=1)
+            else:
+                cols = xp
+            kernel_name = kernel
+            q = jnp.asarray(fused_query, xp.dtype)
+            mq = q.shape[0]
+            chunk = 8192
+            padq = (-mq) % chunk
+            qpd = jnp.pad(q, ((0, padq), (0, 0))) if padq else q
+            chunks = [qpd[i:i + chunk] for i in range(0, qpd.shape[0], chunk)]
+            quads = [jnp.zeros((chunk,), xp.dtype) for _ in chunks]
+
+            def on_panel(j0, w_band):
+                for i, ch in enumerate(chunks):
+                    quads[i] = quads[i] + _quad_band(
+                        kernel_name, ch, cols, params, w_band, j0)
+
         ooc_trsm(lst, wstore, yp, panel=panel, block=block,
                  accumulate_alpha=False, width_quant=width_quant,
                  sweep=trsm_sweep, start_panel=start, end_panel=stop_after,
-                 progress_cb=lambda _j: wstore.save_manifest())
+                 progress_cb=lambda _j: wstore.save_manifest(),
+                 on_panel=on_panel, store_final=keep_w or not fused_ok)
+        if fused_ok:
+            means = [_mean_chunk(kernel, ch, cols, params, alpha)
+                     for ch in chunks]
+            k0 = kf.k_diag0(kernel, params).astype(xp.dtype)
+            mean = jnp.concatenate(means)[:mq]
+            var = jnp.clip(k0 - jnp.concatenate(quads), 0.0, k0)[:mq]
+            fused_pair = (jax.block_until_ready(mean),
+                          jax.block_until_ready(var))
+    elif fused_query is not None:
+        # TRSM already complete (resumed past the end): no bands to fuse
+        # into — the caller queries post-hoc through the stored W.
+        fused_pair = None
     if stop_after is not None and stop_after < nb:
         return None
     common = dict(kernel=kernel, x=xp, y=yp, params=params,
@@ -2480,10 +2544,14 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
         from gpis_tpu.kernels import pallas_joint as pj
 
         coords, dirs, flag = pj.joint_meta(xp)
-        return OOCJointModel(
+        model = OOCJointModel(
             noise=jnp.asarray(d["noise_f"]),
             meta=jnp.concatenate([coords, dirs, flag[:, None]], axis=1),
             normals=jnp.asarray(d["normals"]),
             noise_g=jnp.asarray(d["noise_g"]), n0=xp.shape[0], **common,
         )
-    return OOCModel(noise=np_, **common)
+    else:
+        model = OOCModel(noise=np_, **common)
+    if fused_query is not None:
+        return model, fused_pair
+    return model

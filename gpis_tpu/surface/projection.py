@@ -29,7 +29,10 @@ def _jittable(model) -> bool:
     streaming) cannot — they take the eager path, whose predict methods run
     their own jitted programs (ADVICE r2: tracing a sharded model crashed
     every config-5 planner call)."""
-    return not (hasattr(model, "mesh") or hasattr(model, "wstore"))
+    from gpis_tpu.gp.kinds import model_kind
+
+    return model_kind(model) not in ("sharded", "sharded_joint",
+                                     "ooc", "ooc_joint")
 
 
 def _mean_single(model: GPModel, x):

@@ -24,16 +24,19 @@ _FORMAT_VERSION = 1
 def save_model(path: str, model, *, factor: bool = True) -> None:
     """Save a GPModel, DerivGPModel (joint normals), ShardedGPModel, or
     OOCModel (W panels land beside the npz in `path + ".w/"`)."""
-    if hasattr(model, "wstore"):
+    from gpis_tpu.gp.kinds import model_kind
+
+    kind = model_kind(model)
+    if kind in ("ooc", "ooc_joint"):
         _save_ooc(path, model)
         return
-    if hasattr(model, "mesh"):
+    if kind in ("sharded", "sharded_joint"):
         _save_sharded(path, model)
         return
-    if hasattr(model, "centroids"):
+    if kind == "experts":
         _save_experts(path, model, factor=factor)
         return
-    joint = hasattr(model, "normals")
+    joint = kind == "joint"
     meta = {
         "format": _FORMAT_VERSION,
         "kernel": model.kernel,
@@ -221,6 +224,14 @@ def _save_experts(path: str, model, *, factor: bool = True) -> None:
         "param_lengthscale": np.asarray(model.params["lengthscale"]),
         "param_signal_variance": np.asarray(model.params["signal_variance"]),
     }
+    if model.normals is not None:
+        meta["experts_joint"] = True
+        arrays["normals"] = np.asarray(model.normals)
+        arrays["noise_g"] = np.asarray(model.noise_g)
+        if model.touch_x is not None:
+            arrays["touch_x"] = np.asarray(model.touch_x)
+            arrays["touch_y"] = np.asarray(model.touch_y)
+            arrays["touch_noise"] = np.asarray(model.touch_noise)
     if factor:
         if model.chol is not None:
             arrays["chol"] = np.asarray(model.chol)
@@ -231,27 +242,29 @@ def _save_experts(path: str, model, *, factor: bool = True) -> None:
 
 def _load_experts(d, meta):
     from gpis_tpu.gp.experts import ExpertGPModel
-    from gpis_tpu.linalg import cholesky as lin
 
     params = {
         "lengthscale": jnp.asarray(d["param_lengthscale"]),
         "signal_variance": jnp.asarray(d["param_signal_variance"]),
     }
     x = jnp.asarray(d["x"])
+    joint = bool(meta.get("experts_joint"))
+    extra = {}
+    if joint:
+        extra = {"normals": jnp.asarray(d["normals"]),
+                 "noise_g": jnp.asarray(d["noise_g"])}
+        for k in ("touch_x", "touch_y", "touch_noise"):
+            if k in d:
+                extra[k] = jnp.asarray(d[k])
     if meta["has_factor"]:
         # Pre-r4 checkpoints always stored chol; retain_chol=False ones
         # carry W only (chol stays None — expert_chol refactors on demand).
         chol = (jnp.asarray(d["chol"])
                 if meta.get("has_chol", True) and "chol" in d else None)
+        m0 = None
     else:
-        from gpis_tpu.kernels import gram as kg
-
-        chol = jnp.stack([
-            lin.cholesky(kg.gram(meta["kernel"], x[e], params,
-                                 noise=jnp.asarray(d["noise"][e])))
-            for e in range(x.shape[0])
-        ])
-    return ExpertGPModel(
+        chol, m0 = None, "recompute"
+    m = ExpertGPModel(
         x=x, y=jnp.asarray(d["y"]), noise=jnp.asarray(d["noise"]),
         params=params, chol=chol, alpha=jnp.asarray(d["alpha"]),
         linv=jnp.asarray(d["linv"]) if meta.get("has_linv") else None,
@@ -259,8 +272,19 @@ def _load_experts(d, meta):
         centroids=jnp.asarray(d["centroids"]),
         kernel=meta["kernel"], n0=int(meta["n0"]),
         pad_noise=float(meta["pad_noise"]),
-        beta=meta["beta"], gate=int(meta["gate"]),
+        beta=meta["beta"], gate=int(meta["gate"]), **extra,
     )
+    if m0 is not None:
+        # Factor-less checkpoint: refactor every expert (value or joint —
+        # expert_chol owns both gram layouts).
+        import dataclasses as _dc
+
+        from gpis_tpu.gp.experts import expert_chol
+
+        m = _dc.replace(m, chol=jnp.stack([
+            expert_chol(m, e) for e in range(x.shape[0])
+        ]))
+    return m
 
 
 def _save_sharded(path: str, model) -> None:

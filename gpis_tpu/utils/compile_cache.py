@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["enable"]
+__all__ = ["enable", "guard_cpu_backend"]
 
 _DONE = False
 
@@ -71,5 +71,37 @@ def enable() -> None:
         # ~200 s cold headline compile / ~8 min smoke tier.  Only trivial
         # sub-0.1 s executables are skipped.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
-    except Exception:  # never let cache plumbing break an entry point
+    except Exception as e:  # never let cache plumbing break an entry point
+        try:
+            from gpis_tpu.utils.logging import get_logger
+
+            get_logger("compile_cache").warning(
+                "persistent compile cache disabled: %s", e)
+        except Exception:
+            pass
+
+
+def guard_cpu_backend() -> None:
+    """Lazy CPU guard, called once a live backend exists (session.start,
+    bench warm-up).  `enable()` can only inspect the CONFIGURED first
+    platform — it must not initialize a backend at import time — so a
+    process whose axon init fails and falls back to CPU (jax_platforms
+    "axon,cpu"), or that pins cpu after importing the library, would
+    otherwise cache CPU executables: exactly the case XLA:CPU's AOT reload
+    warns may SIGILL if GPIS_COMPILE_CACHE_DIR/JAX_COMPILATION_CACHE_DIR
+    points at storage shared across hosts.  By the time any caller is
+    fitting, the backend is initialized anyway, so this check is free."""
+    if not _DONE:
+        return
+    try:
+        import jax
+
+        if (jax.default_backend() == "cpu"
+                and getattr(jax.config, "jax_compilation_cache_dir", None)):
+            jax.config.update("jax_compilation_cache_dir", None)
+            from gpis_tpu.utils.logging import get_logger
+
+            get_logger("compile_cache").info(
+                "persistent compile cache off: live backend is cpu")
+    except Exception:
         pass

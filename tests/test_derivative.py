@@ -109,6 +109,7 @@ def test_unsupported_kernel_raises():
         kd.joint_gram("laplace", jnp.zeros((3, 3)), params)
 
 
+@pytest.mark.slow
 def test_update_joint_matches_refit(rng):
     """Single-chip joint tail-slot bordering (reference §4.5 on the config-2
     model) == from-scratch refit with the touches as value-only points."""
@@ -180,6 +181,7 @@ def test_update_joint_matches_refit(rng):
         gpd.update_joint(m3, jnp.zeros((40, 3)), jnp.zeros(40), 1e-5)
 
 
+@pytest.mark.slow
 def test_session_joint_incremental_update():
     """Session joint updates use the bordering while slots last, then fall
     back to the folding refit, with consistent posteriors."""

@@ -148,6 +148,7 @@ def test_predict_mean_grad_is_finite(fixture64):
     assert float(g[2]) > 0
 
 
+@pytest.mark.slow
 def test_touch_update_routes_and_matches_refit(fixture64):
     """The routed touch must land in exactly one expert and match a
     from-scratch refit of that expert with the touch row appended (the
@@ -218,6 +219,7 @@ def test_sharded_committee_matches_local(fixture64):
 # --------------------------------------------------------------- session
 
 
+@pytest.mark.slow
 def test_session_experts_end_to_end():
     from gpis_tpu.api.session import ObjectModelSession
 
@@ -251,13 +253,13 @@ def test_session_experts_hyperopt_refit_replays_touches():
     assert int(np.asarray(s.model.n_touch).sum()) == 2
 
 
-def test_session_experts_rejects_joint_and_ooc():
+def test_session_experts_rejects_ooc():
     from gpis_tpu.api.session import ObjectModelSession
 
-    pts, nrm = synthetic.sphere_cloud(200, seed=0, dtype=np.float32)
+    pts, _ = synthetic.sphere_cloud(200, seed=0, dtype=np.float32)
     s = ObjectModelSession(ModelConfig())
-    with pytest.raises(ValueError, match="experts"):
-        s.start(pts, normals=nrm, experts=4)
+    # normals= composes with experts= since r4 (fit_experts_joint);
+    # out_of_core remains exclusive (the committee IS the in-core answer).
     with pytest.raises(ValueError, match="experts"):
         s.start(pts, out_of_core=True, experts=4)
 
@@ -278,6 +280,7 @@ def test_optimize_experts_poe_matches_exact_mll_at_e1(fixture64):
     np.testing.assert_allclose(res.history[0], direct, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_optimize_experts_poe_improves_objective(fixture64):
     """Starting from a deliberately wrong lengthscale, the PoE optimizer
     must improve its own objective and move the lengthscale toward the
@@ -389,3 +392,126 @@ def test_halo_overlap_partition(fixture64):
     err_h = float(np.abs(np.asarray(mean_h) - np.asarray(mean_e)).max())
     err_0 = float(np.abs(np.asarray(mean_0) - np.asarray(mean_e)).max())
     assert err_h <= err_0 * 1.5 + 1e-6
+
+
+# ------------------------------------------------------ joint (config-2 x EP)
+
+
+@pytest.fixture(scope="module")
+def joint_fixture():
+    """Sphere training set + full-length normals/noise_g arrays in the
+    session's _joint_obs layout (unit normals on surface rows, zero
+    normals + pad gradient noise on the anchor tail)."""
+    cfg = ModelConfig(dtype="float64")
+    pts, _ = synthetic.sphere_cloud(400, seed=0)
+    ts = gpis.build_training_set(pts, cfg)
+    c = ts.x.shape[0]
+    n_s = ts.n_surface
+    xs = np.asarray(ts.x)
+    nrm = np.zeros((c, 3))
+    nrm[:n_s] = xs[:n_s] / np.linalg.norm(xs[:n_s], axis=1, keepdims=True)
+    noise_g = np.full((c,), cfg.pad_noise)
+    noise_g[:n_s] = 1e-2
+    params = kf.kernel_params(1.0, 1.0)
+    return ts, jnp.asarray(nrm), jnp.asarray(noise_g), params
+
+
+def test_single_joint_expert_matches_dense_joint(joint_fixture):
+    """E=1 BCM joint committee == the exact single joint GP."""
+    from gpis_tpu.gp import derivative as gpd
+
+    ts, nrm, ng, params = joint_fixture
+    shared = ts.n_internal + ts.n_external
+    m1 = ex.fit_experts_joint("rbf", ts.x, ts.y, nrm, ts.noise, ng, params,
+                              n_experts=1, n_shared_tail=shared, beta="bcm",
+                              touch_capacity=0)
+    ref = gpd.fit_with_normals("rbf", ts.x, ts.y, nrm, ts.noise, ng, params,
+                               touch_capacity=0)
+    q = _queries(128)
+    ma, va = ex.predict(m1, q)
+    mr, vr = gpd.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(ma), np.asarray(mr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vr), atol=1e-6)
+
+
+def test_joint_committee_tracks_exact(joint_fixture):
+    from gpis_tpu.gp import derivative as gpd
+
+    ts, nrm, ng, params = joint_fixture
+    shared = ts.n_internal + ts.n_external
+    m4 = ex.fit_experts_joint("rbf", ts.x, ts.y, nrm, ts.noise, ng, params,
+                              n_experts=4, n_shared_tail=shared)
+    ref = gpd.fit_with_normals("rbf", ts.x, ts.y, nrm, ts.noise, ng, params,
+                               touch_capacity=0)
+    # Queries near the surface shell, where the committee deploys.
+    q = _queries(200)
+    q = q / jnp.linalg.norm(q, axis=1, keepdims=True) * 1.1
+    ma, _ = ex.predict(m4, q)
+    mr, _ = gpd.predict(ref, q)
+    assert float(jnp.max(jnp.abs(ma - mr))) < 0.08
+    # The posterior gradient (via AD of the committee mean) should point
+    # outward near the surface — the whole point of normal observations.
+    g = jax.vmap(jax.grad(lambda p: ex.predict_mean(m4, p[None, :])[0]))(q)
+    cos = jnp.sum(g * q, axis=1) / (
+        jnp.linalg.norm(g, axis=1) * jnp.linalg.norm(q, axis=1))
+    assert float(jnp.mean(cos)) > 0.9
+
+
+def test_joint_committee_touch_update(joint_fixture):
+    ts, nrm, ng, params = joint_fixture
+    shared = ts.n_internal + ts.n_external
+    m = ex.fit_experts_joint("rbf", ts.x, ts.y, nrm, ts.noise, ng, params,
+                             n_experts=4, n_shared_tail=shared,
+                             touch_capacity=8)
+    tp = jnp.asarray([[0.0, 0.0, 1.05]])
+    _, v0 = ex.predict(m, tp)
+    m2 = ex.update(m, tp, jnp.zeros(1), jnp.full(1, 1e-6))
+    assert int(np.asarray(m2.n_touch).sum()) == 1
+    mean2, v2 = ex.predict(m2, tp)
+    assert float(v2[0]) < float(v0[0])  # touching reduces uncertainty
+    assert abs(float(mean2[0])) < 0.1   # mean pulled toward the observation
+
+
+def test_joint_committee_checkpoint_roundtrip(joint_fixture, tmp_path):
+    from gpis_tpu.utils import checkpoint as ckpt
+
+    ts, nrm, ng, params = joint_fixture
+    shared = ts.n_internal + ts.n_external
+    m = ex.fit_experts_joint("rbf", ts.x, ts.y, nrm, ts.noise, ng, params,
+                             n_experts=4, n_shared_tail=shared,
+                             touch_capacity=8)
+    m = ex.update(m, jnp.asarray([[0.0, 0.0, 1.05]]), jnp.zeros(1),
+                  jnp.full(1, 1e-6))
+    path = str(tmp_path / "joint_experts.npz")
+    ckpt.save_model(path, m)
+    m2 = ckpt.load_model(path)
+    assert m2.joint and m2.touch_capacity == m.touch_capacity
+    q = _queries(64)
+    ma, va = ex.predict(m, q)
+    mb, vb = ex.predict(m2, q)
+    np.testing.assert_allclose(np.asarray(mb), np.asarray(ma), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(va), atol=1e-12)
+
+
+@pytest.mark.slow
+def test_session_joint_experts_end_to_end():
+    """session.start(points, normals=..., experts=E): the config-2 x EP
+    composition (VERDICT r3 missing #3) — fit, RMSE-gated surface, touch
+    update, subsample hyperopt refit with touch replay."""
+    from gpis_tpu.api.session import ObjectModelSession
+
+    cfg = ModelConfig(kernel="rbf", lengthscale=0.4, noise_surface=1e-3,
+                      block=64, touch_capacity=64)
+    pts = np.asarray(gpis.fibonacci_sphere(1500, radius=0.08), np.float64)
+    nrm = (pts / np.linalg.norm(pts, axis=1, keepdims=True))
+    s = ObjectModelSession(cfg)
+    s.start(pts, normals=nrm, experts=4, expert_gate=2)
+    assert s.model.joint and s.model.n_experts == 4
+    verts, faces, var = s.extract_surface(resolution=32)
+    r = np.linalg.norm(verts, axis=1)
+    rmse = float(np.sqrt(np.mean((r - 0.08) ** 2))) / 0.08
+    assert rmse < 0.01
+    s.update(np.asarray([pts[0] * 1.2]))
+    res = s.optimize_hyperparameters(steps=3, subsample=256)
+    assert np.isfinite(res.mll)
+    assert s.model.joint and int(np.asarray(s.model.n_touch).sum()) == 1

@@ -289,6 +289,7 @@ def test_update_cumulative_overflow_raises(rng):
     assert np.isnan(np.asarray(mean)).all()
 
 
+@pytest.mark.slow
 def test_update_scalar_target_broadcasts(rng):
     """update(model, pts, 0.0, 1e-6) — the documented scalar-y form."""
     x, y, noise, params, _ = _fixture(rng, n=40)

@@ -47,6 +47,7 @@ def test_optimize_learns_noise(rng):
     assert float(res.noise[0]) > 0
 
 
+@pytest.mark.slow
 def test_optimize_lbfgs(rng):
     xp, yp, np_, n = _padded_gp_sample(rng)
     init = kf.kernel_params(2.0, 1.0)

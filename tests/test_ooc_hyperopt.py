@@ -16,6 +16,7 @@ from gpis_tpu.kernels import gram as kg
 from gpis_tpu.linalg import outofcore as ooc
 
 
+@pytest.mark.slow
 def test_ooc_mll_and_grad_matches_dense():
     """MLL + all three gradients (log lengthscale via the streamed W trace,
     log noise scale via column norms, log signal variance via the free
@@ -127,6 +128,7 @@ def test_session_ooc_stream_hyperopt():
         s.optimize_hyperparameters(method="distributed")
 
 
+@pytest.mark.slow
 def test_ooc_joint_mll_and_grad_matches_dense():
     """JOINT stream hyperopt (ooc_joint_mll_and_grad): MLL + all three
     gradients at rtol 1e-7 vs dense jax.grad through the joint MLL on the

@@ -139,6 +139,7 @@ def test_ooc_joint_predict_mean_differentiable(fitted):
     assert float(jnp.dot(g, q[0])) > 0
 
 
+@pytest.mark.slow
 def test_ooc_joint_update_matches_dense_bordering(fitted, problem):
     x, y, nrm, params = problem
     m, _ = fitted
@@ -194,6 +195,7 @@ def test_ooc_joint_mll_matches_dense(fitted):
     np.testing.assert_allclose(got, want, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_ooc_joint_checkpoint_roundtrip(fitted, tmp_path):
     from gpis_tpu.utils import checkpoint as ckpt
 

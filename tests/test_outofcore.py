@@ -94,6 +94,7 @@ def test_ooc_fit_predict_matches_incore(problem):
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_ooc_fit_pads_to_panel(problem):
     """Non-panel-multiple N pads with inert rows; posterior unchanged."""
     x, y, noise, params = problem
@@ -638,6 +639,7 @@ def test_evict_all_preserves_compute_dtype(tmp_path):
     got = ooc._fetch(st, 0, jax.devices()[0])
     assert got.dtype == jnp.float32
 
+@pytest.mark.slow
 def test_ooc_update_matches_incore_bordering(problem):
     """Tactile bordering on the out-of-core model == the in-core bordering
     update (same math, factor streamed): posterior parity after one and
@@ -1258,3 +1260,54 @@ def test_link_stats_accounting(problem):
     # h2d counts panel refetches; on a pure-CPU run device_put is still
     # exercised through _chunked_put.
     assert st.get("h2d_n", 0) > 0
+
+
+def test_ooc_solve_phase_fused_query(problem, tmp_path):
+    """The TRSM-fused dense-grid query (variance quad accumulated per W
+    band while device-resident) must match the post-hoc streamed query."""
+    x, y, noise, params = problem
+    sd = str(tmp_path / "fused")
+    ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=B, spill_dir=sd,
+                         device_budget=2 * B * C * 8)
+    q = jnp.asarray(np.random.default_rng(11).normal(size=(300, 3)) * 0.8)
+    m, pair = ooc.ooc_solve_phase(sd, device_budget=2 * B * C * 8,
+                                  fused_query=q, keep_w=True)
+    assert pair is not None
+    mean_f, var_f = pair
+    # keep_w=True: the stored W serves the identical post-hoc query.
+    mean_p, var_p = m.predict(q, chunk=128)
+    np.testing.assert_allclose(np.asarray(mean_f), np.asarray(mean_p),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var_f), np.asarray(var_p),
+                               atol=1e-8)
+    ref = gpr.fit("rbf", x, y, noise, params, block=B, touch_capacity=0)
+    mean_r, var_r = gpr.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(mean_f), np.asarray(mean_r),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_f),
+                               np.clip(np.asarray(var_r), 0.0, None),
+                               atol=1e-6)
+
+
+def test_ooc_solve_phase_fused_skips_final_writeback(problem, tmp_path):
+    """keep_w=False: the final sweep group's panels are never written back
+    (they are consumed by the fused query alone) and the posterior still
+    matches the dense reference."""
+    x, y, noise, params = problem
+    sd = str(tmp_path / "fusedskip")
+    ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=B, spill_dir=sd,
+                         device_budget=0)
+    q = jnp.asarray(np.random.default_rng(13).normal(size=(200, 3)) * 0.8)
+    m, pair = ooc.ooc_solve_phase(sd, device_budget=0, fused_query=q,
+                                  keep_w=False, trsm_sweep=2)
+    assert pair is not None
+    nb = C // B
+    # Final sweep group (panels nb-2, nb-1 at sweep=2) absent from W.
+    assert (nb - 1) not in m.wstore and 0 in m.wstore
+    ref = gpr.fit("rbf", x, y, noise, params, block=B, touch_capacity=0)
+    mean_r, var_r = gpr.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(pair[0]), np.asarray(mean_r),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pair[1]),
+                               np.clip(np.asarray(var_r), 0.0, None),
+                               atol=1e-6)

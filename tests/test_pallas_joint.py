@@ -86,6 +86,7 @@ def test_cross_has_no_diagonal_noise(rng):
                                rtol=2e-6, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_fused_joint_query_parity(rng):
     """(mean, quad) from the fused kernel == explicit kq/alpha/W chain on a
     real (well-conditioned) joint factor, including touch slots."""
@@ -128,6 +129,7 @@ def test_fused_joint_query_parity(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_joint_band_rows_parity(rng):
     """The Pallas band path used inside sharded_joint_gram (row0 offset +
     per-joint-index diagonal noise) matches the jnp band assembly."""

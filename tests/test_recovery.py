@@ -38,6 +38,7 @@ def _probe():
     return gpis.fibonacci_sphere(96, radius=1.0)
 
 
+@pytest.mark.slow
 def test_session_crash_recovery_replays_pending_touch(tmp_path):
     # Interrupted run: fit, two touches, checkpoint ... crash (discard).
     s1 = ObjectModelSession(CFG)
@@ -68,6 +69,7 @@ def test_session_crash_recovery_replays_pending_touch(tmp_path):
     assert len(res.path) >= 1
 
 
+@pytest.mark.slow
 def test_session_recovery_joint_model(tmp_path):
     """Same drill on the config-2 joint (normals) model: bordering updates
     must continue from the checkpointed factor after restore."""

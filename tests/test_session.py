@@ -361,6 +361,7 @@ def test_session_distributed_hyperopt():
     assert mean[0] < -0.5 and abs(mean[1]) < 0.05
 
 
+@pytest.mark.slow
 def test_service_start_normals_and_out_of_core():
     """/start accepts normals (config-2 joint fit) and out_of_core (panel-
     streamed fit) options; the node serves /query from both."""

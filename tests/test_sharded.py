@@ -284,6 +284,7 @@ def test_sharded_joint_session_contract(mesh, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_sharded_mll_and_grad_matches_dense(mesh):
     """Distributed MLL + exact gradient identities (VERDICT r1 item 8)
     match jax.grad through the dense single-chip objective."""
@@ -377,6 +378,7 @@ def _small_sphere(rng, n):
     return jnp.asarray(x / np.linalg.norm(x, axis=1, keepdims=True))
 
 
+@pytest.mark.slow
 def test_sharded_planner_expansion(mesh):
     """ADVICE r2 high #1: project_and_chart on sharded models (plain
     dataclasses, not pytrees) must not be traced through jax.jit."""
@@ -420,6 +422,7 @@ def test_sharded_session_next_best_path(mesh):
     sess.is_done(n_probe=32)
 
 
+@pytest.mark.slow
 def test_sharded_joint_predict_mean_touch_slots(mesh):
     """ADVICE r2 high #2: predict_mean on a ShardedJointModel with touch
     slots must use the [4C core | T touch] column layout."""
@@ -484,6 +487,7 @@ def test_sharded_joint_jitter_fold(mesh):
     np.testing.assert_allclose(ll, np.asarray(a), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_sharded_signal_variance_grad_matches_dense(mesh):
     """The free dK/d(log sv) = K - D identity (VERDICT r2 item 4) matches
     jax.grad of the dense objective."""
@@ -539,6 +543,7 @@ def _joint_problem(c, t, n_real, n_touch, seed=31):
 
 
 @pytest.mark.parametrize("c,t,n_touch", [(64, 0, 0), (56, 32, 2)])
+@pytest.mark.slow
 def test_sharded_joint_mll_and_grad_matches_dense(mesh, c, t, n_touch):
     """Distributed JOINT hyperopt gradients (VERDICT r2 item 4): the
     assembly-agnostic identities over _joint_band_rows match jax.grad

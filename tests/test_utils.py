@@ -4,6 +4,8 @@ with normals (SURVEY.md §6 aux subsystems)."""
 import json
 import logging
 
+import pytest
+
 import numpy as np
 
 from gpis_tpu.data import voxel
@@ -71,6 +73,7 @@ def test_voxel_with_normals_cancellation():
     np.testing.assert_allclose(np.abs(n2[0]), [1.0, 0, 0])  # falls back, unit
 
 
+@pytest.mark.slow
 def test_session_voxel_with_normals():
     from gpis_tpu.api.session import ObjectModelSession
     from gpis_tpu.config import ModelConfig
