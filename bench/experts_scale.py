@@ -55,20 +55,49 @@ def main() -> int:
     from gpis_tpu.surface import grid as grid_mod
     from gpis_tpu.surface import marching
 
-    cfg = ModelConfig(kernel="rbf", lengthscale=1.0, noise_surface=1e-4,
+    # Frontier knobs (VERDICT r4: map the committee accuracy-speed
+    # frontier): lengthscale/noise via env (the exact 100k runs use
+    # ls=0.4/noise=1e-3), boundary halo, and retain_chol for capacity.
+    ls = float(os.environ.get("EXPERTS_LS", "1.0"))
+    noise_s = float(os.environ.get("EXPERTS_NOISE", "1e-4"))
+    halo = int(os.environ.get("EXPERTS_HALO", "0"))
+    cfg = ModelConfig(kernel="rbf", lengthscale=ls, noise_surface=noise_s,
                       touch_capacity=64)
     pts = gpis.fibonacci_sphere(n, radius=1.0).astype(np.float32)
     ts = gpis.build_training_set(pts, cfg)
     params = {k: jnp.asarray(v, jnp.float32)
               for k, v in kf.kernel_params(cfg.lengthscale,
                                            cfg.signal_variance).items()}
+    joint = bool(os.environ.get("EXPERTS_NORMALS"))
+    if joint:
+        # Config 2 x EP: outward unit normals as per-expert gradient rows
+        # (the session's _joint_obs layout: zero normals + pad gradient
+        # noise on the anchor tail).
+        c_rows = ts.x.shape[0]
+        n_s = ts.n_surface
+        nrm = np.zeros((c_rows, 3), np.float32)
+        xs_host = np.asarray(ts.x)
+        nrm[:n_s] = xs_host[:n_s] / np.linalg.norm(
+            xs_host[:n_s], axis=1, keepdims=True)
+        ng = np.full((c_rows,), cfg.pad_noise, np.float32)
+        ng[:n_s] = noise_s * 10.0
+        nrm, ng = jnp.asarray(nrm), jnp.asarray(ng)
+        metric = f"experts_joint_fit_query_{n}"
+
+    fit_kw = dict(n_experts=e,
+                  n_shared_tail=ts.n_internal + ts.n_external,
+                  block=cfg.block, touch_capacity=cfg.touch_capacity,
+                  pad_noise=cfg.pad_noise, gate=gate, n_halo=halo)
+
+    def do_fit():
+        if joint:
+            return ex.fit_experts_joint(cfg.kernel, ts.x, ts.y, nrm,
+                                        ts.noise, ng, params, **fit_kw)
+        return ex.fit_experts(cfg.kernel, ts.x, ts.y, ts.noise, params,
+                              **fit_kw)
 
     t0 = time.perf_counter()
-    m = ex.fit_experts(cfg.kernel, ts.x, ts.y, ts.noise, params,
-                       n_experts=e,
-                       n_shared_tail=ts.n_internal + ts.n_external,
-                       block=cfg.block, touch_capacity=cfg.touch_capacity,
-                       pad_noise=cfg.pad_noise, gate=gate)
+    m = do_fit()
     jax.block_until_ready(m.alpha)
     fit_s = time.perf_counter() - t0
     print(f"[fit] n={n} E={e} B={m.capacity} fit={fit_s:.1f}s", flush=True)
@@ -78,12 +107,7 @@ def main() -> int:
         # Second fit at the same shapes = cached compiles: the steady
         # (serving/refit) number, vs the cold one-time-compile number above.
         t0 = time.perf_counter()
-        m = ex.fit_experts(cfg.kernel, ts.x, ts.y, ts.noise, params,
-                           n_experts=e,
-                           n_shared_tail=ts.n_internal + ts.n_external,
-                           block=cfg.block,
-                           touch_capacity=cfg.touch_capacity,
-                           pad_noise=cfg.pad_noise, gate=gate)
+        m = do_fit()
         jax.block_until_ready(m.alpha)
         fit_warm_s = round(time.perf_counter() - t0, 2)
         print(f"[fit-warm] {fit_warm_s}s", flush=True)
@@ -106,11 +130,14 @@ def main() -> int:
     ok = bool(np.isfinite(rmse) and rmse < 0.01)
     out = {"metric": metric, "value": round(fit_s + query_s, 2), "unit": "s",
            "n": n, "experts": e, "capacity": int(m.capacity), "gate": gate,
+           "halo": halo, "lengthscale": ls, "noise_surface": noise_s,
+           "joint": joint,
+           "retained_chol": m.chol is not None,
            "fit_s": round(fit_s, 2), "fit_warm_s": fit_warm_s,
            "query_s": round(query_s, 2),
            "query_warm_s": round(query_warm_s, 2), "grid": grid_res,
            "rmse": rmse, "ok": ok,
-           "factors_gb": round(2 * e * m.capacity ** 2 * 4 / 1e9, 2)}
+           "factors_gb": round((2 if m.chol is not None else 1) * e * m.capacity ** 2 * 4 / 1e9, 2)}
     from gpis_tpu.utils.provenance import provenance
 
     out.update(provenance())
