@@ -64,18 +64,20 @@ run_step() {
 run_step smoke 3000 env GPIS_TEST_PLATFORM=tpu python -m pytest -m tpu -q
 
 # 3. Committee frontier at N=100k (warm numbers; each new (E,B) shape
-#    pays one-time compiles).  ls=0.4/noise=1e-3 mirrors the exact runs.
-run_step expA 3300 env EXPERTS_WARM=1 EXPERTS_LS=0.4 EXPERTS_NOISE=1e-3 \
+#    pays one-time compiles).  CPU probe at 16k (ROUND_NOTES r4): patch
+#    SIZE dominates (E=8 1.67e-3 < E=16 2.43e-3 << E=32 1.12e-2), halo
+#    helps, and ls=1.0/noise=1e-4 beats ls=0.4 — sweep bigger experts.
+run_step expA 3300 env EXPERTS_WARM=1 \
   python bench/experts_scale.py 100000 16 64 8
-run_step expB 3300 env EXPERTS_WARM=1 EXPERTS_LS=0.4 EXPERTS_NOISE=1e-3 \
-  python bench/experts_scale.py 100000 32 64 8
-run_step expC 3300 env EXPERTS_WARM=1 EXPERTS_LS=0.4 EXPERTS_NOISE=1e-3 \
-  EXPERTS_HALO=1024 python bench/experts_scale.py 100000 16 64 8
-run_step expD 4500 env EXPERTS_WARM=1 EXPERTS_LS=0.4 EXPERTS_NOISE=1e-3 \
+run_step expB 3300 env EXPERTS_WARM=1 EXPERTS_HALO=1024 \
+  python bench/experts_scale.py 100000 16 64 8
+run_step expC 4500 env EXPERTS_WARM=1 \
+  python bench/experts_scale.py 100000 8 64 8
+run_step expD 4500 env EXPERTS_WARM=1 EXPERTS_HALO=2048 \
   python bench/experts_scale.py 100000 8 64 8
 
 # 4. Joint committee scale point (config 2 x EP, VERDICT item 4).
-run_step expJoint 4500 env EXPERTS_WARM=1 EXPERTS_LS=0.4 EXPERTS_NOISE=1e-3 \
+run_step expJoint 4500 env EXPERTS_WARM=1 \
   EXPERTS_NORMALS=1 python bench/experts_scale.py 32768 16 64 8
 
 # 5. Headline bench (provenance-stamped line; stale-rev flags visible).
