@@ -133,7 +133,8 @@ def _phase1_done(spill_dir: str, x, y, params) -> bool:
         for k, v in params.items():
             if not np.allclose(np.asarray(d[f"param_{k}"]), np.asarray(v)):
                 return False
-        nb = int(np.asarray(d["alpha"]).shape[0]) // int(d["panel"])
+        key = "alpha" if "alpha" in d.files else "u"
+        nb = int(np.asarray(d[key]).shape[0]) // int(d["panel"])
         for j in range(nb):
             fn = f"panel_{j}.bin"
             if not (os.path.exists(os.path.join(spill_dir, "L", fn))
@@ -174,12 +175,19 @@ def phase1(n: int, spill_dir: str) -> None:
         print(f"[phase1] plan: sweep={sweep} budget={budget / 1e9:.1f}GB "
               f"modeled refetch={plan['factor_traffic'] / 1e9:.0f}GB "
               f"l_codec={l_codec}", flush=True)
-    print(f"[phase1] n={x.shape[0]} rss={_rss_gb():.1f}GB", flush=True)
+    # Deferred alpha (value runs): phase 2's TRSM accumulates W^T(W y)
+    # from its f32 device bands for free, so phase 1 skips the descending
+    # alpha-backward re-stream of every stored L panel (~10 GB h2d at
+    # 100k).  OOC_DEFER_ALPHA=0 restores the substitution path.
+    defer = os.environ.get("OOC_DEFER_ALPHA", "1").lower() not in \
+        ("0", "false", "off") and not _joint()
+    print(f"[phase1] n={x.shape[0]} rss={_rss_gb():.1f}GB "
+          f"defer_alpha={defer}", flush=True)
     t0 = time.perf_counter()
     ooc.ooc_factor_phase(
         "rbf", x, y, noise, params, panel=panel, spill_dir=spill_dir,
         sweep=sweep, device_budget=budget, normals=nrm, noise_g=ng,
-        l_codec=l_codec,
+        l_codec=l_codec, defer_alpha=defer,
     )
     dt = time.perf_counter() - t0
     link = ooc.link_stats()

@@ -2228,7 +2228,8 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
                      initial_jitter: float | None = None,
                      device_budget: int | None = None,
                      resume: bool = True, normals=None,
-                     noise_g=None, l_codec: str | None = None) -> None:
+                     noise_g=None, l_codec: str | None = None,
+                     defer_alpha: bool = False) -> None:
     """Phase 1 of the process-split out-of-core fit: factorize, solve
     alpha, persist the L store + problem state under `spill_dir`.
 
@@ -2364,13 +2365,24 @@ def ooc_factor_phase(kernel, x, y, noise, params, *, panel: int,
         raise FloatingPointError(
             f"out-of-core Cholesky failed even with jitter {extra:.2e}"
         )
-    alpha = ooc_alpha_backward(st, u, panel=panel)
-    st.evict_all()
-    st.save_manifest()
     state = {"x": np.asarray(xp), "y": np.asarray(yp),
-             "noise": np.asarray(np_), "alpha": np.asarray(alpha),
+             "noise": np.asarray(np_),
              "u": np.asarray(u), "kernel": kernel, "panel": panel,
              "n_real": n, "block": block, "width_quant": width_quant}
+    if defer_alpha and not joint:
+        # alpha = W^T (W y) accumulates FOR FREE from the f32 device-
+        # resident W bands during the phase-2 TRSM (ooc_trsm
+        # accumulate_alpha — fit_inference-grade accuracy; the f16 W
+        # SPILL never enters), so the descending alpha-backward re-stream
+        # of every stored L panel (~10 GB h2d at 100k, ~400-600 s on the
+        # tunnel) is skipped here.  A phase-2 crash-resume loses the
+        # partial accumulation and falls back to substitution against the
+        # L panels the driver restores from L_backup (ooc_solve_phase).
+        pass
+    else:
+        state["alpha"] = np.asarray(ooc_alpha_backward(st, u, panel=panel))
+    st.evict_all()
+    st.save_manifest()
     if joint:
         # extra was folded uniformly into the joint diagonal; the model's
         # per-family noises fold it the same way (tail borderings must
@@ -2426,10 +2438,13 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
     xp = jnp.asarray(d["x"])
     yp = jnp.asarray(d["y"])
     np_ = jnp.asarray(d["noise"])
-    alpha = jnp.asarray(d["alpha"])
+    # defer_alpha factor phases skip the alpha-backward L re-stream; the
+    # TRSM below accumulates alpha = W^T(W y) from its f32 device bands.
+    alpha = jnp.asarray(d["alpha"]) if "alpha" in d.files else None
     params = {k[len("param_"):]: jnp.asarray(d[k])
               for k in d.files if k.startswith("param_")}
-    c = alpha.shape[0]  # factor dimension: C (value) or J = 4C (joint)
+    u_vec = jnp.asarray(d["u"]) if "u" in d.files else None
+    c = (alpha if alpha is not None else u_vec).shape[0]  # factor dim
     nb = c // panel
     budget = DeviceBudget(
         device_budget if device_budget is not None
@@ -2447,7 +2462,8 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
     import hashlib
 
     h = hashlib.sha1()
-    for arr in (d["x"], d["y"], d["noise"], d["alpha"]):
+    for arr in (d["x"], d["y"], d["noise"],
+                d["alpha"] if "alpha" in d.files else d["u"]):
         h.update(np.asarray(arr).tobytes())
     h.update(f"{kernel}:{panel}".encode())
     w_tag = h.hexdigest()
@@ -2515,11 +2531,22 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
                     quads[i] = quads[i] + _quad_band(
                         kernel_name, ch, cols, params, w_band, j0)
 
-        ooc_trsm(lst, wstore, yp, panel=panel, block=block,
-                 accumulate_alpha=False, width_quant=width_quant,
-                 sweep=trsm_sweep, start_panel=start, end_panel=stop_after,
-                 progress_cb=lambda _j: wstore.save_manifest(),
-                 on_panel=on_panel, store_final=keep_w or not fused_ok)
+        # Deferred alpha (defer_alpha factor phase): a FRESH TRSM
+        # accumulates alpha = W^T(W y) from its f32 device bands for free;
+        # a mid-TRSM resume lost the partial sum, so substitute against
+        # the L panels the driver restored from L_backup instead.
+        want_accum = alpha is None and start == 0 and stop_after is None
+        if alpha is None and not want_accum:
+            _tlog("deferred alpha on a resumed TRSM: substitution fallback")
+            alpha = ooc_solve_alpha(lst, yp, panel=panel, block=block)
+        out_alpha = ooc_trsm(
+            lst, wstore, yp, panel=panel, block=block,
+            accumulate_alpha=want_accum, width_quant=width_quant,
+            sweep=trsm_sweep, start_panel=start, end_panel=stop_after,
+            progress_cb=lambda _j: wstore.save_manifest(),
+            on_panel=on_panel, store_final=keep_w or not fused_ok)
+        if want_accum:
+            alpha = out_alpha
         if fused_ok:
             means = [_mean_chunk(kernel, ch, cols, params, alpha)
                      for ch in chunks]
@@ -2532,6 +2559,10 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
         # TRSM already complete (resumed past the end): no bands to fuse
         # into — the caller queries post-hoc through the stored W.
         fused_pair = None
+    if alpha is None:
+        # Deferred alpha with a TRSM that had nothing left to do (W store
+        # complete from a prior run): substitution against restored L.
+        alpha = ooc_solve_alpha(lst, yp, panel=panel, block=block)
     if stop_after is not None and stop_after < nb:
         return None
     common = dict(kernel=kernel, x=xp, y=yp, params=params,

@@ -1311,3 +1311,60 @@ def test_ooc_solve_phase_fused_skips_final_writeback(problem, tmp_path):
     np.testing.assert_allclose(np.asarray(pair[1]),
                                np.clip(np.asarray(var_r), 0.0, None),
                                atol=1e-6)
+
+
+def test_ooc_defer_alpha_matches_substitution(problem, tmp_path):
+    """defer_alpha: phase 1 skips the alpha-backward pass; the TRSM's
+    W^T(W y) accumulation (f32 device bands, never the f16 spill) must
+    reproduce the substitution alpha and the same posterior."""
+    x, y, noise, params = problem
+    sd_a = str(tmp_path / "subst")
+    sd_b = str(tmp_path / "defer")
+    ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=B, spill_dir=sd_a,
+                         device_budget=0)
+    ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=B, spill_dir=sd_b,
+                         device_budget=0, defer_alpha=True)
+    da = np.load(sd_a + "/state.npz")
+    db = np.load(sd_b + "/state.npz")
+    assert "alpha" in da.files and "alpha" not in db.files
+    q = jnp.asarray(np.random.default_rng(3).normal(size=(200, 3)) * 0.8)
+    ma = ooc.ooc_solve_phase(sd_a, device_budget=0)
+    mb, pair = ooc.ooc_solve_phase(sd_b, device_budget=0, fused_query=q,
+                                   keep_w=True)
+    np.testing.assert_allclose(np.asarray(mb.alpha), np.asarray(ma.alpha),
+                               atol=1e-9)
+    mean_a, var_a = ma.predict(q, chunk=128)
+    np.testing.assert_allclose(np.asarray(pair[0]), np.asarray(mean_a),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(pair[1]), np.asarray(var_a),
+                               atol=1e-9)
+
+
+def test_ooc_defer_alpha_resume_fallback(problem, tmp_path, monkeypatch):
+    """A phase-2 resume (partial W on disk) under deferred alpha loses the
+    accumulation and must fall back to substitution — same posterior."""
+    x, y, noise, params = problem
+    sd = str(tmp_path / "deferres")
+    ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=B, spill_dir=sd,
+                         device_budget=0, defer_alpha=True)
+    import shutil
+
+    shutil.copytree(sd + "/L", sd + "/L_backup")
+    # Partial TRSM: stop after 2 panels, then "restore" consumed L panels
+    # and resume to completion (the staged driver's crash flow).
+    r = ooc.ooc_solve_phase(sd, device_budget=0, stop_after=2)
+    assert r is None
+    import os as _os
+
+    for f in _os.listdir(sd + "/L_backup"):
+        dst = _os.path.join(sd, "L", f)
+        if not _os.path.exists(dst):
+            _os.link(_os.path.join(sd, "L_backup", f), dst)
+    m = ooc.ooc_solve_phase(sd, device_budget=0)
+    ref = gpr.fit("rbf", x, y, noise, params, block=B, touch_capacity=0)
+    q = jnp.asarray(np.random.default_rng(5).normal(size=(160, 3)) * 0.8)
+    mean, var = m.predict(q, chunk=160)
+    mean_r, var_r = gpr.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
