@@ -1974,7 +1974,8 @@ def plan_sweeps(c: int, panel: int, itemsize: int = 4, *,
             vol += max(0, cum[j] - cum[min(t, j)]) * refetch_scale
         return vol
 
-    def pick(rows_per_sweep: float, fixed_rows: float, refetch_scale: float):
+    def pick(rows_per_sweep: float, fixed_rows: float, refetch_scale: float,
+             tier_scale: float = 1.0):
         slack = int(fixed_rows * pb) + 500_000_000
         best = None
         for s in range(1, min(max_sweep, nb) + 1):
@@ -1982,7 +1983,10 @@ def plan_sweeps(c: int, panel: int, itemsize: int = 4, *,
             budget = limit - int(rows_per_sweep * s * pb) - diag - slack
             if budget < 0:
                 break
-            vol = traffic(s, budget, refetch_scale)
+            # tier_scale < 1: device-resident panels stored narrower than
+            # the compute dtype (W device_dtype=f16), so the same budget
+            # holds 1/tier_scale more panels (cum[] is in compute bytes).
+            vol = traffic(s, int(budget / tier_scale), refetch_scale)
             if best is None or vol < best[2]:
                 best = (s, budget, vol)
         if best is None:  # even s=1 doesn't fit the model: degenerate safe pick
@@ -1995,8 +1999,10 @@ def plan_sweeps(c: int, panel: int, itemsize: int = 4, *,
     # stay uncompressed), which cum[] models.
     lscale = (l_itemsize / itemsize) if l_itemsize else 1.0
     fs, fbudget, fvol = pick(1.0, 4.5, lscale)
+    # W panels are f16 BOTH spilled and device-resident (device_dtype):
+    # refetch and tier fill at w_itemsize.
     wscale = (w_itemsize / itemsize) if w_itemsize else 1.0
-    ts, tbudget, tvol = pick(2.0, 3.5, wscale)
+    ts, tbudget, tvol = pick(2.0, 3.5, wscale, tier_scale=wscale)
     return {"nb": nb, "factor_sweep": fs, "factor_budget": fbudget,
             "factor_traffic": int(fvol), "trsm_sweep": ts,
             "trsm_budget": tbudget, "trsm_traffic": int(tvol)}
@@ -2473,7 +2479,7 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
         try:
             wstore = TieredPanelStore.open_dir(
                 budget, wdir, expect_tag=w_tag, spill_dtype=w_dtype,
-                write_through=True, tag=w_tag)
+                device_dtype=w_dtype, write_through=True, tag=w_tag)
         except ValueError as e:
             _tlog(f"ignoring stale W store: {e}")
         else:
@@ -2482,7 +2488,12 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
             if start:
                 _tlog(f"resuming TRSM at panel {start}/{nb}")
     if wstore is None:
+        # device_dtype too: f16-resident W panels double the HBM tier, so
+        # fewer spilled panels re-stream per sweep (plan_sweeps models the
+        # tier at w_itemsize).  Same variance-only grade as the f16 spill;
+        # alpha accumulates from the f32 bands before storage either way.
         wstore = TieredPanelStore(budget, spill_dtype=w_dtype,
+                                  device_dtype=w_dtype,
                                   spill_dir=wdir, write_through=True,
                                   tag=w_tag)
     fused_pair = None

@@ -18,14 +18,12 @@ ts() { date -u +"%H:%M:%S"; }
 log() { echo "[$(ts)] $*"; }
 
 # 1. Wait for the record run (it prints one final JSON line with "metric").
-while ps -p "$(cat /tmp/ooc100k_rec.pid 2>/dev/null || echo 0)" >/dev/null 2>&1 \
-      || { [ -f /tmp/ooc100k_rec.log ] && ! grep -q '"metric"' /tmp/ooc100k_rec.log; }; do
-  # Fall back to log-based detection when no pidfile exists.
-  if grep -q '"metric"\|rc=' /tmp/ooc100k_rec.log 2>/dev/null; then break; fi
-  log "waiting for the 100k record run..."
+WAIT_LOG=${GPIS_WAIT_LOG:-/tmp/ooc100k_rec.log}
+while [ -f "$WAIT_LOG" ] && ! grep -q '"metric"\|rc=' "$WAIT_LOG"; do
+  log "waiting for the 100k record run ($WAIT_LOG)..."
   sleep 120
 done
-log "record run done: $(tail -1 /tmp/ooc100k_rec.log 2>/dev/null | head -c 300)"
+log "record run done: $(tail -1 "$WAIT_LOG" 2>/dev/null | head -c 300)"
 
 probe() {
   timeout 300 python - <<'EOF' >/dev/null 2>&1

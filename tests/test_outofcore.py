@@ -1368,3 +1368,35 @@ def test_ooc_defer_alpha_resume_fallback(problem, tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_r),
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
+
+
+def test_ooc_solve_phase_f16_device_w(problem, tmp_path):
+    """w_dtype=f16 now also compresses DEVICE-resident W panels
+    (device_dtype — doubles the HBM tier at 100k).  Variance stays at the
+    f16 grade; the mean is untouched (alpha never rides the W store)."""
+    x, y, noise, params = problem
+    sd = str(tmp_path / "f16w")
+    ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=B, spill_dir=sd,
+                         device_budget=2 * B * C * 8)
+    q = jnp.asarray(np.random.default_rng(7).normal(size=(160, 3)) * 0.8)
+    m, pair = ooc.ooc_solve_phase(sd, w_dtype=jnp.float16,
+                                  device_budget=2 * B * C * 8,
+                                  fused_query=q, keep_w=True)
+    ref = gpr.fit("rbf", x, y, noise, params, block=B, touch_capacity=0)
+    mean_r, var_r = gpr.predict(ref, q)
+    np.testing.assert_allclose(np.asarray(pair[0]), np.asarray(mean_r),
+                               atol=1e-6)  # mean: f32 bands only
+    # Variance: f16 W grade — on THIS fixture (noise floor 1e-4, W
+    # entries O(1/sqrt(noise)) ~ 100) the measured error is ~2e-2; the
+    # GPIS judge config (noise 1e-3) sits at the ~1e-3 level
+    # (BASELINE.md).  The mean never rides the W store either way.
+    np.testing.assert_allclose(np.asarray(pair[1]),
+                               np.clip(np.asarray(var_r), 0.0, None),
+                               atol=5e-2)
+    # Post-hoc query through the f16-resident store matches the same grade.
+    mean_p, var_p = m.predict(q, chunk=160)
+    np.testing.assert_allclose(np.asarray(mean_p), np.asarray(mean_r),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_p),
+                               np.clip(np.asarray(var_r), 0.0, None),
+                               atol=5e-2)
