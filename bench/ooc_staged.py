@@ -242,7 +242,8 @@ def phase2(spill_dir: str, *, grid_res: int = 64) -> None:
         # smaller panel with a larger sweep.
         st = np.load(os.path.join(spill_dir, "state.npz"),
                      allow_pickle=False)
-        plan = ooc.plan_sweeps(int(st["alpha"].shape[0]), int(st["panel"]),
+        ckey = "alpha" if "alpha" in st.files else "u"
+        plan = ooc.plan_sweeps(int(st[ckey].shape[0]), int(st["panel"]),
                                4, w_itemsize=2)
         tsw, budget = plan["trsm_sweep"], plan["trsm_budget"]
         print(f"[phase2] plan: sweep={tsw} budget={budget / 1e9:.1f}GB "
