@@ -372,6 +372,9 @@ def run(n: int, spill_dir: str, *, wd1: int = 7100, wd2: int = 12600) -> int:
     with open(os.path.join(spill_dir, "phase2.json")) as f:
         p2 = json.load(f)
     ok = p2["rmse"] < 0.01
+    # A rerun that skipped a completed phase 1 has a wall-clock smaller
+    # than the work it reports: total_s must never undercut fit+query.
+    total = max(total, p1["fit_factor_s"] + p2["trsm_s"] + p2["query_s"])
     doc = {
         "metric": metric, "n": p1["n"],
         "fit_s": round(p1["fit_factor_s"] + p2["trsm_s"], 1),
