@@ -661,11 +661,12 @@ def _expert_cross(kernel, q, x_e, params, joint: bool, tx_e):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel", "mode", "use_fused", "use_linv", "joint"),
+    static_argnames=("kernel", "mode", "use_fused", "use_linv", "joint",
+                     "gather"),
 )
 def _gated_program(kernel, params, x, alpha, fac, qp, sel, k0,
                    mode: str, use_fused: bool, use_linv: bool,
-                   joint: bool = False, tx=None):
+                   joint: bool = False, tx=None, gather: bool = True):
     """ONE dispatch for a whole gated dense-grid query (docs/PERF.md: the
     remote dispatch round-trip dominates unjitted chunk loops).
 
@@ -679,10 +680,16 @@ def _gated_program(kernel, params, x, alpha, fac, qp, sel, k0,
 
     def chunk_fn(args):
         qc, s = args
-        xg = jnp.take(x, s, axis=0)  # (G, B, 3)
-        ag = jnp.take(alpha, s, axis=0)  # (G, J)
-        fg = jnp.take(fac, s, axis=0)  # (G, J, J)
-        tg = None if tx is None else jnp.take(tx, s, axis=0)  # (G, T, 3)
+        if gather:
+            xg = jnp.take(x, s, axis=0)  # (G, B, 3)
+            ag = jnp.take(alpha, s, axis=0)  # (G, J)
+            fg = jnp.take(fac, s, axis=0)  # (G, J, J)
+            tg = None if tx is None else jnp.take(tx, s, axis=0)  # (G, T, 3)
+        else:
+            # gate == E: gathering would materialize a full COPY of the
+            # stacked factors next to the stack itself (2x peak HBM —
+            # OOM'd the E=8 x B=14336 committee).  Use the leaves as-is.
+            xg, ag, fg, tg = x, alpha, fac, tx
 
         def one(arg):
             if tx is None:
@@ -787,7 +794,7 @@ def predict(model: ExpertGPModel, q, *, gate: int | None = None,
         model.kernel, model.params, model.x, model.alpha, fac, qp,
         jnp.asarray(sel), jnp.asarray(k0, model.dtype), model.beta,
         use_fused, model.linv is not None, joint=model.joint,
-        tx=model.touch_x if model.joint else None,
+        tx=model.touch_x if model.joint else None, gather=g < e,
     )
     return mean.ravel()[:m], var.ravel()[:m]
 

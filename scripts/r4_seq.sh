@@ -76,7 +76,7 @@ run_step expD 4500 env EXPERTS_WARM=1 EXPERTS_HALO=2048 \
 
 # 4. Joint committee scale point (config 2 x EP, VERDICT item 4).
 run_step expJoint 4500 env EXPERTS_WARM=1 \
-  EXPERTS_NORMALS=1 python bench/experts_scale.py 32768 16 64 8
+  EXPERTS_NORMALS=1 python bench/experts_scale.py 32768 16 64 16
 
 # 5. Headline bench (provenance-stamped line; stale-rev flags visible).
 run_step bench16k 1200 python bench.py
