@@ -107,6 +107,8 @@ def main() -> int:
         # Second fit at the same shapes = cached compiles: the steady
         # (serving/refit) number, vs the cold one-time-compile number above.
         t0 = time.perf_counter()
+        m = None  # release the cold fit's stacked factors first: holding
+        # them through the refit doubles peak HBM (OOM'd E=8 x B=13312)
         m = do_fit()
         jax.block_until_ready(m.alpha)
         fit_warm_s = round(time.perf_counter() - t0, 2)
