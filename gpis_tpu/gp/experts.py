@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import numpy as np
 
@@ -612,20 +613,30 @@ def expert_view(model: ExpertGPModel, e: int):
 # ----------------------------------------------------------------- combine
 
 
+_FLOOR_SCALE = float(os.environ.get("GPIS_EXPERT_FLOOR_SCALE", "0.5"))
+
+
 def _beta_weights(var, k0, mode: str, dt, capacity: int = 4):
     """Committee weights from clamped expert variances. Returns (beta, vc).
 
-    The lower clamp is the dtype/size-aware quad-noise floor `4 eps B k0`
-    (the same formula the bordering update uses for touch noise): the
-    posterior quadratic form ||W kq||² on the f32 TPU path carries absolute
-    error of that order, so a raw expert variance below it is numerical
-    noise — and because (r)BCM SUMS expert precisions, E experts clamped at
-    a too-small floor combine into an absurdly overconfident posterior
-    (measured on-chip: 2.9e-7 "variance" at a point whose true posterior
-    variance is 4e-4).  At f64 the floor is ~1e-12 and never binds on the
-    oracle-parity tests."""
+    The lower clamp is a dtype/size-aware quad-noise floor
+    `eps·B·_FLOOR_SCALE·k0`: the posterior quadratic form ||W kq||² on the
+    f32 TPU path carries absolute error, so a raw expert variance below the
+    floor is numerical noise — and because (r)BCM SUMS expert precisions,
+    E experts clamped at a too-small floor combine into an absurdly
+    overconfident posterior (measured on-chip r3: 2.9e-7 "variance" at a
+    point whose true posterior variance is 4e-4).  The r3 formula used
+    scale 4.0 (the worst-case pre-Newton bound), which at 100k-class
+    per-expert capacities EXCEEDS the committee's intrinsic seam error and
+    became the accuracy ceiling (measured r4: RMSE tracked the floor —
+    E=16/B=7168 floor 3.4e-3 → RMSE 3.1e-3; E=8/B=13312 floor 6.3e-3 →
+    RMSE 5.2e-3).  The Newton-refined W's measured quad error is ~1e-6 at
+    B=1280 (docs/PERF.md rule 7), so the default scale is now 0.5 —
+    ~75x above the measured error at that size, 8x below the old bound
+    (GPIS_EXPERT_FLOOR_SCALE overrides).  At f64 the floor never binds."""
     eps = jnp.asarray(jnp.finfo(dt).eps, dt)
-    vc = jnp.clip(var, k0 * eps * jnp.maximum(16.0, 4.0 * capacity), k0)
+    vc = jnp.clip(
+        var, k0 * eps * jnp.maximum(16.0, _FLOOR_SCALE * capacity), k0)
     if mode == "bcm":
         return jnp.ones_like(vc), vc
     if mode == "rbcm":
