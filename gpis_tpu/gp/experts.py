@@ -365,7 +365,9 @@ def fit_experts(
         return jax.lax.map(one, (xs, ys, ns))
 
     extra = np.zeros((e,), np.float64)
+    out = None
     for attempt in range(max_jitter_retries + 1):
+        out = None  # release the failed attempt's stacks before refitting
         out = _fit_program(xs, ys, ns + jnp.asarray(extra, dtype)[:, None])
         bad = np.asarray(jnp.isnan(out["diag"]).any(axis=1))
         if not bad.any():
@@ -527,8 +529,10 @@ def fit_experts_joint(
         return jax.lax.map(one, (xs, ys, nfs, ngs, nrms))
 
     extra = np.zeros((e,), np.float64)
+    out = None
     for attempt in range(max_jitter_retries + 1):
         ej = jnp.asarray(extra, dtype)[:, None]
+        out = None  # release the failed attempt's stacks before refitting
         out = _fit_program(xs, ys, nfs + ej, ngs + ej, nrms)
         bad = np.asarray(jnp.isnan(out["diag"]).any(axis=1))
         if not bad.any():
