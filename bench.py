@@ -279,7 +279,8 @@ def main():
     head, _ = head_rev(here)
     for tag, fname in (("ooc100k_recorded", "BENCH_100K.json"),
                        ("ooc_joint_recorded", "BENCH_JOINT_OOC.json"),
-                       ("experts100k_recorded", "BENCH_EXPERTS.json")):
+                       ("experts100k_recorded", "BENCH_EXPERTS.json"),
+                       ("experts_joint_recorded", "BENCH_EXPERTS_JOINT.json")):
         try:
             with open(os.path.join(here, fname)) as f:
                 rec = json.load(f)

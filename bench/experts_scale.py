@@ -139,7 +139,7 @@ def main() -> int:
            "query_s": round(query_s, 2),
            "query_warm_s": round(query_warm_s, 2), "grid": grid_res,
            "rmse": rmse, "ok": ok,
-           "factors_gb": round((2 if m.chol is not None else 1) * e * m.capacity ** 2 * 4 / 1e9, 2)}
+           "factors_gb": round((2 if m.chol is not None else 1) * e * (m.linv if m.linv is not None else m.chol).shape[-1] ** 2 * 4 / 1e9, 2)}
     from gpis_tpu.utils.provenance import provenance
 
     out.update(provenance())
