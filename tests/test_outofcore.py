@@ -844,7 +844,10 @@ def test_plan_sweeps_model():
         for b in pbk:
             cum.append(cum[-1] + b)
         t = 0
-        while t < len(pbk) and cum[t + 1] <= budget:
+        # TRSM tier fills at f16 (device_dtype, r4): the same budget holds
+        # 2x the panels the f32-byte cum[] counts.
+        tier_budget = budget if kind == "factor" else budget * 2
+        while t < len(pbk) and cum[t + 1] <= tier_budget:
             t += 1
         scale = 1.0 if kind == "factor" else 0.5
         return sum(max(0, cum[j] - cum[min(t, j)])
