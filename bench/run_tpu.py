@@ -105,8 +105,11 @@ def main():
     # --- cholesky ---
     flops = n**3 / 3
     if "chol" in stages:
-        t = timeit(pallas_blocked_cholesky, g, 256, reps=reps)
-        emit("cholesky", "pallas256", t, tflops=round(flops / t / 1e12, 2))
+        for ps in ("inv", "xla"):
+            t = timeit(functools.partial(pallas_blocked_cholesky,
+                                         panel_solve=ps), g, 256, reps=reps)
+            emit("cholesky", f"pallas256-{ps}", t,
+                 tflops=round(flops / t / 1e12, 2))
         if n <= 16384:
             t = timeit(functools.partial(lin.blocked_cholesky, block=512), g,
                        reps=1)
@@ -119,8 +122,11 @@ def main():
 
     # --- linv ---
     if "linv" in stages:
-        t = timeit(pallas_blocked_linv, l, 256, reps=reps)
-        emit("linv", "pallas256", t, tflops=round(n**3 / 2 / t / 1e12, 2))
+        for ps in ("inv", "xla"):
+            t = timeit(functools.partial(pallas_blocked_linv,
+                                         panel_solve=ps), l, 256, reps=reps)
+            emit("linv", f"pallas256-{ps}", t,
+                 tflops=round(n**3 / 2 / t / 1e12, 2))
         if n <= 16384:
             t = timeit(functools.partial(lin.blocked_linv, block=512), l, reps=1)
             emit("linv", "blocked512", t, tflops=round(n**3 / 2 / t / 1e12, 2))
@@ -149,9 +155,12 @@ def main():
         from gpis_tpu.kernels.pallas_query import fused_query_pallas
 
         alpha = jnp.zeros((n,), dt)
-        t = timeit(functools.partial(fused_query_pallas, "rbf"),
-                   q, x, params, alpha, w, reps=reps)
-        emit("query_fused", "pallas", t, tflops=round(qflops / t / 1e12, 2))
+        for staged in (False, True):
+            t = timeit(functools.partial(fused_query_pallas, "rbf",
+                                         staged=staged),
+                       q, x, params, alpha, w, reps=reps)
+            emit("query_fused", "pallas-staged" if staged else "pallas", t,
+                 tflops=round(qflops / t / 1e12, 2))
 
         # solve-path variance for reference (small N only: XLA's
         # triangular-solve expansion keeps ~2N^2 f32 temps live and OOMs a

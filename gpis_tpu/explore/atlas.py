@@ -112,8 +112,10 @@ def project_and_chart(model: GPModel, x0, cfg: ExploreConfig, *, cid, parent):
     # traced jit arguments (ADVICE r2 high #1); their expansion runs the
     # same program eagerly — the while_loop/grad pieces still each compile
     # to one XLA program, and the shard_map predicts inside are jitted.
+    from gpis_tpu.gp.kinds import model_kind
+
     fn = (_project_chart_impl
-          if hasattr(model, "mesh") or hasattr(model, "wstore")
+          if model_kind(model) in ("sharded", "sharded_joint", "ooc", "ooc_joint")
           else _project_chart_device)
     x, ok, n, var = fn(model, jnp.asarray(x0, model.dtype))
     if not bool(ok):

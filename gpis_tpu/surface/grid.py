@@ -50,7 +50,10 @@ def evaluate_points_chunked(model: GPModel, q, *, chunk: int = 8192, want_var: b
     pad = n_chunks * chunk - m
     qp = jnp.pad(q, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
 
-    if hasattr(model, "centroids"):
+    from gpis_tpu.gp.kinds import model_kind
+
+    kind = model_kind(model)
+    if kind == "experts":
         # Expert committee: its own predict chunk+gates host-side and runs
         # ONE jitted program for the whole sweep (fused Pallas kernel per
         # gated (chunk, expert) pair) — routing it through the generic
@@ -59,7 +62,7 @@ def evaluate_points_chunked(model: GPModel, q, *, chunk: int = 8192, want_var: b
 
         mean, var = gpe.predict(model, q, chunk=chunk)
         return mean, var if want_var else None
-    if hasattr(model, "wstore") or hasattr(model, "mesh"):
+    if kind in ("ooc", "ooc_joint", "sharded", "sharded_joint"):
         # Out-of-core models stream host panels and sharded models are not
         # pytrees — neither can cross a jit boundary as an argument; their
         # predict methods manage their own jitted programs.

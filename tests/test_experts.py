@@ -175,6 +175,7 @@ def test_touch_update_routes_and_matches_refit(fixture64):
     assert float(v1[0]) <= float(v0[0]) + 1e-12
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(fixture64, tmp_path):
     from gpis_tpu.utils import checkpoint as ckpt
 
@@ -240,6 +241,7 @@ def test_session_experts_end_to_end():
     assert res.path.shape[0] > 0
 
 
+@pytest.mark.slow
 def test_session_experts_hyperopt_refit_replays_touches():
     from gpis_tpu.api.session import ObjectModelSession
 
@@ -297,6 +299,7 @@ def test_optimize_experts_poe_improves_objective(fixture64):
     assert float(res.noise_scale) > 0
 
 
+@pytest.mark.slow
 def test_session_experts_hyperopt_poe_replays_touches():
     from gpis_tpu.api.session import ObjectModelSession
 
@@ -311,6 +314,7 @@ def test_session_experts_hyperopt_poe_replays_touches():
         s.optimize_hyperparameters(method="bogus")
 
 
+@pytest.mark.slow
 def test_retain_chol_false_matches_and_updates(fixture64):
     """A chol=None committee (retain_chol=False) predicts identically to
     the retained one, and touch updates work through the on-demand
@@ -416,6 +420,7 @@ def joint_fixture():
     return ts, jnp.asarray(nrm), jnp.asarray(noise_g), params
 
 
+@pytest.mark.slow
 def test_single_joint_expert_matches_dense_joint(joint_fixture):
     """E=1 BCM joint committee == the exact single joint GP."""
     from gpis_tpu.gp import derivative as gpd
@@ -434,6 +439,7 @@ def test_single_joint_expert_matches_dense_joint(joint_fixture):
     np.testing.assert_allclose(np.asarray(va), np.asarray(vr), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_joint_committee_tracks_exact(joint_fixture):
     from gpis_tpu.gp import derivative as gpd
 
@@ -457,6 +463,7 @@ def test_joint_committee_tracks_exact(joint_fixture):
     assert float(jnp.mean(cos)) > 0.9
 
 
+@pytest.mark.slow
 def test_joint_committee_touch_update(joint_fixture):
     ts, nrm, ng, params = joint_fixture
     shared = ts.n_internal + ts.n_external
@@ -472,6 +479,7 @@ def test_joint_committee_touch_update(joint_fixture):
     assert abs(float(mean2[0])) < 0.1   # mean pulled toward the observation
 
 
+@pytest.mark.slow
 def test_joint_committee_checkpoint_roundtrip(joint_fixture, tmp_path):
     from gpis_tpu.utils import checkpoint as ckpt
 

@@ -269,6 +269,7 @@ def test_update_carries_linv(rng):
     np.testing.assert_allclose(np.asarray(var_w), np.asarray(var_s), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_update_cumulative_overflow_raises(rng):
     """Touch occupancy past capacity must raise on the host path (ADVICE r1:
     dynamic_update_slice clamping silently overwrote earlier touch rows)."""
@@ -300,6 +301,7 @@ def test_update_scalar_target_broadcasts(rng):
     np.testing.assert_array_equal(np.asarray(m_scalar.y), np.asarray(m_vec.y))
 
 
+@pytest.mark.slow
 def test_reset_touches_full_slots(rng):
     """reset_touches must restore inert padding even when every slot was
     occupied (ADVICE r1: max(noise) inference turned cleared slots into

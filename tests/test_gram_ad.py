@@ -22,7 +22,10 @@ def prob():
 
 
 @pytest.mark.parametrize("name", ["rbf", "thin_plate", "inverse_multiquadric"])
-@pytest.mark.parametrize("band", [32, 96, 1024])
+@pytest.mark.parametrize("band", [
+    pytest.param(32, marks=pytest.mark.slow),  # sub-block band: ragged path
+    96, 1024,
+])
 def test_gram_ad_vjp_parity(prob, name, band):
     x, noise, params, kbar = prob
 

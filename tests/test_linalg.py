@@ -202,6 +202,7 @@ def test_row_update_pallas_matches_masked(rng):
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_mll_blocked_chol_impl_matches_dense(rng):
     """MLL value+gradient with the custom-VJP blocked factorization matches
     the dense XLA path (the N=16k+ hyperopt path, VERDICT r1 item 4)."""
@@ -257,3 +258,24 @@ def test_band_trail_update_pallas(rng):
         lt = np.asarray(l_col) * (rows_g >= j0 + b)[:, None]
         want = np.asarray(s) - lt @ wj
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+@pytest.mark.parametrize("panel_solve", ["xla", "inv"])
+def test_panel_solve_paths_parity(rng, panel_solve):
+    """Both panel-solve strategies (r5: 'inv' = small-inverse + Pallas GEMM
+    replaces the serial full-panel XLA trisolves; 'xla' = the original
+    substitution path) must factor and invert to reconstruction parity."""
+    from gpis_tpu.linalg.pallas_chol import (pallas_blocked_cholesky,
+                                             pallas_blocked_linv)
+
+    n = 512
+    a64 = _spd(rng, n)
+    a = jnp.asarray(np.asarray(a64))
+    l = pallas_blocked_cholesky(a, block=256, panel_solve=panel_solve)
+    rec = np.asarray(l) @ np.asarray(l).T
+    np.testing.assert_allclose(rec, np.asarray(a), rtol=1e-10, atol=1e-10)
+    for inplace in (False, True):
+        w = pallas_blocked_linv(l, 256, inplace=inplace,
+                                panel_solve=panel_solve)
+        np.testing.assert_allclose(np.asarray(w) @ np.asarray(l), np.eye(n),
+                                   atol=1e-9)

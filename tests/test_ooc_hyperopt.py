@@ -210,3 +210,64 @@ def test_optimize_ooc_joint_recovers_lengthscale():
     ls = float(res["params"]["lengthscale"])
     assert 0.35 < ls < 0.75, ls
     assert res["history"][-1] > res["history"][0]
+
+
+@pytest.mark.slow
+def test_ooc_mll_and_grad_split_phase_matches(tmp_path):
+    """Process-split stream step (r5): ooc_factor_phase(defer_alpha=True) +
+    ooc_mll_and_grad_solve_phase must reproduce the in-process
+    ooc_mll_and_grad exactly (the gradient pass rides the TRSM's on_panel
+    hook; alpha accumulates panel-wise; quad runs as a W-free band sweep).
+    scale folded into the noise up front: the split step measures the
+    gradient AT the factored theta."""
+    rng = np.random.default_rng(23)
+    n, panel = 1000, 256
+    x = rng.normal(size=(n, 3))
+    x = jnp.asarray(x / np.linalg.norm(x, axis=1, keepdims=True))
+    y = jnp.asarray(rng.normal(size=n) * 0.2)
+    noise = jnp.asarray(rng.uniform(1e-4, 1e-2, size=n))
+    params = kf.kernel_params(0.7, 1.3)
+
+    mll_ref, g_ref = oho.ooc_mll_and_grad(
+        "rbf", x, y, noise, params, panel=panel, block=64, store="host",
+    )
+
+    sd = str(tmp_path / "step")
+    ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=panel,
+                         spill_dir=sd, block=64, defer_alpha=True,
+                         device_budget=1 << 62)
+    mll, g = oho.ooc_mll_and_grad_solve_phase(sd, noise_base=noise,
+                                              device_budget=1 << 62)
+    np.testing.assert_allclose(float(mll), float(mll_ref), rtol=1e-9)
+    for k in g_ref:
+        np.testing.assert_allclose(float(g[k]), float(g_ref[k]), rtol=1e-7,
+                                   err_msg=k)
+
+
+@pytest.mark.slow
+def test_ooc_mll_and_grad_split_phase_sweep2(tmp_path):
+    """trsm_sweep > 1 groups multiple W panels per on_panel callback — the
+    group-prefix q sweep must stay exact (zero contributions from
+    q > row's own panel)."""
+    rng = np.random.default_rng(29)
+    n, panel = 1024, 128
+    x = rng.normal(size=(n, 3))
+    x = jnp.asarray(x / np.linalg.norm(x, axis=1, keepdims=True))
+    y = jnp.asarray(rng.normal(size=n) * 0.2)
+    noise = jnp.asarray(rng.uniform(1e-4, 1e-2, size=n))
+    params = kf.kernel_params(0.8, 1.0)
+
+    mll_ref, g_ref = oho.ooc_mll_and_grad(
+        "rbf", x, y, noise, params, panel=panel, block=64, store="host",
+    )
+    sd = str(tmp_path / "step2")
+    ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=panel,
+                         spill_dir=sd, block=64, defer_alpha=True,
+                         device_budget=1 << 62)
+    mll, g = oho.ooc_mll_and_grad_solve_phase(sd, noise_base=noise,
+                                              trsm_sweep=3,
+                                              device_budget=1 << 62)
+    np.testing.assert_allclose(float(mll), float(mll_ref), rtol=1e-9)
+    for k in g_ref:
+        np.testing.assert_allclose(float(g[k]), float(g_ref[k]), rtol=1e-7,
+                                   err_msg=k)

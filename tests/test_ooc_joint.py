@@ -47,6 +47,7 @@ def fitted(problem):
     return m, dm
 
 
+@pytest.mark.slow
 def test_joint_quad_band_kernel_parity():
     """fused_joint_quad_band_pallas (interpret) vs the jnp cross + GEMM."""
     rng = np.random.default_rng(3)
@@ -122,6 +123,7 @@ def test_ooc_joint_fit_predict_matches_dense(fitted):
                                atol=1e-10)
 
 
+@pytest.mark.slow
 def test_ooc_joint_predict_mean_differentiable(fitted):
     """Newton projection path: gpr.predict_mean and its jax.grad work on
     the joint OOC model (cross_cov_value against the core coords)."""

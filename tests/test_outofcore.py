@@ -52,7 +52,10 @@ def test_gemm_nt_masked_matches(problem):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-10)
 
 
-@pytest.mark.parametrize("store_kind", ["host", "device"])
+@pytest.mark.parametrize("store_kind", [
+    pytest.param("host", marks=pytest.mark.slow),  # d2h legs dominate, ~5 s
+    "device",
+])
 def test_ooc_cholesky_matches_dense(problem, store_kind):
     x, y, noise, params = problem
     st = ooc.HostPanelStore() if store_kind == "host" else ooc.DevicePanelStore()
@@ -79,6 +82,7 @@ def test_ooc_trsm_and_alpha(problem):
                                np.asarray(y), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_ooc_fit_predict_matches_incore(problem):
     """Full ooc pipeline == the in-core GPModel posterior at 1e-6 (the
     BASELINE.md row 2 parity bar)."""
@@ -110,6 +114,7 @@ def test_ooc_fit_pads_to_panel(problem):
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_r), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_ooc_tiered_store_spills_and_matches(problem):
     """TieredPanelStore: with a budget that only fits ~2 panels on 'device',
     the rest spill to host — posterior parity must be unchanged and the
@@ -683,6 +688,7 @@ def test_ooc_update_matches_incore_bordering(problem):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_ooc_update_overflow_raises(problem):
     x, y, noise, params = problem
     m = ooc.ooc_fit("rbf", x, y, noise, params, panel=B)
@@ -878,6 +884,7 @@ def test_plan_sweeps_model():
         ooc.plan_sweeps(1000, 256, 4, limit=limit)
 
 
+@pytest.mark.slow
 def test_ooc_fit_with_planned_sweeps(problem):
     """An ooc_fit driven by plan_sweeps' (sweep, budget) output matches the
     dense in-core posterior — the planner's choices are plumbing-compatible
@@ -967,6 +974,7 @@ def test_ooc_solve_phase_missing_l_fails_fast(tmp_path):
         ooc.ooc_solve_phase(store, w_dtype=jnp.float16)
 
 
+@pytest.mark.slow
 def test_ooc_mll_matches_dense(problem, tmp_path):
     """OOCModel.log_marginal_likelihood — assembled from the factorization
     byproducts (u, sum log diag L) with NO panel streaming — matches the
@@ -1135,6 +1143,7 @@ def test_ooc_staged_driver_joint_cpu(tmp_path):
     assert doc["mean_parity"] == 0.0 and doc["var_parity"] == 0.0
 
 
+@pytest.mark.slow
 def test_ooc_factor_solve_phase_joint_matches_fit(tmp_path):
     """The process-split joint phases reconstruct the SAME posterior as
     the one-shot ooc_fit_joint (factor state + packed metadata rebuilt at
@@ -1265,6 +1274,7 @@ def test_link_stats_accounting(problem):
     assert st.get("h2d_n", 0) > 0
 
 
+@pytest.mark.slow
 def test_ooc_solve_phase_fused_query(problem, tmp_path):
     """The TRSM-fused dense-grid query (variance quad accumulated per W
     band while device-resident) must match the post-hoc streamed query."""
@@ -1403,3 +1413,57 @@ def test_ooc_solve_phase_f16_device_w(problem, tmp_path):
     np.testing.assert_allclose(np.asarray(var_p),
                                np.clip(np.asarray(var_r), 0.0, None),
                                atol=5e-2)
+
+
+def test_ooc_residual_check_clean_and_corrupted(problem, tmp_path):
+    """Codec self-guard (VERDICT r4 weak #4): the sampled-row residual of
+    (K + D) alpha = y must pass on an intact fit and FAIL after a stored L
+    panel is corrupted at int16-LSB-times-conditioning scale — the exact
+    silent-corruption mode the codec was measured to have on unstructured
+    clouds, where no surface-RMSE oracle exists to catch it."""
+    import os
+
+    x, y, noise, params = problem
+    sd = str(tmp_path / "guard")
+    ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=B, spill_dir=sd,
+                         device_budget=2 * B * C * 8)
+    m = ooc.ooc_solve_phase(sd, device_budget=2 * B * C * 8)
+    res = ooc.ooc_residual_check(m)
+    assert res["ok"], res
+    assert res["rel_bw"] < 1e-6  # f64 CPU: backward-stable factor
+
+    # Fresh fit, then corrupt one mid-factor L panel before the TRSM —
+    # simulating a codec decode error flowing into W and alpha.
+    # defer_alpha=True matches the staged judge driver: alpha accumulates
+    # from the phase-2 W bands, i.e. THROUGH the stored (possibly
+    # codec-damaged) L panels — the configuration the guard protects.
+    sd2 = str(tmp_path / "corrupt")
+    ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=B, spill_dir=sd2,
+                         device_budget=2 * B * C * 8, defer_alpha=True)
+    p = os.path.join(sd2, "L", "panel_1.bin")
+    mm = np.memmap(p, dtype=np.float64, mode="r+")
+    mm[: mm.size // 2] *= 1.003  # ~0.3% relative panel damage
+    mm.flush()
+    del mm
+    m2 = ooc.ooc_solve_phase(sd2, device_budget=2 * B * C * 8)
+    res2 = ooc.ooc_residual_check(m2)
+    # The damage is conditioning-amplified: componentwise backward error
+    # stays codec-LSB-small, but the OBSERVATION-unit residual blows up —
+    # exactly the signature the rel_y gate exists for.
+    assert not res2["ok"], res2
+    assert res2["rel_y"] > 10 * res["rel_y"]
+
+
+def test_ooc_residual_check_joint(problem):
+    """Joint layout: the check samples real VALUE rows of the packed joint
+    system and must pass on an intact ooc_fit_joint."""
+    x, y, noise, params = problem
+    n = 256
+    xs, ys = x[:n], y[:n]
+    normals = np.asarray(xs / np.linalg.norm(np.asarray(xs), axis=1,
+                                             keepdims=True))
+    m = ooc.ooc_fit_joint("rbf", xs, ys, jnp.asarray(normals),
+                          jnp.full((n,), 1e-4), jnp.full((n,), 1e-4),
+                          params, panel=256)
+    res = ooc.ooc_residual_check(m, block=128)
+    assert res["ok"], res

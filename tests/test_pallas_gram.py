@@ -57,6 +57,23 @@ def test_gram_pallas_f64(rng):
 @pytest.mark.parametrize("n", [256, 1024])
 @pytest.mark.parametrize("kernel", ["rbf", "thin_plate"])
 def test_fused_query_pallas(n, kernel):
+    _fused_query_case(n, kernel, staged=False)
+
+
+@pytest.mark.parametrize("n,kernel", [
+    (1024, "rbf"), (1024, "thin_plate"),
+    pytest.param(2048, "rbf", marks=pytest.mark.slow),  # multi-i-plane case
+])
+def test_fused_query_pallas_staged(n, kernel):
+    """Staged-kq variant (round 5): kq assembled once into an HBM buffer,
+    quad kernel READS tiles instead of regenerating per i-plane.  n=2048
+    gives 2 i-planes at the default TI=1024 — the regime where the staged
+    kq index map must serve both the i==0 mean plane (all columns) and the
+    liveness-clamped quad tiles."""
+    _fused_query_case(n, kernel, staged=True)
+
+
+def _fused_query_case(n, kernel, *, staged):
     """Fused assemble+GEMM query kernel == linv predict path.  n=256 clamps
     the sweep-tunable tiles down to the capacity; n=1024 runs the default
     TALL TI (TI=512 != TC) — covering the generalized liveness predicate
@@ -87,7 +104,8 @@ def test_fused_query_pallas(n, kernel):
     q = jnp.asarray(rng.normal(size=(100, 3)), jnp.float32)
 
     mean_ref, var_ref = gpr.predict(m, q)
-    mean, quad = fused_query_pallas(kernel, q, m.x, m.params, m.alpha, m.linv)
+    mean, quad = fused_query_pallas(kernel, q, m.x, m.params, m.alpha, m.linv,
+                                    staged=staged)
     var = float(kf.k_diag0(kernel, m.params)) - quad
     # f32 agreement: alpha entries are O(1e2) (noise 1e-3), so the fused
     # kernel's different summation order shows at the ~1e-3 absolute level,

@@ -45,6 +45,7 @@ def test_joint_gram_fused_parity(name, rng):
                                rtol=2e-6, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_joint_gram_fused_touch_slots(rng):
     x = jnp.asarray(rng.normal(size=(21, 3)), jnp.float32)
     tx = jnp.asarray(rng.normal(size=(9, 3)), jnp.float32)

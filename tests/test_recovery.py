@@ -98,6 +98,7 @@ def test_session_recovery_joint_model(tmp_path):
     np.testing.assert_allclose(v2, v3, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_service_save_restart_load(tmp_path):
     """The HTTP drill: /start + /update + /save, kill the node, start a
     FRESH node, /load, replay the pending /update — posterior parity with
@@ -159,6 +160,7 @@ def test_service_save_restart_load(tmp_path):
     np.testing.assert_allclose(got["var"], want["var"], atol=1e-8)
 
 
+@pytest.mark.slow
 def test_restored_joint_overflow_raises_clearly(tmp_path):
     """A restored joint session that overflows its touch slots cannot fold
     touches into the core (the training set is not checkpointed) — it must

@@ -66,6 +66,7 @@ def test_update_loop_reduces_uncertainty():
     assert np.all(var_after < var_before)
 
 
+@pytest.mark.slow
 def test_extract_surface_world_frame(session):
     center, radius = np.array([1.0, 2.0, 3.0]), 0.4
     pts = gpis.fibonacci_sphere(250, radius=radius) + center
@@ -77,6 +78,7 @@ def test_extract_surface_world_frame(session):
     assert np.all(var >= -1e-9)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, session):
     pts = gpis.fibonacci_sphere(100, radius=0.7)
     session.start(pts)
@@ -267,8 +269,11 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(v1, v2, atol=1e-6)
 
 
-@pytest.mark.parametrize("kernel,ls", [("thin_plate", 4.0), ("inverse_multiquadric", 0.7),
-                                       ("laplace", 0.7)])
+@pytest.mark.parametrize("kernel,ls", [
+    pytest.param("thin_plate", 4.0, marks=pytest.mark.slow),  # 7 s; others <3 s
+    pytest.param("inverse_multiquadric", 0.7, marks=pytest.mark.slow),
+    ("laplace", 0.7),  # the one non-default kernel kept in the fast tier
+])
 def test_session_all_kernels_e2e(kernel, ls):
     """Every covariance function drives the full session loop."""
     cfg = ModelConfig(kernel=kernel, lengthscale=ls, noise_surface=1e-5,

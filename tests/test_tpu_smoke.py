@@ -526,3 +526,60 @@ def test_compile_cache_cpu_guard(tmp_path):
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "guarded" in r.stdout
+
+
+def test_fused_query_staged_compiled(prob):
+    """r5 staged-kq query path compiled: stage-A cross-cov into HBM + the
+    kq-reading quad kernel (with its dual-role index map) must match the
+    on-the-fly kernel on the same operands to tight tolerance (same dot
+    structure, same tiles — only the kq source differs)."""
+    from gpis_tpu.kernels import pallas_gram as pg
+    from gpis_tpu.kernels.pallas_query import fused_query_pallas
+    from gpis_tpu.linalg.pallas_chol import (
+        pallas_blocked_cholesky,
+        pallas_blocked_linv,
+    )
+
+    x, noise, params = prob
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(512, 3)), DT)
+    a = pg.gram_pallas("rbf", x, params, noise)
+    l = pallas_blocked_cholesky(a, 256)
+    w = pallas_blocked_linv(l, 256)
+    alpha = jnp.asarray(rng.normal(size=(N,)), DT)
+
+    mean0, quad0 = fused_query_pallas("rbf", q, x, params, alpha, w,
+                                      staged=False)
+    mean1, quad1 = fused_query_pallas("rbf", q, x, params, alpha, w,
+                                      staged=True)
+    np.testing.assert_allclose(np.asarray(mean1), np.asarray(mean0),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(quad1), np.asarray(quad0),
+                               atol=1e-3)
+
+
+def test_panel_solve_inv_compiled(prob):
+    """r5 'inv' panel solve compiled: factor + TRSM through the small-
+    inverse + Pallas-GEMM path must land in the same residual class as the
+    'xla' substitution path on the same Gram."""
+    from gpis_tpu.kernels import pallas_gram as pg
+    from gpis_tpu.linalg.pallas_chol import (
+        pallas_blocked_cholesky,
+        pallas_blocked_linv,
+    )
+
+    x, noise, params = prob
+    a = pg.gram_pallas("rbf", x, params, noise)
+    an = np.asarray(a)
+    res = {}
+    for ps in ("xla", "inv"):
+        l = pallas_blocked_cholesky(a, 256, panel_solve=ps)
+        w = np.asarray(pallas_blocked_linv(l, 256, panel_solve=ps))
+        ln = np.asarray(l)
+        assert np.isfinite(ln).all() and np.isfinite(w).all()
+        res[ps] = (np.abs(ln @ ln.T - an).max(),
+                   np.abs(w @ ln - np.eye(N)).max())
+    # Same class: the inv path trades backward-stable substitution for
+    # eps_bf16x3 * k(Ljj) on the panels — bounded at 8x the xla path here.
+    assert res["inv"][0] <= 8.0 * res["xla"][0] + 2e-4, res
+    assert res["inv"][1] <= 8.0 * res["xla"][1] + 2e-4, res

@@ -89,6 +89,7 @@ def test_session_voxel_with_normals():
     assert mean[0] < -0.5 and abs(mean[1]) < 0.05
 
 
+@pytest.mark.slow
 def test_debug_nans_clean_path():
     """SURVEY.md §6 sanitizer analogue: a clean fit/predict runs NaN-free
     under jax_debug_nans (the numerical race detector)."""
@@ -171,6 +172,7 @@ def test_checkpoint_roundtrip_with_linv(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_joint_touches(tmp_path):
     """Joint models with occupied tactile slots roundtrip exactly."""
     import jax.numpy as jnp
