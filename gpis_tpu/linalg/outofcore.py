@@ -1797,7 +1797,16 @@ def ooc_residual_check(model: OOCModel, *, n_blocks: int = 4,
                          for k in range(n_blocks)})
     alpha = jnp.asarray(model.alpha)
     aabs = jnp.abs(alpha)
-    y_scale = float(jnp.max(jnp.abs(model.y[:nr])))
+    # Observation scale over the WHOLE factor target (pad rows are zero so
+    # the max ignores them).  Not just the sampled value rows: a config-2
+    # GPIS system has f == 0 on every surface point — the signal lives in
+    # the gradient rows (normals, O(1)) — and a zero denominator turned
+    # rel_y into 1e31 on an exact fit (caught by the joint driver e2e).
+    y_scale = float(jnp.max(jnp.abs(model.y)))
+    if y_scale == 0.0:
+        # All-zero targets: alpha == 0 exactly, any residual is pure
+        # roundoff; unit scale keeps the ratio meaningful.
+        y_scale = 1.0
     worst_abs, worst_bw = 0.0, 0.0
     for r0 in starts:
         band = _gram_band(model.kernel, cols[r0:r0 + b], cols,
@@ -2550,8 +2559,13 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
     import hashlib
 
     h = hashlib.sha1()
+    # u preferentially: it pins the whole upstream problem exactly like
+    # alpha does, and it is STABLE across this function persisting the
+    # accumulated alpha into state.npz at the end of a defer_alpha TRSM
+    # (an alpha-first tag flipped after persistence and made the very W
+    # store that computed the alpha look stale on reattach).
     for arr in (d["x"], d["y"], d["noise"],
-                d["alpha"] if "alpha" in d.files else d["u"]):
+                d["u"] if "u" in d.files else d["alpha"]):
         h.update(np.asarray(arr).tobytes())
     h.update(f"{kernel}:{panel}".encode())
     w_tag = h.hexdigest()
@@ -2640,6 +2654,17 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
             on_panel=on_panel, store_final=keep_w or not fused_ok)
         if want_accum:
             alpha = out_alpha
+            # Persist the accumulated alpha: the L panels that could
+            # re-derive it by substitution were CONSUMED by this TRSM, so
+            # a later reattach of the finished fit (serve, checkpoints)
+            # would otherwise block forever fetching panels that no longer
+            # exist — the defer_alpha serve hang the r5 e2e run caught.
+            sp = os.path.join(spill_dir, "state.npz")
+            merged = dict(np.load(sp, allow_pickle=False))
+            merged["alpha"] = np.asarray(alpha)
+            tmp = sp + ".tmp.npz"
+            np.savez(tmp, **merged)
+            os.replace(tmp, sp)
         if fused_ok:
             means = [_mean_chunk(kernel, ch, cols, params, alpha)
                      for ch in chunks]
@@ -2655,6 +2680,18 @@ def ooc_solve_phase(spill_dir: str, *, w_dtype=None,
     if alpha is None:
         # Deferred alpha with a TRSM that had nothing left to do (W store
         # complete from a prior run): substitution against restored L.
+        # Fail fast when the panels were consumed (same guidance as the
+        # TRSM reattach gate) instead of blocking on panel arrival.
+        missing = [j for j in range(nb) if j not in lst]
+        if missing:
+            raise FileNotFoundError(
+                f"deferred-alpha reattach needs L panels "
+                f"{missing[:5]}{'...' if len(missing) > 5 else ''} but they "
+                f"were consumed and state.npz carries no alpha — the fit "
+                "predates alpha persistence (re-run phase 2, which now "
+                "stores the accumulated alpha) or restore the panels from "
+                "L_backup."
+            )
         alpha = ooc_solve_alpha(lst, yp, panel=panel, block=block)
     if stop_after is not None and stop_after < nb:
         return None

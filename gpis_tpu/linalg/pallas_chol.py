@@ -39,23 +39,22 @@ __all__ = ["panel_update_pallas", "pallas_blocked_cholesky",
 _TN = 256
 _TK = 256
 
-# Panel-solve strategy for the 64-sequential-steps chain (docs/PERF.md
-# rooflines, round 4: the factor kernels measured 4-7x above BOTH the HBM
-# and MXU bounds — *serial-panel-bound* on the per-step XLA
-# triangular_solve against a (B, C) panel plus its two full-panel
-# transposes).  "inv" replaces that with: one (B, B) XLA trisolve against
-# I (64x fewer RHS columns, exact-grade substitution — PERF rule 7), then
-# a Pallas bf16x3 GEMM against the panel with NO transposes.  Forward
-# error trades substitution's backward stability for ~eps_bf16x3 * k(Ljj)
-# on the panel — the diagonal blocks are noise-regularized Schur
-# complements, and the bench jitter ladder + RMSE gates guard the trade.
-# (The round-2 "MAGMA inverse trick is slower" note measured a different
-# regime — the full-matrix inverse on the DMA-bound out-of-core path;
-# this one targets the per-step XLA latency chain and is re-measured on
-# hardware this round.)  Env GPIS_PANEL_SOLVE=xla restores the old path.
+# Panel-solve strategy for the 64-sequential-steps chain.  "inv" replaces
+# the per-step (B, C) XLA trisolve + two full-panel transposes with one
+# (B, B) trisolve against I (exact-grade substitution, PERF rule 7) and a
+# Pallas bf16x3 GEMM.  MEASURED r5 at 16k on-chip: 0.0880 s vs 0.0892 s
+# for the whole factorization (~1.3%, within noise) and linv identical —
+# the r4 "serial-panel-bound" diagnosis was wrong about the trisolves;
+# the real 4-7x roofline gap was DEAD-TILE DMA traffic (BlockSpec fetches
+# for the ~5/6 of each panel grid whose compute is predicated off), fixed
+# by the index-map clamps in panel_update_pallas / row_update_pallas
+# (chol 0.156 -> 0.088 s, linv 0.165 -> 0.110 s at 16k).  With no
+# measurable win, the default stays the backward-stable XLA substitution;
+# "inv" remains selectable (GPIS_PANEL_SOLVE=inv) for re-measurement on
+# other topologies.
 import os as _os
 
-_PANEL_SOLVE = _os.environ.get("GPIS_PANEL_SOLVE", "inv").lower()
+_PANEL_SOLVE = _os.environ.get("GPIS_PANEL_SOLVE", "xla").lower()
 
 
 def _dot3(a, b, dims):
@@ -131,12 +130,33 @@ def panel_update_pallas(l, l_row, a_panel, j0, *, block: int, row0=0):
         lr = l_row * cols[None, :].astype(l.dtype)
         return a_panel - jnp.dot(l_done, lr.T, precision=lax.Precision.HIGHEST)
 
+    # Dead-tile DMA elision (round 5 — the factor kernels' real roofline
+    # gap): compute is predicated on (k*TK < j0) & (row tile below j0), but
+    # BlockSpec DMAs are unconditional, and per panel only ~1/6 of the
+    # (i, k) grid is live — 5/6 of the l-tile traffic was structurally-dead
+    # fetches (the r4 roofline measured the kernel 4-7x above BOTH bounds
+    # and blamed the serial panel solves; the 'inv' panel solve A/B came
+    # back ~1.5%, pointing here instead).  Same index-map-aliasing trick as
+    # `gemm_nt_masked_pallas`: dead-k steps repeat the last live k block,
+    # rows entirely above the panel pin (first-live-row, 0) — consecutive
+    # repeated indices skip the fetch.
+    def _l_idx(i, k, j):
+        kmax = jnp.maximum((j[0] + _TK - 1) // _TK - 1, 0)
+        i_min = (j[0] - j[1]) // _TN  # first row tile reaching below j0
+        dead_row = i < i_min
+        return (jnp.where(dead_row, i_min, i),
+                jnp.where(dead_row, 0, jnp.minimum(k, kmax)))
+
+    def _lrow_idx(i, k, j):
+        kmax = jnp.maximum((j[0] + _TK - 1) // _TK - 1, 0)
+        return (0, jnp.minimum(k, kmax))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nr // _TN, nc // _TK),
         in_specs=[
-            pl.BlockSpec((_TN, _TK), lambda i, k, j: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, _TK), lambda i, k, j: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, _TK), _l_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, _TK), _lrow_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((_TN, block), lambda i, k, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -504,12 +524,30 @@ def row_update_pallas(w, l_row, j0, *, block: int):
         w_done = w * cols[:, None].astype(w.dtype)
         return jnp.dot(lr, w_done, precision=lax.Precision.HIGHEST)
 
+    # Dead-tile DMA elision (round 5, same rationale as panel_update_pallas):
+    # compute runs only for (k*TK < j0) & (i*TN < j0), but W-tile DMAs were
+    # unconditional — at step j only ~(j/nb)^2 of the grid is live, so the
+    # early steps fetched mostly garbage-region tiles.  Dead-k steps repeat
+    # the last live k block; dead-i (output columns >= j0, identically
+    # zero) pin (0, last-live-i) so the whole dead row of steps repeats one
+    # index and fetches once.
+    def _w_idx(i, k, j):
+        kmax = jnp.maximum((j[0] + _TK - 1) // _TK - 1, 0)
+        imax = jnp.maximum((j[0] + _TN - 1) // _TN - 1, 0)
+        dead_i = i * _TN >= j[0]
+        return (jnp.where(dead_i, 0, jnp.minimum(k, kmax)),
+                jnp.minimum(i, imax))
+
+    def _lrow_idx(i, k, j):
+        kmax = jnp.maximum((j[0] + _TK - 1) // _TK - 1, 0)
+        return (0, jnp.minimum(k, kmax))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // _TN, n // _TK),
         in_specs=[
-            pl.BlockSpec((block, _TK), lambda i, k, j: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TK, _TN), lambda i, k, j: (k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, _TK), _lrow_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TK, _TN), _w_idx, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (block, _TN), lambda i, k, j: (0, i), memory_space=pltpu.VMEM

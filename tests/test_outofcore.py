@@ -1467,3 +1467,36 @@ def test_ooc_residual_check_joint(problem):
                           params, panel=256)
     res = ooc.ooc_residual_check(m, block=128)
     assert res["ok"], res
+
+
+@pytest.mark.slow
+def test_defer_alpha_reattach_without_l_panels(problem, tmp_path):
+    """r5 regression (the serve hang): a defer_alpha fit whose TRSM
+    consumed the L panels must still reattach — phase 2 persists the
+    accumulated alpha into state.npz — and a pre-persistence store must
+    fail FAST with guidance, not block on panel arrival."""
+    import os
+
+    x, y, noise, params = problem
+    sd = str(tmp_path / "defer")
+    ooc.ooc_factor_phase("rbf", x, y, noise, params, panel=B, spill_dir=sd,
+                         device_budget=2 * B * C * 8, defer_alpha=True)
+    m1 = ooc.ooc_solve_phase(sd, device_budget=2 * B * C * 8)
+    # TRSM consumed the L panels; state.npz now carries the accumulated
+    # alpha, so a fresh reattach must work with NO L panels on disk.
+    assert not any(j in m1.wstore for j in ())  # silence lint; store kept
+    m2 = ooc.ooc_solve_phase(sd, device_budget=2 * B * C * 8)
+    np.testing.assert_allclose(np.asarray(m2.alpha), np.asarray(m1.alpha),
+                               rtol=0, atol=0)
+    q = jnp.asarray(np.random.default_rng(5).normal(size=(64, 3)) * 0.8)
+    mean1, var1 = m1.predict(q, chunk=64)
+    mean2, var2 = m2.predict(q, chunk=64)
+    np.testing.assert_allclose(np.asarray(mean2), np.asarray(mean1), atol=0)
+
+    # Pre-persistence store: drop alpha from state.npz -> guided error.
+    sp = os.path.join(sd, "state.npz")
+    d = dict(np.load(sp, allow_pickle=False))
+    d.pop("alpha")
+    np.savez(sp, **d)
+    with pytest.raises(FileNotFoundError, match="alpha persistence"):
+        ooc.ooc_solve_phase(sd, device_budget=2 * B * C * 8)
