@@ -430,6 +430,16 @@ def main(argv: list[str]) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # Phase subprocesses pay fresh remote Mosaic compiles for every
+        # panel-shaped kernel otherwise — the persistent cache serves
+        # across processes (validated by the cross-process hit test in the
+        # -m tpu tier), so a resumed or repeated run skips them.
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from gpis_tpu.utils.compile_cache import enable
+
+        enable()
     cmd = argv[0] if argv else "run"
     if cmd == "phase1":
         _watchdog(float(argv[3]) if len(argv) > 3 else 7100.0)

@@ -46,6 +46,12 @@ def _maybe_cpu() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # Persistent compile cache for the phase subprocesses (see
+        # bench/ooc_staged.py main — same rationale).
+        from gpis_tpu.utils.compile_cache import enable
+
+        enable()
 
 
 def _problem(n: int):
