@@ -313,14 +313,21 @@ def _query_kernel(q0, q1, q2, z0, z1, z2, cu0, cu1, cu2, cf, w_ref,
         ].astype(quad_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("name",))
+@functools.partial(jax.jit, static_argnames=("name", "staged"))
 def fused_joint_query_pallas(name: str, q, x, params, alpha, w,
-                             touch_x=None):
+                             touch_x=None, staged: bool | None = None):
     """(mean, quad) of f at queries q (M, 3) for a JOINT model: w = joint
     chol^{-1} (J, J), alpha (J,), J = 4C + T.  The (M, J) cross-covariance
     is generated tile-by-tile in VMEM from the column metadata — never in
     HBM — and W's strict upper triangle is skipped.  var = k(0) - quad at
-    the caller (gp/derivative.predict)."""
+    the caller (gp/derivative.predict).
+
+    staged=None auto-selects the staged-kq variant for in-core J (same
+    restructure as the value kernel, kernels/pallas_query module comment):
+    stage A assembles the value-vs-joint cross in HBM via
+    `joint_rows_pallas` (the blended dk chains run ONCE per (q, col) pair
+    instead of once per live i-plane), stage B is the shared
+    metadata-free quad kernel `pallas_query.staged_query_from_kq`."""
     m = q.shape[0]
     j = w.shape[0]
     dt = q.dtype
@@ -344,6 +351,17 @@ def fused_joint_query_pallas(name: str, q, x, params, alpha, w,
     ls = jnp.asarray(params["lengthscale"], dt).reshape(1, 1)
     sv = jnp.asarray(params["signal_variance"], dt).reshape(1, 1)
     alpha_row = jnp.asarray(alpha, dt)[None, :]  # (1, J)
+
+    from gpis_tpu.kernels.pallas_query import (_want_staged,
+                                               staged_query_from_kq)
+
+    if staged is None:
+        staged = _want_staged(mp, j, ti, jnp.dtype(dt).itemsize)
+    if staged:
+        rmeta = (qp, jnp.zeros((mp, 3), dt), jnp.ones((mp,), dt))
+        kq = joint_rows_pallas(name, rmeta, (coords, dirs, flag), params)
+        mean, quad = staged_query_from_kq(kq, w, alpha_row, ti=ti, tc=tc)
+        return mean[0, :m], quad[0, :m]
 
     grid = (mp // _TQ, j // ti, j // tc)
     mean, quad = pl.pallas_call(

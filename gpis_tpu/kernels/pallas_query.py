@@ -32,7 +32,8 @@ from gpis_tpu.kernels import functions as kf
 from gpis_tpu.kernels.pallas_gram import _coord_split, _interpret
 from gpis_tpu.linalg.pallas_chol import _dot3
 
-__all__ = ["fused_query_pallas", "fused_quad_band_pallas", "quad_dot"]
+__all__ = ["fused_query_pallas", "fused_quad_band_pallas", "quad_dot",
+           "staged_query_from_kq"]
 
 # Staged-kq variant (round 5): the on-the-fly kernel regenerates each
 # (TQ, TC) kq tile once per LIVE i-plane — at 16k/TI=1024 that is ~8.5
@@ -306,6 +307,52 @@ def _stage_kq(name, qc, xr, ls, sv, *, mp, c, tc, dt):
     )(*qc, *xr, ls, sv)
 
 
+def staged_query_from_kq(kq, w, alpha_row, *, ti: int, tc: int):
+    """Stage B shared by the value AND joint fused queries: (mean, quad)
+    from a PRE-STAGED (mp, C) kq in HBM against W (C, C) and alpha (1, C).
+    Returns (1, mp) rows — callers slice.  Once kq exists, the quad is
+    metadata-free, so the joint path reuses this call verbatim (its stage
+    A is `pallas_joint.joint_rows_pallas` on value-query rows)."""
+    mp, c = kq.shape
+    dt = kq.dtype
+    grid = (mp // _TQ, c // ti, c // tc)
+    return pl.pallas_call(
+        functools.partial(_staged_kernel, ti=ti, tc=tc),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, mp), dt),
+            jax.ShapeDtypeStruct((1, mp), dt),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (ti, tc),
+                lambda mq, i, cc: (i, jnp.minimum(cc, ((i + 1) * ti - 1) // tc)),
+                memory_space=pltpu.VMEM,
+            ),
+            # kq tiles: needed on every LIVE step plus the whole i==0
+            # mean plane; dead steps clamp to the last live column so
+            # the repeated block index elides the fetch (same trick as
+            # the W spec).
+            pl.BlockSpec(
+                (_TQ, tc),
+                lambda mq, i, cc: (
+                    mq,
+                    jnp.where(i == 0, cc,
+                              jnp.minimum(cc, ((i + 1) * ti - 1) // tc)),
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, tc), lambda mq, i, cc: (0, cc), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _TQ), lambda mq, i, cc: (0, mq), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TQ), lambda mq, i, cc: (0, mq), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((ti, _TQ), jnp.float32)],
+        interpret=_interpret(),
+    )(w, kq, alpha_row)
+
+
 _QSTAGE_MAX = int(_os.environ.get("GPIS_QSTAGE_MAX", str(2 << 30)))
 _QSTAGED_ENV = _os.environ.get("GPIS_QUERY_STAGED", "auto").lower()
 
@@ -350,42 +397,7 @@ def fused_query_pallas(name: str, q, x, params, alpha, w, staged: bool | None = 
         staged = _want_staged(mp, c, ti, jnp.dtype(dt).itemsize)
     if staged:
         kq = _stage_kq(name, qc, xr, ls, sv, mp=mp, c=c, tc=tc, dt=dt)
-        grid = (mp // _TQ, c // ti, c // tc)
-        mean, quad = pl.pallas_call(
-            functools.partial(_staged_kernel, ti=ti, tc=tc),
-            out_shape=(
-                jax.ShapeDtypeStruct((1, mp), dt),
-                jax.ShapeDtypeStruct((1, mp), dt),
-            ),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (ti, tc),
-                    lambda mq, i, cc: (i, jnp.minimum(cc, ((i + 1) * ti - 1) // tc)),
-                    memory_space=pltpu.VMEM,
-                ),
-                # kq tiles: needed on every LIVE step plus the whole i==0
-                # mean plane; dead steps clamp to the last live column so
-                # the repeated block index elides the fetch (same trick as
-                # the W spec).
-                pl.BlockSpec(
-                    (_TQ, tc),
-                    lambda mq, i, cc: (
-                        mq,
-                        jnp.where(i == 0, cc,
-                                  jnp.minimum(cc, ((i + 1) * ti - 1) // tc)),
-                    ),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec((1, tc), lambda mq, i, cc: (0, cc), memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec((1, _TQ), lambda mq, i, cc: (0, mq), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, _TQ), lambda mq, i, cc: (0, mq), memory_space=pltpu.VMEM),
-            ),
-            scratch_shapes=[pltpu.VMEM((ti, _TQ), jnp.float32)],
-            interpret=_interpret(),
-        )(w, kq, alpha_row)
+        mean, quad = staged_query_from_kq(kq, w, alpha_row, ti=ti, tc=tc)
         return mean[0, :m], quad[0, :m]
 
     grid = (mp // _TQ, c // ti, c // tc)

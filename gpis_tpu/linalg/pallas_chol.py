@@ -84,7 +84,7 @@ def _dot3(a, b, dims):
     return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
-def _panel_kernel(j0_ref, l_ref, lrow_ref, apanel_ref, out_ref):
+def _panel_kernel(j0_ref, l_ref, lrow_ref, apanel_ref, out_ref, *, tn, tk):
     i = pl.program_id(0)
     k = pl.program_id(1)
     j0 = j0_ref[0]
@@ -97,19 +97,27 @@ def _panel_kernel(j0_ref, l_ref, lrow_ref, apanel_ref, out_ref):
     # Row tiles whose global rows all sit strictly above the panel
     # (row0 + (i+1)*TN <= j0) are discarded by the caller's row mask —
     # skip their update entirely (the strict upper half: 2x fewer FLOPs).
-    @pl.when((k * _TK < j0) & (row0 + (i + 1) * _TN > j0))
+    @pl.when((k * tk < j0) & (row0 + (i + 1) * tn > j0))
     def _():
-        # Separate masks: l tiles are (_TN, _TK) but the resident l_row
-        # tile is (block, _TK), and block < _TN is legal (the guard only
-        # requires block <= _TN) — one shared mask shape-errored there.
-        cols = k * _TK + jax.lax.broadcasted_iota(jnp.int32, l_ref.shape, 1)
+        # Separate masks: l tiles are (tn, tk) but the resident l_row
+        # tile is (block, tk), and block < tn is legal (the guard only
+        # requires block <= tn) — one shared mask shape-errored there.
+        cols = k * tk + jax.lax.broadcasted_iota(jnp.int32, l_ref.shape, 1)
         lt = l_ref[...] * (cols < j0).astype(l_ref.dtype)
-        cols_r = k * _TK + jax.lax.broadcasted_iota(
+        cols_r = k * tk + jax.lax.broadcasted_iota(
             jnp.int32, lrow_ref.shape, 1)
         lr = lrow_ref[...] * (cols_r < j0).astype(lrow_ref.dtype)
         out_ref[...] -= _dot3(
             lt, lr, (((1,), (1,)), ((), ()))
         ).astype(out_ref.dtype)
+
+
+# Panel-update tile size: 512 quarters the grid-step count vs the module
+# default 256 (the per-step fixed cost is what separates the elided
+# kernels from their ~22 ms MXU bound) and improves MACs/byte 256->341;
+# VMEM stays ~4 MB.  Env-tunable for re-sweeps; sizes the capacity is not
+# a multiple of clamp down per call.
+_PANEL_TILE = int(_os.environ.get("GPIS_CHOL_TILE", "512"))
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -123,7 +131,12 @@ def panel_update_pallas(l, l_row, a_panel, j0, *, block: int, row0=0):
     of l's first row (device-band offset in the sharded case): output row
     tiles entirely above j0 are discarded by the caller and skipped here."""
     nr, nc = l.shape
-    if nr % _TN or nc % _TK or block > _TN:
+    tn = tk = _PANEL_TILE
+    while nr % tn or block > tn:
+        tn //= 2
+    while nc % tk:
+        tk //= 2
+    if tn < 128 or tk < 128:
         # Shapes outside the tiling contract: fall back to the masked matmul.
         cols = jnp.arange(nc) < j0
         l_done = l * cols[None, :].astype(l.dtype)
@@ -141,31 +154,31 @@ def panel_update_pallas(l, l_row, a_panel, j0, *, block: int, row0=0):
     # rows entirely above the panel pin (first-live-row, 0) — consecutive
     # repeated indices skip the fetch.
     def _l_idx(i, k, j):
-        kmax = jnp.maximum((j[0] + _TK - 1) // _TK - 1, 0)
-        i_min = (j[0] - j[1]) // _TN  # first row tile reaching below j0
+        kmax = jnp.maximum((j[0] + tk - 1) // tk - 1, 0)
+        i_min = (j[0] - j[1]) // tn  # first row tile reaching below j0
         dead_row = i < i_min
         return (jnp.where(dead_row, i_min, i),
                 jnp.where(dead_row, 0, jnp.minimum(k, kmax)))
 
     def _lrow_idx(i, k, j):
-        kmax = jnp.maximum((j[0] + _TK - 1) // _TK - 1, 0)
+        kmax = jnp.maximum((j[0] + tk - 1) // tk - 1, 0)
         return (0, jnp.minimum(k, kmax))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nr // _TN, nc // _TK),
+        grid=(nr // tn, nc // tk),
         in_specs=[
-            pl.BlockSpec((_TN, _TK), _l_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, _TK), _lrow_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TN, block), lambda i, k, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, tk), _l_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, tk), _lrow_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, block), lambda i, k, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (_TN, block), lambda i, k, j: (i, 0), memory_space=pltpu.VMEM
+            (tn, block), lambda i, k, j: (i, 0), memory_space=pltpu.VMEM
         ),
     )
     scalars = jnp.stack([jnp.asarray(j0, jnp.int32), jnp.asarray(row0, jnp.int32)])
     return pl.pallas_call(
-        _panel_kernel,
+        functools.partial(_panel_kernel, tn=tn, tk=tk),
         out_shape=jax.ShapeDtypeStruct((nr, block), a_panel.dtype),
         grid_spec=grid_spec,
         interpret=_interpret(),

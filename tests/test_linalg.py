@@ -141,22 +141,30 @@ def test_pallas_blocked_cholesky_sub_tile_block(rng):
 
 
 def test_panel_update_pallas_matches_masked(rng):
-    from gpis_tpu.linalg.pallas_chol import panel_update_pallas
+    from gpis_tpu.linalg.pallas_chol import _PANEL_TILE, panel_update_pallas
 
-    n, b = 512, 256
+    n, b = 1024, 256
     l = jnp.asarray(np.tril(rng.normal(size=(n, n))), jnp.float32)
     # Zero unfinished columns like the factorization loop does.
-    j0 = 256
+    j0 = 512
     l = l * (np.arange(n) < j0)[None, :].astype(np.float32)
     l_row = l[j0:j0 + b]
     a_panel = jnp.asarray(rng.normal(size=(n, b)), jnp.float32)
     got = panel_update_pallas(l, l_row, a_panel, j0, block=b)
     want = a_panel - l @ l_row.T
-    # Contract: row tiles entirely above j0 are skipped (the factorization
-    # discards them via its row mask) — they come back as raw a_panel.
-    np.testing.assert_allclose(np.asarray(got)[j0:], np.asarray(want)[j0:],
+    # Contract: row TILES entirely above j0 are skipped (the factorization
+    # discards those rows via its row mask) — they come back as raw
+    # a_panel.  The skip boundary is tile-granular: derive it from the
+    # kernel's tile size (r5: tunable, default 512).
+    tn = _PANEL_TILE
+    while n % tn or b > tn:
+        tn //= 2
+    skip = (j0 // tn) * tn  # rows in tiles that never reach below j0
+    np.testing.assert_allclose(np.asarray(got)[skip:], np.asarray(want)[skip:],
                                rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(got)[:j0], np.asarray(a_panel)[:j0])
+    np.testing.assert_allclose(np.asarray(got)[:skip],
+                               np.asarray(a_panel)[:skip])
+    assert skip > 0  # the fixture must actually exercise the dead-row skip
 
 
 def test_blocked_cholesky_bf16x3(rng):

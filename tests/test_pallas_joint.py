@@ -88,9 +88,12 @@ def test_cross_has_no_diagonal_noise(rng):
 
 
 @pytest.mark.slow
-def test_fused_joint_query_parity(rng):
+@pytest.mark.parametrize("staged", [False, True])
+def test_fused_joint_query_parity(rng, staged):
     """(mean, quad) from the fused kernel == explicit kq/alpha/W chain on a
-    real (well-conditioned) joint factor, including touch slots."""
+    real (well-conditioned) joint factor, including touch slots.  staged
+    (r5): joint kq assembled once into HBM via joint_rows_pallas, quad via
+    the shared metadata-free stage-B kernel."""
     from gpis_tpu.gp import derivative as gpd
 
     n = 50
@@ -123,7 +126,8 @@ def test_fused_joint_query_parity(rng):
     pad_pts = jnp.full(((jp - j), 3), 1e6, model.dtype)
     tx = jnp.concatenate([model.touch_x, pad_pts])
     mean, quad = pj.fused_joint_query_pallas(
-        "rbf", q, model.x, model.params, alpha, w, touch_x=tx)
+        "rbf", q, model.x, model.params, alpha, w, touch_x=tx,
+        staged=staged)
     np.testing.assert_allclose(np.asarray(mean), np.asarray(want_mean),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(quad), np.asarray(want_quad),
