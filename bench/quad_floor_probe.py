@@ -67,8 +67,17 @@ def probe(b: int) -> dict:
     params = {k: v.astype(dt) for k, v in kf.kernel_params(1.0, 1.0).items()}
 
     hp = jax.lax.Precision.HIGHEST
-    k = kg.gram("rbf", x, params, noise=noise)
-    l = lin.cholesky(k)
+    # Jitter ladder like the production fits (gpr.fit / fit_experts): the
+    # cap density at committee-realistic B makes the raw f32 Gram
+    # indefinite — the committee's floor must reflect the JITTERED factor
+    # its experts actually deploy (B=7168/13312 NaN'd without this).
+    extra = 0.0
+    for _ in range(6):
+        k = kg.gram("rbf", x, params, noise=noise + extra)
+        l = lin.cholesky(k)
+        if not bool(jnp.isnan(jnp.diagonal(l)).any()):
+            break
+        extra = max(extra * 10.0, 1e-4)
     w = pallas_blocked_linv(l) if b % 256 == 0 else lin.blocked_linv(l, b)
     eye = jnp.eye(b, dtype=dt)
     r_ = eye - jnp.dot(l, w, precision=hp)
@@ -92,6 +101,7 @@ def probe(b: int) -> dict:
     scale_now = float(os.environ.get("GPIS_EXPERT_FLOOR_SCALE", "0.5"))
     return {
         "B": b,
+        "jitter": extra,
         "err_max": float(err.max()),
         "err_p99": float(np.percentile(err, 99)),
         "err_mean": float(err.mean()),
