@@ -22,10 +22,16 @@ def head_rev(repo_dir: str | None = None) -> tuple[str | None, bool]:
             ["git", "-C", d, "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, timeout=10,
         ).stdout.strip() or None
-        dirty = bool(subprocess.run(
+        lines = subprocess.run(
             ["git", "-C", d, "status", "--porcelain", "-uno"],
             capture_output=True, text=True, timeout=10,
-        ).stdout.strip())
+        ).stdout.strip().splitlines()
+        # PROGRESS.jsonl is the DRIVER's continuously-appended journal —
+        # it is modified during every measurement by construction and says
+        # nothing about the measured code; counting it made every record
+        # "dirty" (r4 missing #3 post-mortem).
+        dirty = any(ln.split(maxsplit=1)[-1] != "PROGRESS.jsonl"
+                    for ln in lines)
         return rev, dirty
     except Exception:
         return None, False
